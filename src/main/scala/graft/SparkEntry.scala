@@ -1,13 +1,252 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, Dedup, Enrich, Quality, Validate}
+import graft.schema.Registry
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 surfaces as a named entry in [[queries]]
+  * with a DuckDB-equivalent SQL in [[oracleSql]] where SQL-expressible.
+  * Column names are aliased identically on both sides (the driver's compare
+  * sorts columns by name before hashing). Float aggregates go through exact
+  * decimal sums ([[graft.functions.Deterministic]]) so values are
+  * order-independent and engine-agnostic.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Analytics.categoryPerformance(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+  }
+
+  // -- shared pipeline stages -----------------------------------------------
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def validated(s: SparkSession, dir: String) = Validate.withValidation(ev(s, dir))
+  private def enrichedV(s: SparkSession, dir: String) =
+    Enrich.enriched(Validate.withValidation(ev(s, dir)))
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P2 — validation when-chain + validity flag
+    "q01_validation" -> ((s, dir) =>
+      validated(s, dir)
+        .select("event_id", "event_type", "user_id", "value", "validation_errors", "is_valid")
+        .orderBy("event_id")),
+    // P3 — dead-letter routing
+    "q02_dead_letter" -> ((s, dir) =>
+      Validate.deadLetter(ev(s, dir))
+        .select("event_id", "event_type", "user_id", "value", "validation_errors")
+        .orderBy("event_id")),
+    // F1–F9 — enrichment (time parts, conditional amount, late flag,
+    // session derivation, normalization, regex cleaning)
+    "q03_enriched" -> ((s, dir) =>
+      Enrich.enriched(ev(s, dir))
+        .select("event_id", "event_type", "quantity", "total_amount",
+          "event_year", "event_month", "event_day", "event_hour", "event_dayofweek",
+          "is_late_arrival", "session_id", "props_clean")
+        .orderBy("event_id")),
+    // A2/P5 — per-batch quality metrics in ONE aggregation pass
+    "q04_batch_metrics" -> ((s, dir) => Quality.batchMetrics(enrichedV(s, dir))),
+    // A1 — event-type distribution
+    "q05_event_distribution" -> ((s, dir) => Analytics.eventDistribution(ev(s, dir))),
+    // A3 — hourly summary (count, distinct users, revenue)
+    "q06_hourly_summary" -> ((s, dir) => Analytics.hourlySummary(enrichedV(s, dir))),
+    // A4 — user session summary
+    "q07_session_summary" -> ((s, dir) => Analytics.sessionSummary(enrichedV(s, dir))),
+    // A5 — category performance (broadcast dim join)
+    "q08_category_performance" -> ((s, dir) =>
+      Analytics.categoryPerformance(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // A6 — 24h data-quality summary
+    "q09_quality_summary" -> ((s, dir) => Analytics.qualitySummary(validated(s, dir))),
+    // A7 — ad-hoc count+revenue by type
+    "q10_top_event_types" -> ((s, dir) => Analytics.topEventTypes(enrichedV(s, dir))),
+    // §2.6 set op — UNION ALL of scalar counts
+    "q11_union_counts" -> ((s, dir) => Analytics.unionCounts(validated(s, dir))),
+    // §2.6 sort+limit — deterministic top-k
+    "q12_topk_value" -> ((s, dir) => Analytics.topKByValue(ev(s, dir))),
+    // P6 — literal-anchored time-range predicate
+    "q13_last24h" -> ((s, dir) => Analytics.last24h(ev(s, dir))),
+    // joins over the star schema (broadcast dims)
+    "q14_revenue_by_nation" -> ((s, dir) => Analytics.revenueByNation(s, dir)),
+    // window function — top-3 customers per nation
+    "q15_top_customers" -> ((s, dir) => Analytics.topCustomersPerNation(s, dir)),
+    // TPC-H Q1-shaped pricing summary
+    "q16_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
+    // D2 — deterministic batch dedup by key
+    "q17_dedup_events" -> ((s, dir) =>
+      Dedup.deterministic(ev(s, dir), Seq("user_id", "event_type"),
+          Seq(col("ts"), col("event_id")))
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")),
+    // exact content dedup over documents
+    "q18_dedup_exact_text" -> ((s, dir) => Dedup.exactTextDedup(Tables.documents(s, dir))),
+    // R1 — schema-registry migration v1→v2
+    "q19_migrate_v1_v2" -> ((s, dir) =>
+      Registry.migrate(ev(s, dir), "v1", "v2").orderBy("event_id")),
+  )
+
+  private val caseSql = Validate.validationCaseSql
+  private val anchor = s"TIMESTAMP '${Enrich.AnchorTs}'"
+  private def dsum(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(22,6))) AS DOUBLE)"
+  private def davg(e: String) = s"(${dsum(e)} / COUNT($e))"
+  // enrichment SQL fragments shared by several oracles
+  private val quantitySql = "COALESCE(CAST(props->>'k' AS INTEGER), 0)"
+  private val totalAmountSql =
+    s"CASE WHEN lower(trim(event_type)) IN ('purchase','click') THEN value * $quantitySql ELSE 0.0 END"
+  private val sessionIdSql =
+    "(CAST(user_id AS VARCHAR) || '-' || CAST(CAST(floor(CAST(extract(epoch FROM ts) AS DOUBLE)/1800) AS BIGINT) AS VARCHAR))"
+  private val enrichedSql =
+    s"""SELECT event_id, ts, user_id, lower(trim(event_type)) AS event_type, value,
+       |  $quantitySql AS quantity, $totalAmountSql AS total_amount,
+       |  $sessionIdSql AS session_id
+       |FROM events""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_validation" ->
+      s"""SELECT event_id, event_type, user_id, value,
+         |  $caseSql AS validation_errors,
+         |  ($caseSql) IS NULL AS is_valid
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q02_dead_letter" ->
+      s"""SELECT event_id, event_type, user_id, value, validation_errors FROM (
+         |  SELECT *, $caseSql AS validation_errors FROM events
+         |) WHERE validation_errors IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q03_enriched" ->
+      s"""SELECT event_id, lower(trim(event_type)) AS event_type,
+         |  $quantitySql AS quantity,
+         |  $totalAmountSql AS total_amount,
+         |  CAST(year(ts) AS INTEGER) AS event_year,
+         |  CAST(month(ts) AS INTEGER) AS event_month,
+         |  CAST(dayofmonth(ts) AS INTEGER) AS event_day,
+         |  CAST(hour(ts) AS INTEGER) AS event_hour,
+         |  CAST(dayofweek(ts) + 1 AS INTEGER) AS event_dayofweek,
+         |  ts < ($anchor - INTERVAL 5 MINUTE) AS is_late_arrival,
+         |  $sessionIdSql AS session_id,
+         |  regexp_replace(props, '[^\\w\\s]', '', 'g') AS props_clean
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q04_batch_metrics" ->
+      s"""SELECT COUNT(*) AS total_events,
+         |  COUNT(CASE WHEN validation_errors IS NULL THEN 1 END) AS valid_events,
+         |  COUNT(CASE WHEN validation_errors IS NOT NULL THEN 1 END) AS invalid_events,
+         |  COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+         |  COUNT(CASE WHEN value IS NULL THEN 1 END) AS null_value,
+         |  COUNT(CASE WHEN props IS NULL THEN 1 END) AS null_props,
+         |  COUNT(CASE WHEN ts < ($anchor - INTERVAL 5 MINUTE) THEN 1 END) AS late_events,
+         |  COUNT(DISTINCT user_id) AS distinct_users,
+         |  ${dsum("value")} AS total_value,
+         |  (CAST(COUNT(CASE WHEN validation_errors IS NULL THEN 1 END) AS DOUBLE)
+         |     / CAST(COUNT(*) AS DOUBLE)) * 100.0 AS validity_rate
+         |FROM (SELECT *, $caseSql AS validation_errors FROM events)""".stripMargin,
+    "q05_event_distribution" ->
+      "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type",
+    "q06_hourly_summary" ->
+      s"""SELECT date_trunc('hour', ts) AS event_hour_ts, event_type,
+         |  COUNT(*) AS event_count,
+         |  COUNT(DISTINCT user_id) AS unique_users,
+         |  ${dsum("total_amount")} AS total_revenue
+         |FROM ($enrichedSql)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q07_session_summary" ->
+      s"""SELECT user_id, session_id,
+         |  COUNT(*) AS total_events,
+         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+         |  ${dsum("total_amount")} AS session_revenue,
+         |  MIN(ts) AS session_start,
+         |  MAX(ts) AS session_end
+         |FROM ($enrichedSql)
+         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q08_category_performance" ->
+      s"""SELECT p_type AS category,
+         |  COUNT(*) AS event_count,
+         |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS return_count,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,
+         |  ${davg("l_extendedprice")} AS avg_price
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_type ORDER BY total_revenue DESC, category""".stripMargin,
+    "q09_quality_summary" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_bucket,
+         |  COUNT(*) AS total_events,
+         |  COUNT(CASE WHEN validation_errors IS NULL THEN 1 END) AS valid_events,
+         |  COUNT(CASE WHEN validation_errors IS NOT NULL THEN 1 END) AS invalid_events,
+         |  ${davg("value")} AS avg_value
+         |FROM (SELECT *, $caseSql AS validation_errors FROM events)
+         |WHERE ts >= ($anchor - INTERVAL 24 HOUR)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_top_event_types" ->
+      s"""SELECT event_type, COUNT(*) AS event_count, ${dsum("total_amount")} AS revenue
+         |FROM ($enrichedSql)
+         |GROUP BY event_type ORDER BY event_count DESC, event_type""".stripMargin,
+    "q11_union_counts" ->
+      s"""SELECT 'events' AS side, COUNT(*) AS n FROM (SELECT $caseSql AS e FROM events) WHERE e IS NULL
+         |UNION ALL
+         |SELECT 'dead_letter' AS side, COUNT(*) AS n FROM (SELECT $caseSql AS e FROM events) WHERE e IS NOT NULL
+         |ORDER BY side""".stripMargin,
+    "q12_topk_value" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY value DESC, event_id LIMIT 10",
+    "q13_last24h" ->
+      s"""SELECT event_id, ts, user_id, event_type, value FROM events
+         |WHERE ts >= ($anchor - INTERVAL 24 HOUR) AND ts < $anchor
+         |ORDER BY event_id""".stripMargin,
+    "q14_revenue_by_nation" ->
+      s"""SELECT r_name AS region_name, n_name AS nation_name,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY revenue DESC, nation_name""".stripMargin,
+    "q15_top_customers" ->
+      s"""SELECT * FROM (
+         |  SELECT nation_name, custkey, customer_name, revenue,
+         |    CAST(row_number() OVER (PARTITION BY nation_name ORDER BY revenue DESC, custkey) AS INTEGER)
+         |      AS rank_in_nation
+         |  FROM (
+         |    SELECT n_name AS nation_name, c_custkey AS custkey, c_name AS customer_name,
+         |      ${dsum("o_totalprice")} AS revenue
+         |    FROM orders
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation ON c_nationkey = n_nationkey
+         |    GROUP BY 1, 2, 3)
+         |) WHERE rank_in_nation <= 3 ORDER BY nation_name, rank_in_nation""".stripMargin,
+    "q16_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  ${davg("l_extendedprice")} AS avg_price,
+         |  ${davg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q17_dedup_events" ->
+      s"""SELECT event_id, user_id, event_type, ts FROM events
+         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+         |ORDER BY event_id""".stripMargin,
+    "q18_dedup_exact_text" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+    "q19_migrate_v1_v2" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  CAST(NULL AS VARCHAR) AS session_id,
+         |  CAST(NULL AS VARCHAR) AS category,
+         |  CAST(NULL AS INTEGER) AS quantity,
+         |  CAST(NULL AS VARCHAR) AS user_segment,
+         |  CAST(NULL AS VARCHAR) AS search_query,
+         |  CAST(NULL AS VARCHAR) AS source_system,
+         |  'v2' AS schema_version
+         |FROM events ORDER BY event_id""".stripMargin,
+  )
 }

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.{davg, dsum}
+import graft.sources.Tables
+
+/** The analytics surface: the reference's four PostgreSQL views plus its
+  * ad-hoc monitoring queries, re-expressed as first-class Spark queries
+  * (`/root/reference/docker/postgres/postgres_setup.sql:101-151`,
+  * `README.md:368-384`), and a set of star-schema queries that exercise
+  * joins / windows / top-k at scale.
+  *
+  * Scale notes: all aggregations are partial-agg friendly (`groupBy.agg`
+  * with algebraic functions only → map-side combine); dimension tables
+  * (`nation`, `region`, `customer`, `part`) are explicitly `broadcast()` so
+  * the fact scan never shuffles for them; sorts happen post-aggregation on
+  * already-tiny results. Monetary aggregates go through
+  * [[graft.functions.Deterministic]] (exact decimal sums) so results are
+  * order-independent.
+  */
+object Analytics {
+
+  /** A1 — event-type distribution (per-batch monitoring,
+    * `spark_streaming_to_postgres.py:260-262`).
+    */
+  def eventDistribution(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(count("*").as("n_events")).orderBy("event_type")
+
+  /** A3 — hourly event summary view (`postgres_setup.sql:101-110`):
+    * tumbling hour × event_type → count, distinct users, revenue.
+    */
+  def hourlySummary(enriched: DataFrame): DataFrame =
+    enriched
+      .groupBy(date_trunc("hour", col("ts")).as("event_hour_ts"), col("event_type"))
+      .agg(
+        count("*").as("event_count"),
+        countDistinct("user_id").as("unique_users"),
+        dsum(col("total_amount")).as("total_revenue"))
+      .orderBy(col("event_hour_ts"), col("event_type"))
+
+  /** A4 — user session summary view (`postgres_setup.sql:113-125`). */
+  def sessionSummary(enriched: DataFrame): DataFrame =
+    enriched
+      .groupBy("user_id", "session_id")
+      .agg(
+        count("*").as("total_events"),
+        count(when(col("event_type") === "view", 1)).as("view_count"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase_count"),
+        dsum(col("total_amount")).as("session_revenue"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+
+  /** A5 — category performance view (`postgres_setup.sql:128-137`), over the
+    * star schema: part type as the category, lineitem revenue as the spend.
+    * `part` is broadcast — the lineitem scan aggregates without a join
+    * shuffle.
+    */
+  def categoryPerformance(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_type").as("category"))
+      .agg(
+        count("*").as("event_count"),
+        count(when(col("l_returnflag") === "R", 1)).as("return_count"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"),
+        davg(col("l_extendedprice")).as("avg_price"))
+      .orderBy(col("total_revenue").desc, col("category"))
+
+  /** A6 — data-quality summary view (`postgres_setup.sql:140-151`): last-24h
+    * window (anchored at [[Enrich.AnchorTs]] for determinism), hourly
+    * buckets, sums + average validity rate.
+    */
+  def qualitySummary(validated: DataFrame): DataFrame =
+    validated
+      .filter(
+        col("ts") >= lit(Enrich.AnchorTs).cast("timestamp") - expr("INTERVAL 24 HOURS"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"))
+      .agg(
+        count("*").as("total_events"),
+        count(when(col("is_valid"), 1)).as("valid_events"),
+        count(when(!col("is_valid"), 1)).as("invalid_events"),
+        davg(col("value")).as("avg_value"))
+      .orderBy("hour_bucket")
+
+  /** A7 — ad-hoc event count + revenue by type (`README.md:377-384`). */
+  def topEventTypes(enriched: DataFrame): DataFrame =
+    enriched
+      .groupBy("event_type")
+      .agg(count("*").as("event_count"), dsum(col("total_amount")).as("revenue"))
+      .orderBy(col("event_count").desc, col("event_type"))
+
+  /** §2.6 set op — UNION ALL of two scalar counts (monitoring query,
+    * `README.md:368-374`).
+    */
+  def unionCounts(validated: DataFrame): DataFrame = {
+    val valid = validated.filter(col("is_valid"))
+      .agg(count("*").as("n")).select(lit("events").as("side"), col("n"))
+    val dead = validated.filter(!col("is_valid"))
+      .agg(count("*").as("n")).select(lit("dead_letter").as("side"), col("n"))
+    valid.union(dead).orderBy("side")
+  }
+
+  /** §2.6 sort + limit — deterministic top-k by value. */
+  def topKByValue(events: DataFrame, k: Int = 10): DataFrame =
+    events
+      .select("event_id", "event_type", "value")
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(k)
+
+  /** P6 — time-range predicate with a literal anchor
+    * (`postgres_setup.sql:149`).
+    */
+  def last24h(events: DataFrame): DataFrame = {
+    val anchor = lit(Enrich.AnchorTs).cast("timestamp")
+    events
+      .filter(col("ts") >= anchor - expr("INTERVAL 24 HOURS") && col("ts") < anchor)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** Star-schema join: revenue by nation/region. Dims are broadcast; the
+    * only shuffle is orders⋈lineitem on the (large) order key plus the
+    * final tiny aggregation.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count("*").as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("nation_name"))
+  }
+
+  /** Window function: top-3 customers by revenue within each nation
+    * (rank + partitioned window; deterministic tie-break on custkey).
+    */
+  def topCustomersPerNation(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val perCust = ord
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"), col("c_custkey").as("custkey"),
+        col("c_name").as("customer_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("nation_name"))
+      .orderBy(col("revenue").desc, col("custkey"))
+    perCust
+      .withColumn("rank_in_nation", row_number().over(w))
+      .filter(col("rank_in_nation") <= k)
+      .orderBy(col("nation_name"), col("rank_in_nation"))
+  }
+
+  /** TPC-H Q1-style pricing summary over lineitem — the classic partial-agg
+    * benchmark shape (one scan, map-side combine, tiny shuffle).
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count("*").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * The reference deduplicates a stream by key within a watermark
+  * (`dropDuplicates(["event_id"])`,
+  * `/root/reference/spark/spark_streaming_to_postgres.py:324-329`) — that
+  * streaming form lives in [[graft.streaming.Pipeline]]. The batch forms
+  * here are deterministic (explicit tie-break ordering) so they are
+  * oracle-checkable, per SURVEY.md §7.
+  *
+  * Scale notes: `row_number` over `Window.partitionBy(keys)` is a single
+  * hash shuffle on the dedup key — the same shuffle `dropDuplicates` would
+  * do, but with a defined winner. Exact text dedup groups by a 128-bit hash
+  * of the text rather than the text itself, so the shuffle carries 16-byte
+  * keys instead of multi-KB documents.
+  */
+object Dedup {
+
+  /** Keep exactly one row per key, deterministically: the first under
+    * `orderBy` (ascending, nulls last via the extra tiebreak columns).
+    */
+  def deterministic(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact duplicate-document groups: md5(text) → group size + the kept
+    * (minimum) doc_id. Only the hash shuffles, not the text.
+    */
+  def exactTextGroups(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count("*").as("n_copies"), min("doc_id").as("keeper_doc_id"))
+      .orderBy("keeper_doc_id")
+
+  /** Exact dedup of documents by content: keeps the lowest doc_id per
+    * distinct text.
+    */
+  def exactTextDedup(documents: DataFrame): DataFrame =
+    deterministic(
+      documents.withColumn("text_hash", md5(col("text"))),
+      Seq("text_hash"),
+      Seq(col("doc_id")))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+}

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.dsum
+
+/** Per-batch data-quality metrics.
+  *
+  * The reference computes these with ~10 separate Spark jobs per batch
+  * (`df.count()`, one `filter(...).count()` per rule/column,
+  * `groupBy("event_type").count().collect()` —
+  * `/root/reference/spark/spark_streaming_to_postgres.py:239-276`). That is
+  * N full scans of the batch. Here the same numbers come out of ONE
+  * aggregation pass (`sum(when(...))` conditional counts → map-side
+  * combine, single job) — the scale-correct formulation.
+  */
+object Quality {
+
+  /** One row: total/valid/invalid counts, per-column null counts, late
+    * count, distinct users, validity rate. Input must already carry
+    * `is_valid` ([[Validate.withValidation]]) and `is_late_arrival`
+    * ([[Enrich.enriched]]).
+    */
+  def batchMetrics(df: DataFrame): DataFrame =
+    df.agg(
+        count("*").as("total_events"),
+        count(when(col("is_valid"), 1)).as("valid_events"),
+        count(when(!col("is_valid"), 1)).as("invalid_events"),
+        count(when(col("user_id").isNull, 1)).as("null_user_id"),
+        count(when(col("value").isNull, 1)).as("null_value"),
+        count(when(col("props").isNull, 1)).as("null_props"),
+        count(when(col("is_late_arrival"), 1)).as("late_events"),
+        countDistinct("user_id").as("distinct_users"),
+        dsum(col("value")).as("total_value"))
+      .withColumn(
+        "validity_rate",
+        (col("valid_events").cast("double") / col("total_events").cast("double")) * 100.0)
+}

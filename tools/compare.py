@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name> parquet (Spark result), runs the matching
+oracle_sql.json entry in DuckDB over the sfDir tables, and diffs:
+row count, column names, and cell values (exact for ints/strings/bools,
+bitwise for floats — we engineered queries to be bit-identical).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        got = con.execute(f"SELECT * FROM parquet_scan('{outdir}/{name}/*.parquet')").df()
+    except Exception as e:
+        print(f"FAIL {name}: spark result unreadable: {e}"); fails += 1; continue
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}"); fails += 1; continue
+    if sorted(got.columns) != sorted(exp.columns):
+        print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"); fails += 1; continue
+    got = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
+    exp = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1; continue
+    bad = []
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == 'f' or e.dtype.kind == 'f':
+            eq = (g.astype('float64').values == e.astype('float64').values) | (g.isna().values & e.isna().values)
+        else:
+            eq = (g.astype(str).values == e.astype(str).values)
+        if not eq.all():
+            i = int(np.argmin(eq))
+            bad.append(f"col {c} row {i}: spark={g.iloc[i]!r} oracle={e.iloc[i]!r} ({int((~eq).sum())} diffs)")
+    if bad:
+        print(f"FAIL {name}: " + "; ".join(bad[:3])); fails += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows)")
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
