@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Dedup, Enrich, Quality, Validate}
+import graft.ops.{Analytics, Dedup, Enrich, NearDup, Quality, Similarity, TextAnalysis, Validate}
 import graft.schema.Registry
 import graft.sources.Tables
 
@@ -87,6 +87,27 @@ object SparkEntry {
     // R1 — schema-registry migration v1→v2
     "q19_migrate_v1_v2" -> ((s, dir) =>
       Registry.migrate(ev(s, dir), "v1", "v2").orderBy("event_id")),
+    // -- training-data pipeline ops (documents / embeddings) ---------------
+    // text analysis: token statistics
+    "q20_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
+    // text analysis: quality scoring (C4-style heuristics)
+    "q21_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    // text analysis: marker-word language ID
+    "q22_language_id" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
+    // text analysis: content md5 + rolling token fingerprint
+    "q23_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    // near-dup: MinHash signatures → LSH bands → verified Jaccard
+    "q24_minhash_neardup" -> ((s, dir) => NearDup.minhashNearDups(Tables.documents(s, dir))),
+    // near-dup: 64-bit SimHash, banded Hamming ≤ 3
+    "q25_simhash_neardup" -> ((s, dir) => NearDup.simhashNearDups(Tables.documents(s, dir))),
+    // near-dup: embedding cosine ≥ threshold (exact decimal dot products)
+    "q26_embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDups(Tables.embeddings(s, dir))),
+    // similarity search: brute-force cosine top-k (broadcast query set)
+    "q27_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
+    // similarity search: hyperplane-LSH bucket assignment
+    "q28_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir))),
+    // similarity search: LSH-bucketed approximate top-k (the scale path)
+    "q29_ann_lsh_topk" -> ((s, dir) => Similarity.lshBucketedTopK(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -248,5 +269,15 @@ object SparkEntry {
          |  CAST(NULL AS VARCHAR) AS source_system,
          |  'v2' AS schema_version
          |FROM events ORDER BY event_id""".stripMargin,
+    "q20_token_stats" -> TextAnalysis.tokenStatsSql,
+    "q21_quality_score" -> TextAnalysis.qualityScoreSql,
+    "q22_language_id" -> TextAnalysis.languageIdSql,
+    "q23_fingerprints" -> TextAnalysis.fingerprintsSql,
+    "q24_minhash_neardup" -> NearDup.minhashNearDupsSql,
+    "q25_simhash_neardup" -> NearDup.simhashNearDupsSql,
+    "q26_embedding_neardup" -> Similarity.embeddingNearDupsSql,
+    "q27_ann_bruteforce" -> Similarity.bruteForceTopKSql(),
+    "q28_lsh_buckets" -> Similarity.lshBucketsSql,
+    "q29_ann_lsh_topk" -> Similarity.lshBucketedTopKSql(),
   )
 }

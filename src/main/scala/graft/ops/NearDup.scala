@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Near-duplicate detection for training-data curation: MinHash+LSH over
+  * word shingles, SimHash with banded Hamming search, and exact n-gram
+  * Jaccard verification of candidates.
+  *
+  * Scale design (the point of these ops at 100 TB):
+  *  - Documents never shuffle whole: the explode→min-agg MinHash signature
+  *    is map-side combined, so only (doc_id, 16-byte hash) pairs move.
+  *  - Candidate generation is an equi-join on (band_idx, band_key) — a hash
+  *    shuffle on short keys, no O(n²) comparison anywhere.
+  *  - Jaccard verification joins shingle *sets* only for the candidate pairs
+  *    (tiny compared to the corpus).
+  *  - All hashing is md5 (engine-portable); MinHash minimizes over hex
+  *    strings lexicographically, which is an equally valid min-hash and
+  *    avoids any engine-specific 64-bit integer hash.
+  *
+  * Every step is mirrored exactly in generated DuckDB SQL, so even the LSH
+  * candidate sets are oracle-checked, not just "rows > 0".
+  */
+object NearDup {
+  /** Word-shingle width. */
+  val ShingleN = 3
+  /** MinHash signature length = Bands × RowsPerBand. */
+  val Bands = 4
+  val RowsPerBand = 3
+  val NumHashes: Int = Bands * RowsPerBand
+  /** Verified-Jaccard near-dup threshold. */
+  val JaccardThreshold = 0.8
+  /** SimHash banding: 16 hex nibbles = 64 bits, 4 quarters of 4 nibbles.
+    * Any pair with Hamming distance ≤ MaxHamming (= quarters-1) shares at
+    * least one identical quarter (pigeonhole), so the banded join finds
+    * exactly the same pairs as an all-pairs scan — which is what the oracle
+    * SQL does.
+    */
+  val SimHashNibbles = 16
+  val SimHashQuarters = 4
+  val MaxHamming: Int = SimHashQuarters - 1
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** doc_id + distinct word-shingle set. */
+  def shingled(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      wordShingles(tokens(col("text")), ShingleN).as("shingles"))
+
+  private val shingledSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(toks) >= $ShingleN
+       |    THEN list_distinct(list_transform(generate_series(1, len(toks)-${ShingleN - 1}),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [] END AS shingles
+       |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)""".stripMargin
+
+  /** MinHash signature: K independent min-over-md5 aggregates of the
+    * exploded shingle stream (partial-agg friendly: min combines map-side).
+    */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val exploded = shingled(documents)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(seededMd5(i, col("shingle"))).as(s"mh_$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band_idx, band_key) — band key = md5 of the band's signature
+    * slice. The LSH bucketing relation.
+    */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val slice = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws("|", slice: _*)).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+  }
+
+  /** Candidate pairs: docs sharing any LSH band bucket (doc_a < doc_b). */
+  def lshCandidates(documents: DataFrame): DataFrame = {
+    val bands = lshBands(minhashSignatures(documents))
+    val a = bands.toDF("doc_a", "band_idx", "band_key")
+    val b = bands.toDF("doc_b", "band_idx_b", "band_key_b")
+    a.join(b,
+        a("band_idx") === b("band_idx_b") && a("band_key") === b("band_key_b") &&
+          a("doc_a") < b("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified with exact shingle-set
+    * Jaccard ≥ threshold.
+    */
+  def minhashNearDups(documents: DataFrame): DataFrame = {
+    val sh = shingled(documents)
+    val shA = sh.toDF("doc_a_s", "shingles_a")
+    val shB = sh.toDF("doc_b_s", "shingles_b")
+    lshCandidates(documents)
+      .join(shA, col("doc_a") === col("doc_a_s"))
+      .join(shB, col("doc_b") === col("doc_b_s"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("double") /
+          size(array_union(col("shingles_a"), col("shingles_b")))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def minhashNearDupsSql: String = {
+    val minExprs = (0 until NumHashes).map(i =>
+      s"min(${seededMd5Sql(i, "shingle")}) AS mh_$i").mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val slice = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band_idx, md5(${slice.mkString(" || '|' || ")}) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS ($shingledSql),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
+       |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+       |      / len(list_distinct(x.shingles || y.shingles)) AS jaccard
+       |  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+       |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over the token stream as a 16-nibble hex string: for
+    * each of 64 bit positions, the bit is 1 iff at least half the tokens'
+    * md5 hashes have that bit set. Computed as one explode + 64 conditional
+    * sums (map-side combined), then assembled per-row.
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val toksDf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums: Seq[Column] = (1 to SimHashNibbles).flatMap { p =>
+      val nib = hexNibble(col("h"), p)
+      (0 until 4).map(bit =>
+        sum(shiftright(nib, bit).bitwiseAND(lit(1))).as(s"ones_${p}_$bit"))
+    }
+    val agged = toksDf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sums: _*)
+    val nibbleChars: Seq[Column] = (1 to SimHashNibbles).map { p =>
+      val nibVal = (0 until 4)
+        .map(bit =>
+          when(col(s"ones_${p}_$bit") * 2 >= col("n_toks"), lit(1 << bit)).otherwise(lit(0)))
+        .reduce(_ + _)
+      substr(lit("0123456789abcdef"), lit(1) + nibVal, lit(1))
+    }
+    agged.select(col("doc_id"), concat(nibbleChars: _*).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: banded join on the 4 hex-quarter keys, then
+    * exact Hamming distance ≤ MaxHamming. Equivalent to all-pairs search by
+    * the pigeonhole guarantee (see class doc) — the oracle does all-pairs.
+    */
+  def simhashNearDups(documents: DataFrame): DataFrame = {
+    val sh = simhash(documents)
+    val quarters = (0 until SimHashQuarters).map(q =>
+      struct(lit(q).as("q_idx"), substring(col("simhash"), q * 4 + 1, 4).as("q_key")))
+    val banded = sh
+      .select(col("doc_id"), col("simhash"), explode(array(quarters: _*)).as("q"))
+      .select(col("doc_id"), col("simhash"), col("q.q_idx"), col("q.q_key"))
+    val a = banded.toDF("doc_a", "simhash_a", "q_idx", "q_key")
+    val b = banded.toDF("doc_b", "simhash_b", "q_idx_b", "q_key_b")
+    val hamming: Column = (1 to SimHashNibbles)
+      .map { p =>
+        bit_count(hexNibble(col("simhash_a"), p)
+          .bitwiseXOR(hexNibble(col("simhash_b"), p)))
+      }
+      .reduce(_ + _)
+    a.join(b,
+        a("q_idx") === b("q_idx_b") && a("q_key") === b("q_key_b") &&
+          a("doc_a") < b("doc_b"))
+      .select("doc_a", "doc_b", "simhash_a", "simhash_b").distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= MaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashNearDupsSql: String = {
+    val sumExprs = (1 to SimHashNibbles).flatMap { p =>
+      val nib = hexNibbleSql("md5(tok)", p)
+      (0 until 4).map(bit =>
+        s"SUM(CAST(($nib // ${1 << bit}) % 2 AS INT)) AS ones_${p}_$bit")
+    }.mkString(",\n    ")
+    val nibbleChars = (1 to SimHashNibbles).map { p =>
+      val nibVal = (0 until 4)
+        .map(bit => s"(CASE WHEN ones_${p}_$bit * 2 >= n_toks THEN ${1 << bit} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', 1 + ($nibVal), 1)"
+    }.mkString(" || ")
+    val hamming = (1 to SimHashNibbles).map { p =>
+      s"bit_count(xor(${hexNibbleSql("a.simhash", p)}, ${hexNibbleSql("b.simhash", p)}))"
+    }.mkString(" + ")
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |agged AS (SELECT doc_id, COUNT(*) AS n_toks, $sumExprs FROM ex GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $nibbleChars AS simhash FROM agged)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ($hamming) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE ($hamming) <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

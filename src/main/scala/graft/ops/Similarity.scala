@@ -1,0 +1,179 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`, unit-norm in
+  * the testdata so cosine ≡ dot product).
+  *
+  * Scale design:
+  *  - Brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus once — no corpus self-shuffle; the only shuffle is the tiny
+  *    (query_id-partitioned) top-k window.
+  *  - The scale path is hyperplane LSH: a deterministic ±1 hyperplane family
+  *    (derived from md5 parity, reproducible in any engine) buckets vectors
+  *    by sign signature; candidate search touches only same-bucket vectors.
+  *    At 100 TB you'd repartition by bucket and the all-pairs term drops
+  *    from O(n²) to O(Σ bucket²).
+  *  - Dot products sum per-element decimal-cast products, so results are
+  *    order-independent and bit-identical in Spark and DuckDB.
+  */
+object Similarity {
+  /** Decimal type for exact, order-independent dot-product accumulation. */
+  val DotDecimal = "decimal(28,12)"
+  val DotDecimalSql = "DECIMAL(28,12)"
+
+  /** Embedding dimensionality of the testdata corpus. */
+  val Dim = 64
+
+  /** Hyperplane count → 2^Planes LSH buckets. */
+  val Planes = 4
+
+  /** Near-duplicate cosine threshold. */
+  val CosineThreshold = 0.45
+
+  /** Deterministic ±1 hyperplane coefficients: sign = parity of the first
+    * md5 byte of "plane_j|d". Public-knowledge construction (sign random
+    * projections, Charikar 2002), reproducible anywhere md5 exists.
+    */
+  lazy val planeSigns: Seq[Seq[Int]] = {
+    (0 until Planes).map { j =>
+      (0 until Dim).map { d =>
+        val dig = MessageDigest.getInstance("MD5").digest(s"plane_$j|$d".getBytes("UTF-8"))
+        if ((dig(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Exact decimal dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DotDecimal)),
+      lit(0).cast(DotDecimal),
+      (acc, x) => (acc + x).cast(DotDecimal)).cast("double")
+
+  def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS $DotDecimalSql))) AS DOUBLE)"
+
+  /** All near-duplicate pairs with cosine ≥ threshold (vec_a < vec_b).
+    * O(n²) verification stage — at scale, run it per LSH bucket instead
+    * ([[lshBucketedTopK]] shows the bucketed shape).
+    */
+  def embeddingNearDups(embeddings: DataFrame): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), dot(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= CosineThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def embeddingNearDupsSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${dotSql("a.embedding", "b.embedding")} AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} >= $CosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest corpus vectors. The query side is broadcast, so the
+    * corpus is scanned exactly once with no self-shuffle.
+    */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val queries = embeddings
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val scored = embeddings
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("query_emb"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def bruteForceTopKSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "e.embedding")} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS INT) AS rank
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** LSH bucket assignment: sign-bit signature over the hyperplane family,
+    * as a string of '0'/'1'. Bit j = 1 iff Σ_d emb[d]·sign_{j,d} ≥ 0 (exact
+    * decimal sum → the boundary case is engine-independent).
+    */
+  /** The bucket signature as a Column over an `embedding` column. */
+  def bucketCol(emb: Column): Column = {
+    val bits: Seq[Column] = planeSigns.map { signs =>
+      val planeArr = array(signs.map(s => lit(s)): _*)
+      val d = aggregate(
+        zip_with(emb, planeArr,
+          (x, s) => (x.cast("double") * s.cast("double")).cast(DotDecimal)),
+        lit(0).cast(DotDecimal),
+        (acc, x) => (acc + x).cast(DotDecimal))
+      when(d >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  def lshBuckets(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("label"), bucketCol(col("embedding")).as("bucket"))
+      .orderBy("vec_id")
+
+  def lshBucketsSql: String = {
+    val bitExprs = planeSigns.map { signs =>
+      val arr = signs.mkString("[", ",", "]")
+      val d = s"list_sum(list_transform(list_zip(embedding, $arr), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS $DotDecimalSql)))"
+      s"(CASE WHEN $d >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"SELECT vec_id, label, $bitExprs AS bucket FROM embeddings ORDER BY vec_id"
+  }
+
+  /** Approximate top-k: each vector searches only its own LSH bucket.
+    * The join is an equi-join on bucket — at scale this is the same-bucket
+    * co-partitioned search that replaces the O(n²) scan.
+    */
+  def lshBucketedTopK(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val withB = embeddings.select(col("vec_id"), col("embedding"),
+      bucketCol(col("embedding")).as("bucket"))
+    val a = withB.select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),
+      col("bucket").as("bucket_a"))
+    val b = withB.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"),
+      col("bucket").as("bucket_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, col("bucket_a") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("query_emb"), col("emb_b")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def lshBucketedTopKSql(k: Int = 3): String = {
+    val bitExprs = planeSigns.map { signs =>
+      val arr = signs.mkString("[", ",", "]")
+      val d = s"list_sum(list_transform(list_zip(embedding, $arr), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS $DotDecimalSql)))"
+      s"(CASE WHEN $d >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH bk AS (SELECT vec_id, embedding, $bitExprs AS bucket FROM embeddings)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("a.embedding", "b.embedding")} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${dotSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rank
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text analysis for a large-scale training-data pipeline: token counting,
+  * quality scoring, language identification and content fingerprinting over
+  * the `documents` table.
+  *
+  * All ops are single-pass, per-row Column expressions (no shuffle at all —
+  * they scale linearly with input splits and stay in whole-stage codegen),
+  * and every formula is mirrored exactly in ANSI SQL for the DuckDB oracle.
+  * Ratios divide exact integer counts, so doubles are bit-identical across
+  * engines.
+  */
+object TextAnalysis {
+
+  /** Stopword list used for quality scoring (English function words —
+    * public-knowledge list, kept tiny on purpose).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** Marker lexicons for the n-gram/marker-word language-ID heuristic.
+    * Order matters: ties break toward the earlier entry (then 'und').
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+  )
+
+  private def toksCol: Column = tokens(col("text"))
+
+  /** Token statistics: counts, distinct counts, average token length.
+    * avg_token_len divides two exact ints — deterministic double.
+    */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(toksCol).as("n_tokens"),
+        size(array_distinct(toksCol)).as("n_distinct_tokens"),
+        (aggregate(transform(toksCol, t => length(t)), lit(0), (acc, x) => acc + x)
+          .cast("double") / size(toksCol)).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  def tokenStatsSql: String =
+    """SELECT doc_id, n_chars,
+      |  len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct_tokens,
+      |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len
+      |FROM (SELECT doc_id, n_chars, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Heuristic quality score in [0,1]:
+    * 0.4·length-score (chars/500 capped at 1) +
+    * 0.3·lexical diversity (distinct/total tokens) +
+    * 0.3·stopword sanity (1 if stopword ratio in [0.05,0.6] else 0).
+    * Mirrors what public corpus-quality filters (C4-style) compute, with
+    * deterministic arithmetic only.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = toksCol
+    val nTok = size(toks)
+    val stopRatio =
+      size(filter(toks, t => t.isInCollection(Stopwords))).cast("double") / nTok
+    val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopOk = when(stopRatio >= 0.05 && stopRatio <= 0.6, 1.0).otherwise(0.0)
+    documents
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        stopRatio.as("stopword_ratio"),
+        diversity.as("lexical_diversity"),
+        lenScore.as("length_score"),
+        (lenScore * 0.4 + diversity * 0.3 + stopOk * 0.3).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  def qualityScoreSql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""SELECT doc_id, n_tokens, stopword_ratio, lexical_diversity, length_score,
+       |  (length_score * 0.4 + lexical_diversity * 0.3 + stop_ok * 0.3) AS quality_score
+       |FROM (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks) AS stopword_ratio,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS lexical_diversity,
+       |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS length_score,
+       |    CASE WHEN (CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks)) BETWEEN 0.05 AND 0.6
+       |         THEN 1.0 ELSE 0.0 END AS stop_ok
+       |  FROM (SELECT doc_id, n_chars, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker-word language ID: count marker-lexicon hits per language over
+    * the token stream; argmax wins, ties break by lexicon order, zero hits →
+    * "und" (undetermined). Pure per-row expressions.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val toks = toksCol
+    val scored = LangMarkers.foldLeft(documents.select(col("doc_id"), toks.as("toks"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(col("toks"), t => t.isInCollection(markers))))
+    }
+    val best = LangMarkers.map { case (l, _) => col(s"score_$l") }
+    val maxScore = greatest(best: _*)
+    val pick = LangMarkers.foldRight(lit("und")) { case ((lang, _), onElse) =>
+      when(maxScore > 0 && col(s"score_$lang") === maxScore, lit(lang)).otherwise(onElse)
+    }
+    // foldRight builds when(en).when(de)... so earlier lexicons win ties
+    scored
+      .select(
+        (col("doc_id") +: LangMarkers.map { case (l, _) => col(s"score_$l") }
+          :+ pick.as("detected_lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  def languageIdSql: String = {
+    val scoreExprs = LangMarkers.map { case (lang, markers) =>
+      val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+      s"len(list_filter(toks, t -> list_contains($lst, t))) AS score_$lang"
+    }.mkString(",\n    ")
+    val names = LangMarkers.map { case (l, _) => s"score_$l" }
+    val maxExpr = s"greatest(${names.mkString(", ")})"
+    val caseArms = LangMarkers.map { case (lang, _) =>
+      s"WHEN $maxExpr > 0 AND score_$lang = $maxExpr THEN '$lang'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, ${names.mkString(", ")},
+       |  CASE
+       |    $caseArms
+       |    ELSE 'und' END AS detected_lang
+       |FROM (
+       |  SELECT doc_id, $scoreExprs
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key — plus a 64-bit token-sequence fingerprint built
+    * from per-token md5 nibbles folded with XOR+rotate (a rolling-hash
+    * shape), all with built-in expressions.
+    */
+  def fingerprints(documents: DataFrame): DataFrame = {
+    val norm = concat_ws(" ", tokens(col("text")))
+    // fold: acc = (acc * 31 + nibble16(token)) mod 2^31-1, over first-16-hex
+    // nibble sums per token; expressible identically in DuckDB.
+    val tokHash = transform(tokens(col("text")),
+      t => (instr(lit("0123456789abcdef"), substring(md5(t), 1, 1)) - 1) +
+        (instr(lit("0123456789abcdef"), substring(md5(t), 2, 1)) - 1) * 16)
+    val rolling = aggregate(tokHash, lit(0L),
+      (acc, h) => pmod(acc * 31 + h.cast("long"), lit(2147483647L)))
+    documents
+      .select(
+        col("doc_id"),
+        md5(norm).as("content_md5"),
+        rolling.as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  def fingerprintsSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(toks, ' ')) AS content_md5,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t ->
+      |      CAST((strpos('0123456789abcdef', substr(md5(t),1,1)) - 1)
+      |         + (strpos('0123456789abcdef', substr(md5(t),2,1)) - 1) * 16 AS BIGINT))),
+      |    (acc, h) -> ((acc * 31 + h) % 2147483647 + 2147483647) % 2147483647) AS rolling_fp
+      |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+}
