@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Enrichment stage: timestamp parsing/time-parts, normalization,
@@ -34,7 +34,14 @@ object Enrich {
     */
   val SessionBucketSec = 1800
 
+  /** Batch/oracle form: "now" pinned to the deterministic anchor. */
   def enriched(df: DataFrame): DataFrame =
+    enrichedAt(df, lit(AnchorTs).cast("timestamp"))
+
+  /** Streaming form: pass `current_timestamp()` (or any Column) as "now"
+    * for the late-arrival comparison (reference `:207-210`).
+    */
+  def enrichedAt(df: DataFrame, now: Column): DataFrame =
     df.withColumn("event_type", lower(trim(col("event_type"))))
       .withColumn("quantity", coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0)))
       .withColumn(
@@ -48,7 +55,7 @@ object Enrich {
       .withColumn("event_dayofweek", dayofweek(col("ts")))
       .withColumn(
         "is_late_arrival",
-        col("ts") < lit(AnchorTs).cast("timestamp") - expr(s"INTERVAL $LateMinutes MINUTES"))
+        col("ts") < now - expr(s"INTERVAL $LateMinutes MINUTES"))
       .withColumn(
         "session_id",
         concat(col("user_id").cast("string"), lit("-"),

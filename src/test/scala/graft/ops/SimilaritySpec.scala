@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("dot product matches hand computation exactly") {
+    val df = emb((1L, Seq(1.0f, 0.0f, 0.5f), 0), (2L, Seq(0.5f, 1.0f, 1.0f), 0))
+    val a = df.filter($"vec_id" === 1L).select($"embedding".as("ea"))
+    val b = df.filter($"vec_id" === 2L).select($"embedding".as("eb"))
+    val got = a.crossJoin(b)
+      .select(Similarity.dot($"ea", $"eb").as("d")).as[Double].collect()(0)
+    assert(got == 1.0) // 1*0.5 + 0*1 + 0.5*1
+  }
+
+  test("embeddingNearDups finds only pairs over the threshold") {
+    val df = emb(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0), // cosine 1 with vec 1
+      (3L, Seq(0.0f, 1.0f), 0)) // orthogonal
+    val pairs = Similarity.embeddingNearDups(df)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force top-k ranks by cosine desc with vec_id tie-break") {
+    val df = emb(
+      (0L, Seq(1.0f, 0.0f), 0), // query
+      (10L, Seq(1.0f, 0.0f), 0), // cosine 1
+      (11L, Seq(0.8f, 0.6f), 0), // cosine .8
+      (12L, Seq(0.0f, 1.0f), 0)) // cosine 0
+    val got = Similarity.bruteForceTopK(df, nQueries = 1, k = 2)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.toSeq == Seq(10L, 11L))
+  }
+
+  test("lsh buckets are deterministic and bucketed top-k only pairs within a bucket") {
+    val df = emb(
+      (1L, Seq.fill(64)(0.1f), 0),
+      (2L, Seq.fill(64)(0.1f), 0),
+      (3L, Seq.fill(64)(-0.1f), 1))
+    val buckets = Similarity.lshBuckets(df)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket")).toMap
+    assert(buckets(1L) == buckets(2L))
+    assert(buckets(1L) != buckets(3L)) // opposite vectors flip every sign bit
+    val topk = Similarity.lshBucketedTopK(df, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(topk.toSet == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("plane signs are ±1 and stable across invocations") {
+    val p = Similarity.planeSigns
+    assert(p.size == Similarity.Planes && p.forall(_.size == Similarity.Dim))
+    assert(p.flatten.forall(s => s == 1 || s == -1))
+    assert(p == Similarity.planeSigns)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Specs for the training-data text ops: analysis, MinHash/SimHash/embedding
+  * near-dup, similarity search. Uses small planted corpora with known
+  * answers.
+  */
+class TextNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("token stats count whitespace tokens and distincts") {
+    val df = docs((1L, "a b b c"), (2L, "hello"))
+    val got = TextAnalysis.tokenStats(df)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_distinct_tokens")))).toMap
+    assert(got(1L) == ((4, 3)) && got(2L) == ((1, 1)))
+  }
+
+  test("quality score is in [0,1] and rewards diversity + stopwords") {
+    val good = "the quick brown fox jumps over a lazy dog near the riverbank today"
+    val bad = "spam spam spam spam spam spam spam spam"
+    val df = docs((1L, good), (2L, bad))
+    val s = TextAnalysis.qualityScore(df)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(s.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s(1L) > s(2L))
+  }
+
+  test("language ID picks the lexicon with most marker hits, und when none") {
+    val df = docs(
+      (1L, "the cat and the dog of it is in that house"),
+      (2L, "der hund und die katze ist nicht zu haus"),
+      (3L, "zzz qqq www"))
+    val got = TextAnalysis.languageId(df)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("detected_lang")).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("fingerprints: identical normalized text → identical md5 + rolling fp") {
+    val df = docs((1L, "  Hello   World "), (2L, "hello world"), (3L, "hello worlds"))
+    val rows = TextAnalysis.fingerprints(df).collect()
+    val md5s = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("content_md5")).toMap
+    val fps = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rolling_fp")).toMap
+    assert(md5s(1L) == md5s(2L) && md5s(2L) != md5s(3L))
+    assert(fps(1L) == fps(2L) && fps(2L) != fps(3L))
+  }
+
+  test("minhash near-dup finds a planted near-duplicate pair and skips unrelated") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    val df = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = NearDup.minhashNearDups(df)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash of identical token streams is identical; near-dups found") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = docs((1L, base), (2L, base), (3L, (200 to 240).map(i => s"q$i").mkString(" ")))
+    val sh = NearDup.simhash(df)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L).length == 16)
+    val pairs = NearDup.simhashNearDups(df)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 3L))
+  }
+
+  test("shingles of short documents are empty, not an error") {
+    val df = docs((1L, "one two"))
+    assert(NearDup.minhashNearDups(df).count() == 0)
+  }
+}
