@@ -59,8 +59,11 @@ object NearDup {
   /** MinHash signature: K independent min-over-md5 aggregates of the
     * exploded shingle stream (partial-agg friendly: min combines map-side).
     */
-  def minhashSignatures(documents: DataFrame): DataFrame = {
-    val exploded = shingled(documents)
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    signaturesFrom(shingled(documents))
+
+  private[ops] def signaturesFrom(sh: DataFrame): DataFrame = {
+    val exploded = sh
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val aggs = (0 until NumHashes).map(i =>
@@ -81,8 +84,11 @@ object NearDup {
   }
 
   /** Candidate pairs: docs sharing any LSH band bucket (doc_a < doc_b). */
-  def lshCandidates(documents: DataFrame): DataFrame = {
-    val bands = lshBands(minhashSignatures(documents))
+  def lshCandidates(documents: DataFrame): DataFrame =
+    lshCandidatesFrom(shingled(documents))
+
+  private[ops] def lshCandidatesFrom(sh: DataFrame): DataFrame = {
+    val bands = lshBands(signaturesFrom(sh))
     val a = bands.toDF("doc_a", "band_idx", "band_key")
     val b = bands.toDF("doc_b", "band_idx_b", "band_key_b")
     a.join(b,
@@ -95,10 +101,13 @@ object NearDup {
     * Jaccard ≥ threshold.
     */
   def minhashNearDups(documents: DataFrame): DataFrame = {
-    val sh = shingled(documents)
+    // The shingle relation feeds three consumers (signature explode + both
+    // sides of the verification join) — cache it so the tokenize+shingle
+    // scan runs once, not three times. Small: one row per doc.
+    val sh = shingled(documents).cache()
     val shA = sh.toDF("doc_a_s", "shingles_a")
     val shB = sh.toDF("doc_b_s", "shingles_b")
-    lshCandidates(documents)
+    lshCandidatesFrom(sh)
       .join(shA, col("doc_a") === col("doc_a_s"))
       .join(shB, col("doc_b") === col("doc_b_s"))
       .select(col("doc_a"), col("doc_b"),

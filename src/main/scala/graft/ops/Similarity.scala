@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.QuantizedDot.{cosineQ6, cosineQ6Sql}
+
 /** Similarity search over an embedding column (`Array[Float]`, unit-norm in
   * the testdata so cosine ≡ dot product).
   *
@@ -18,13 +20,11 @@ import org.apache.spark.sql.functions._
   *    by sign signature; candidate search touches only same-bucket vectors.
   *    At 100 TB you'd repartition by bucket and the all-pairs term drops
   *    from O(n²) to O(Σ bucket²).
-  *  - Dot products sum per-element decimal-cast products, so results are
-  *    order-independent and bit-identical in Spark and DuckDB.
+  *  - Dot products use [[graft.functions.QuantizedDot]] — a codegen'd
+  *    fixed-point expression whose exact integer sums are order-independent
+  *    and bit-identical in Spark and DuckDB.
   */
 object Similarity {
-  /** Decimal type for exact, order-independent dot-product accumulation. */
-  val DotDecimal = "decimal(28,12)"
-  val DotDecimalSql = "DECIMAL(28,12)"
 
   /** Embedding dimensionality of the testdata corpus. */
   val Dim = 64
@@ -48,15 +48,12 @@ object Similarity {
     }
   }
 
-  /** Exact decimal dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DotDecimal)),
-      lit(0).cast(DotDecimal),
-      (acc, x) => (acc + x).cast(DotDecimal)).cast("double")
+  /** Quantized cosine (fixed-point exact dot / 1e12) — a native codegen
+    * expression, bit-identical across engines ([[graft.functions.QuantizedDot]]).
+    */
+  def dot(a: Column, b: Column): Column = cosineQ6(a, b)
 
-  def dotSql(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS $DotDecimalSql))) AS DOUBLE)"
+  def dotSql(a: String, b: String): String = cosineQ6Sql(a, b)
 
   /** All near-duplicate pairs with cosine ≥ threshold (vec_a < vec_b).
     * O(n²) verification stage — at scale, run it per LSH bucket instead
@@ -108,20 +105,14 @@ object Similarity {
        |  WHERE q.vec_id < $nQueries)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** LSH bucket assignment: sign-bit signature over the hyperplane family,
-    * as a string of '0'/'1'. Bit j = 1 iff Σ_d emb[d]·sign_{j,d} ≥ 0 (exact
-    * decimal sum → the boundary case is engine-independent).
+  /** The bucket signature as a Column over an `embedding` column: bit j is
+    * the sign of the quantized dot with plane j (planes are ±1 vectors, so
+    * their quantization is exact: ±1e6).
     */
-  /** The bucket signature as a Column over an `embedding` column. */
   def bucketCol(emb: Column): Column = {
     val bits: Seq[Column] = planeSigns.map { signs =>
-      val planeArr = array(signs.map(s => lit(s)): _*)
-      val d = aggregate(
-        zip_with(emb, planeArr,
-          (x, s) => (x.cast("double") * s.cast("double")).cast(DotDecimal)),
-        lit(0).cast(DotDecimal),
-        (acc, x) => (acc + x).cast(DotDecimal))
-      when(d >= 0, lit("1")).otherwise(lit("0"))
+      val planeArr = array(signs.map(s => lit(s.toFloat)): _*)
+      when(graft.functions.QuantizedDot.dotq6(emb, planeArr) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
@@ -134,7 +125,7 @@ object Similarity {
   def lshBucketsSql: String = {
     val bitExprs = planeSigns.map { signs =>
       val arr = signs.mkString("[", ",", "]")
-      val d = s"list_sum(list_transform(list_zip(embedding, $arr), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS $DotDecimalSql)))"
+      val d = graft.functions.QuantizedDot.dotq6Sql("embedding", arr)
       s"(CASE WHEN $d >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
     s"SELECT vec_id, label, $bitExprs AS bucket FROM embeddings ORDER BY vec_id"
@@ -164,7 +155,7 @@ object Similarity {
   def lshBucketedTopKSql(k: Int = 3): String = {
     val bitExprs = planeSigns.map { signs =>
       val arr = signs.mkString("[", ",", "]")
-      val d = s"list_sum(list_transform(list_zip(embedding, $arr), x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS $DotDecimalSql)))"
+      val d = graft.functions.QuantizedDot.dotq6Sql("embedding", arr)
       s"(CASE WHEN $d >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
     s"""WITH bk AS (SELECT vec_id, embedding, $bitExprs AS bucket FROM embeddings)
