@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Dedup, Enrich, NearDup, Quality, Similarity, TextAnalysis, Validate}
+import graft.ops.{Analytics, Dedup, Enrich, Multimodal, NearDup, Quality, Similarity, TextAnalysis, Validate}
 import graft.schema.Registry
 import graft.sources.Tables
 
@@ -108,6 +108,16 @@ object SparkEntry {
     "q28_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir))),
     // similarity search: LSH-bucketed approximate top-k (the scale path)
     "q29_ann_lsh_topk" -> ((s, dir) => Similarity.lshBucketedTopK(Tables.embeddings(s, dir))),
+    // multimodal: binary payload + metadata → partition-local feature
+    // extraction (decode stubbed); oracle checks the metadata projection
+    "q30_media_meta" -> ((s, dir) => Multimodal.mediaFeaturesMeta(Tables.documents(s, dir))),
+    // multimodal: video frame sampling (offsets only, payload never copied)
+    "q31_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
+    // near-dup: exact n-gram Jaccard via inverted-index equi-join
+    "q32_ngram_jaccard" -> ((s, dir) => NearDup.ngramJaccardPairs(Tables.documents(s, dir))),
+    // R1+F9 — migration with reference null-defaults applied
+    "q33_migrate_defaults" -> ((s, dir) =>
+      Enrich.withNullDefaults(Registry.migrate(ev(s, dir), "v1", "v2")).orderBy("event_id")),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -279,5 +289,18 @@ object SparkEntry {
     "q27_ann_bruteforce" -> Similarity.bruteForceTopKSql(),
     "q28_lsh_buckets" -> Similarity.lshBucketsSql,
     "q29_ann_lsh_topk" -> Similarity.lshBucketedTopKSql(),
+    "q30_media_meta" -> Multimodal.mediaFeaturesMetaSql,
+    "q31_frame_sample" -> Multimodal.frameSampleSql,
+    "q32_ngram_jaccard" -> NearDup.ngramJaccardPairsSql(),
+    "q33_migrate_defaults" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  'unknown' AS session_id,
+         |  'unknown' AS category,
+         |  CAST(NULL AS INTEGER) AS quantity,
+         |  'unknown' AS user_segment,
+         |  '' AS search_query,
+         |  'unknown' AS source_system,
+         |  'v2' AS schema_version
+         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

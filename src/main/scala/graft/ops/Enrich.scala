@@ -62,6 +62,23 @@ object Enrich {
           floor(unix_timestamp(col("ts")) / SessionBucketSec).cast("long").cast("string")))
       .withColumn("props_clean", regexp_replace(col("props"), "[^\\w\\s]", ""))
 
+  /** F9 — null-defaulting of the enrichment columns the reference fills
+    * (`spark_streaming_to_postgres.py:213-231`): coalesce to semantic
+    * defaults. Applied post-migration so registry-added nulls become the
+    * reference's defaults.
+    */
+  val NullDefaults: Map[String, String] = Map(
+    "category" -> "unknown",
+    "user_segment" -> "unknown",
+    "search_query" -> "",
+    "session_id" -> "unknown",
+    "source_system" -> "unknown")
+
+  def withNullDefaults(df: DataFrame): DataFrame =
+    NullDefaults.foldLeft(df) { case (acc, (c, d)) =>
+      if (acc.columns.contains(c)) acc.withColumn(c, coalesce(col(c), lit(d))) else acc
+    }
+
   /** Nondeterministic lineage columns — kept out of oracle-checked
     * projections (reference `:164-170`).
     */

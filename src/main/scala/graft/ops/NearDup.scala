@@ -140,6 +140,55 @@ object NearDup {
        |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Exact n-gram Jaccard over all overlapping pairs via an inverted-index
+    * equi-join (NOT a cross join): explode shingles, join on the shingle,
+    * count shared shingles per pair, then jaccard = |∩| / (|A|+|B|-|∩|).
+    * Only pairs sharing ≥1 shingle are produced, which is exactly the
+    * support of jaccard > 0 — so the all-pairs oracle agrees. At corpus
+    * scale, drop stop-shingles (document frequency caps) before the join to
+    * bound the hottest posting lists.
+    */
+  def ngramJaccardPairs(
+      documents: DataFrame, n: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), wordShingles(tokens(col("text")), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .cache()
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val inter = ex.toDF("doc_a", "shingle")
+      .join(ex.toDF("doc_b", "shingle_b"),
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("doc_a_k", "n_a"), col("doc_a") === col("doc_a_k"))
+      .join(sizes.toDF("doc_b_k", "n_b"), col("doc_b") === col("doc_b_k"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardPairsSql(n: Int = 2, minJaccard: Double = 0.5): String = {
+    val gram = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $n
+       |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
+       |      ELSE [] END AS shingles
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |    / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+       |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |    / len(list_distinct(a.shingles || b.shingles)) >= $minJaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over the token stream as a 16-nibble hex string: for

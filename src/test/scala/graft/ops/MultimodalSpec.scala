@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("media table derives kind/format/dims deterministically, payload = utf8 bytes") {
+    val df = Multimodal.mediaFromDocuments(docs((0L, "aaa"), (1L, "bbbb"), (2L, "cc")))
+    val rows = df.collect().map(r => r.getAs[Long]("media_id") ->
+      ((r.getAs[String]("kind"), r.getAs[String]("format"), r.getAs[Array[Byte]]("content").length))).toMap
+    assert(rows(0L) == (("image", "png", 3)))
+    assert(rows(1L) == (("audio", "wav", 4)))
+    assert(rows(2L) == (("video", "mp4", 2)))
+  }
+
+  test("feature extraction: n_bytes, mean_byte, normalized histogram") {
+    val media = Multimodal.asMedia(Multimodal.mediaFromDocuments(docs((0L, "ab"))))
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    assert(f.n_bytes == 2)
+    assert(f.mean_byte == ('a'.toInt + 'b'.toInt) / 2.0)
+    assert(math.abs(f.byte_histogram.sum - 1.0) < 1e-12)
+    // 'a'=97,'b'=98 both land in bin 97*16/256 = 6
+    assert(f.byte_histogram(6) == 1.0)
+  }
+
+  test("per-partition histogram buffer does not leak across rows") {
+    val media = Multimodal.asMedia(
+      Multimodal.mediaFromDocuments(docs((0L, "aa"), (3L, "zz"))).coalesce(1))
+    val fs = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(fs(0L).byte_histogram.sum == 1.0 && fs(3L).byte_histogram.sum == 1.0)
+    assert(fs(0L).byte_histogram(6) == 1.0) // 'a' bin
+    assert(fs(3L).byte_histogram('z'.toInt * 16 / 256) == 1.0)
+  }
+
+  test("resize scales image metadata and strides the payload; non-images untouched") {
+    val big = Multimodal.MediaRow(1L, "image", "png", 640, 480, Array.fill(640)(7.toByte))
+    val vid = Multimodal.MediaRow(2L, "video", "mp4", 640, 480, Array.fill(640)(7.toByte))
+    val out = Multimodal.resize(Seq(big, vid).toDS(), maxDim = 64)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).width == 64 && out(1L).height == 48)
+    assert(out(1L).content.length == 64) // stride 10 over 640 bytes
+    assert(out(2L).width == 640 && out(2L).content.length == 640)
+  }
+
+  test("frame sampling emits every k-th fixed-size frame with a short tail") {
+    // video kind needs doc_id % 3 == 2; 1100 bytes → frames 0..4, sampled 0 and 4
+    val text = "x" * 1100
+    val frames = Multimodal.frameSample(docs((2L, text))).collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 4))
+    assert(frames.map(_.getAs[Int]("frame_len")).toSeq == Seq(256, 1100 - 4 * 256))
+    assert(frames.map(_.getAs[Int]("byte_offset")).toSeq == Seq(0, 1024))
+  }
+}
