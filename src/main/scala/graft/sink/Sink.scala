@@ -39,11 +39,26 @@ object SinkColumns {
 }
 
 final class JdbcSink(config: DatabaseConfig) extends Sink {
-  override def append(df: DataFrame, table: String): Unit = {
-    val props = new java.util.Properties()
-    config.properties.foreach { case (k, v) => props.setProperty(k, v) }
-    df.write.mode(SaveMode.Append).jdbc(config.jdbcUrl, table, props)
+  private def props: java.util.Properties = {
+    val p = new java.util.Properties()
+    config.properties.foreach { case (k, v) => p.setProperty(k, v) }
+    p
   }
+
+  override def append(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).jdbc(config.jdbcUrl, table, props)
+
+  /** S2 — pre-flight connection probe: a subquery-pushdown read of
+    * `(SELECT 1) t` forced with a collect, like the reference's startup
+    * check (`spark_streaming_to_postgres.py:488-500`). Returns the failure
+    * instead of exiting so callers decide the policy.
+    */
+  def probe(spark: org.apache.spark.sql.SparkSession): scala.util.Try[Unit] =
+    scala.util.Try {
+      spark.read.jdbc(config.jdbcUrl, "(SELECT 1 AS test) AS test_query", props)
+        .collect()
+      ()
+    }
 }
 
 final class ParquetSink(baseDir: String) extends Sink {
