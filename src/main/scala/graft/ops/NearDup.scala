@@ -63,8 +63,14 @@ object NearDup {
     signaturesFrom(shingled(documents))
 
   private[ops] def signaturesFrom(sh: DataFrame): DataFrame = {
+    // Repartition by doc_id before the heavy md5×K aggregation: a compact
+    // documents table may arrive in one split, and without this the whole
+    // exploded shingle stream (and its 12 hash computations per row) runs
+    // on a single core. Hash partitioning on the group key also feeds the
+    // aggregation without a second exchange.
     val exploded = sh
       .filter(size(col("shingles")) > 0)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val aggs = (0 until NumHashes).map(i =>
       min(seededMd5(i, col("shingle"))).as(s"mh_$i"))
@@ -144,18 +150,25 @@ object NearDup {
     * equi-join (NOT a cross join): explode shingles, join on the shingle,
     * count shared shingles per pair, then jaccard = |∩| / (|A|+|B|-|∩|).
     * Only pairs sharing ≥1 shingle are produced, which is exactly the
-    * support of jaccard > 0 — so the all-pairs oracle agrees. At corpus
-    * scale, drop stop-shingles (document frequency caps) before the join to
-    * bound the hottest posting lists.
+    * support of jaccard > 0 — so the all-pairs oracle agrees. The shingle
+    * width controls posting-list heat: on this corpus 2-grams concentrate
+    * into ~900 distinct values (Σdf² ≈ 2·10¹⁰ join rows at sf0.1) while
+    * 3-grams spread over 27k (Σdf² ≈ 3·10⁷) — width 3 is the default. At
+    * corpus scale, additionally drop stop-shingles (document-frequency
+    * caps) or use prefix filtering to bound the hottest lists.
     */
   def ngramJaccardPairs(
-      documents: DataFrame, n: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+      documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val sh = documents
       .select(col("doc_id"), wordShingles(tokens(col("text")), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .cache()
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    // Repartition the postings by shingle: parallelizes the posting-list
+    // self-join regardless of how few input splits the corpus scan had,
+    // and co-locates equal keys for it.
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .repartition(col("shingle"))
     val inter = ex.toDF("doc_a", "shingle")
       .join(ex.toDF("doc_b", "shingle_b"),
         col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
@@ -171,7 +184,7 @@ object NearDup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def ngramJaccardPairsSql(n: Int = 2, minJaccard: Double = 0.5): String = {
+  def ngramJaccardPairsSql(n: Int = 3, minJaccard: Double = 0.5): String = {
     val gram = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
     s"""WITH sh AS (
        |  SELECT doc_id,
@@ -198,6 +211,7 @@ object NearDup {
     */
   def simhash(documents: DataFrame): DataFrame = {
     val toksDf = documents
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val sums: Seq[Column] = (1 to SimHashNibbles).flatMap { p =>

@@ -45,16 +45,24 @@ object TextAnalysis {
         size(toksCol).as("n_tokens"),
         size(array_distinct(toksCol)).as("n_distinct_tokens"),
         (aggregate(transform(toksCol, t => length(t)), lit(0), (acc, x) => acc + x)
-          .cast("double") / size(toksCol)).as("avg_token_len"))
+          .cast("double") / size(toksCol)).as("avg_token_len"),
+        regexp_count(lower(col("text")), lit(BpeishPattern)).cast("int").as("n_subtokens"))
       .orderBy("doc_id")
 
+  /** BPE-ish subtoken segmentation (letter runs / single digits / single
+    * punctuation), the shape GPT-style pre-tokenizers use. Restricted to a
+    * regex dialect Java and RE2 interpret identically.
+    */
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
   def tokenStatsSql: String =
-    """SELECT doc_id, n_chars,
-      |  len(toks) AS n_tokens,
-      |  len(list_distinct(toks)) AS n_distinct_tokens,
-      |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len
-      |FROM (SELECT doc_id, n_chars, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, n_chars,
+       |  len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_distinct_tokens,
+       |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len,
+       |  CAST(len(regexp_extract_all(lower(text), '$BpeishPattern')) AS INT) AS n_subtokens
+       |FROM (SELECT doc_id, n_chars, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
 
   /** Heuristic quality score in [0,1]:
     * 0.4·length-score (chars/500 capped at 1) +
