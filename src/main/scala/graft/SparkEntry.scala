@@ -118,6 +118,15 @@ object SparkEntry {
     // R1+F9 — migration with reference null-defaults applied
     "q33_migrate_defaults" -> ((s, dir) =>
       Enrich.withNullDefaults(Registry.migrate(ev(s, dir), "v1", "v2")).orderBy("event_id")),
+    // streaming windowed agg (batch-runnable: watermark is a no-op) —
+    // tumbling 1h window == date_trunc in the oracle
+    "q34_hourly_windowed" -> ((s, dir) =>
+      graft.streaming.WindowedAggs.hourlyWindowed(ev(s, dir))
+        .orderBy("window_start", "event_type")),
+    // sliding-window distinct users (approx sketch — rows-only check)
+    "q35_sliding_activity" -> ((s, dir) =>
+      graft.streaming.WindowedAggs.slidingActivity(ev(s, dir))
+        .orderBy("window_start")),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -292,6 +301,13 @@ object SparkEntry {
     "q30_media_meta" -> Multimodal.mediaFeaturesMetaSql,
     "q31_frame_sample" -> Multimodal.frameSampleSql,
     "q32_ngram_jaccard" -> NearDup.ngramJaccardPairsSql(),
+    "q34_hourly_windowed" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  COUNT(*) AS event_count, ${dsum("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q35 intentionally has no oracle: approx_count_distinct is a sketch
+    // (HLL++) that DuckDB cannot reproduce bit-for-bit; the driver records
+    // the weaker rows-only check for it.
     "q33_migrate_defaults" ->
       s"""SELECT event_id, ts, user_id, event_type, value, props,
          |  'unknown' AS session_id,

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Deterministic.dsum
+
+/** Streaming windowed aggregations and custom sessionization state.
+  *
+  * The reference buckets hours with `DATE_TRUNC` in Postgres views
+  * (`postgres_setup.sql:103,142`) and sessions with a 30-minute epoch
+  * bucket in its generator; on a stream the idiomatic Spark forms are
+  * `window()` grouping under a watermark (state bounded, emitted on
+  * watermark passage in append mode) and
+  * `flatMapGroupsWithState` for gap-based sessions (true session semantics
+  * the reference's fixed buckets only approximate).
+  *
+  * Scale notes: windowed aggregation shuffles once on (window, key) with
+  * map-side partial aggregation; sessionization shuffles once on the user
+  * key and its state store holds one open session per active user —
+  * bounded by the processing-time timeout, not by history length.
+  */
+object WindowedAggs {
+
+  /** Tumbling-window event counts + revenue by type under a watermark.
+    * Works on streaming AND batch frames (batch: watermark is a no-op) —
+    * the batch path makes the same code oracle-testable.
+    */
+  def hourlyWindowed(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("event_count"), col("total_value"))
+
+  /** Sliding-window (1 hour, sliding 15 min) distinct-user activity. */
+  def slidingActivity(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(approx_count_distinct("user_id").as("active_users"),
+        count(lit(1)).as("event_count"))
+      .select(col("w.start").as("window_start"), col("active_users"), col("event_count"))
+
+  // ---------------------------------------------------------------- state
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  final case class SessionState(
+      start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
+
+  final case class SessionOut(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Gap-based sessionization with explicit state: events for a user extend
+    * the open session while they arrive within the gap; a gap — or the
+    * event-time watermark passing lastSeen+gap — closes and emits it. One
+    * state entry per active user. Event-time timeouts are data-driven
+    * (watermark advancement), so there are no wall-clock-dependent empty
+    * micro-batches and results are deterministic.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent], watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= SessionGapMs =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.lastSeen + SessionGapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
