@@ -221,14 +221,20 @@ object NearDup {
     }
     val agged = toksDf.groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sums: _*)
+    def nibVal(p: Int): Column = (0 until 4)
+      .map(bit =>
+        when(col(s"ones_${p}_$bit") * 2 >= col("n_toks"), lit(1 << bit)).otherwise(lit(0)))
+      .reduce(_ + _)
     val nibbleChars: Seq[Column] = (1 to SimHashNibbles).map { p =>
-      val nibVal = (0 until 4)
-        .map(bit =>
-          when(col(s"ones_${p}_$bit") * 2 >= col("n_toks"), lit(1 << bit)).otherwise(lit(0)))
-        .reduce(_ + _)
-      substr(lit("0123456789abcdef"), lit(1) + nibVal, lit(1))
+      substr(lit("0123456789abcdef"), lit(1) + nibVal(p), lit(1))
     }
-    agged.select(col("doc_id"), concat(nibbleChars: _*).as("simhash"))
+    // the same 64 bits packed into a long (shiftleft/OR: pure bit ops, no
+    // ANSI overflow checks) so pair comparison is one xor+popcount
+    val packed: Column = (1 to SimHashNibbles)
+      .map(p => shiftleft(nibVal(p).cast("long"), (SimHashNibbles - p) * 4))
+      .reduce(_.bitwiseOR(_))
+    agged.select(col("doc_id"), concat(nibbleChars: _*).as("simhash"),
+      packed.as("simhash_long"))
   }
 
   /** Near-dup pairs by SimHash: banded join on the 4 hex-quarter keys, then
@@ -240,23 +246,18 @@ object NearDup {
     val quarters = (0 until SimHashQuarters).map(q =>
       struct(lit(q).as("q_idx"), substring(col("simhash"), q * 4 + 1, 4).as("q_key")))
     val banded = sh
-      .select(col("doc_id"), col("simhash"), explode(array(quarters: _*)).as("q"))
-      .select(col("doc_id"), col("simhash"), col("q.q_idx"), col("q.q_key"))
-    val a = banded.toDF("doc_a", "simhash_a", "q_idx", "q_key")
-    val b = banded.toDF("doc_b", "simhash_b", "q_idx_b", "q_key_b")
-    val hamming: Column = (1 to SimHashNibbles)
-      .map { p =>
-        bit_count(hexNibble(col("simhash_a"), p)
-          .bitwiseXOR(hexNibble(col("simhash_b"), p)))
-      }
-      .reduce(_ + _)
+      .select(col("doc_id"), col("simhash_long"), explode(array(quarters: _*)).as("q"))
+      .select(col("doc_id"), col("simhash_long"), col("q.q_idx"), col("q.q_key"))
+    val a = banded.toDF("doc_a", "sl_a", "q_idx", "q_key")
+    val b = banded.toDF("doc_b", "sl_b", "q_idx_b", "q_key_b")
+    // hamming filter BEFORE the distinct: one xor+popcount per candidate
+    // row prunes map-side, so the dedup shuffle only carries survivors
     a.join(b,
         a("q_idx") === b("q_idx_b") && a("q_key") === b("q_key_b") &&
           a("doc_a") < b("doc_b"))
-      .select("doc_a", "doc_b", "simhash_a", "simhash_b").distinct()
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", bit_count(col("sl_a").bitwiseXOR(col("sl_b"))))
       .filter(col("hamming") <= MaxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
       .orderBy("doc_a", "doc_b")
   }
 
