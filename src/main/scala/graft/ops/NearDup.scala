@@ -43,10 +43,16 @@ object NearDup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** doc_id + distinct word-shingle set. */
+  /** doc_id + distinct word-shingle set. Repartitioned by doc_id FIRST: the
+    * tokenize/shingle/distinct lambdas are the expensive per-row work, and a
+    * compact corpus arriving as one parquet split would otherwise compute
+    * (and cache) them on a single core.
+    */
   def shingled(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
-      wordShingles(tokens(col("text")), ShingleN).as("shingles"))
+    documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        wordShingles(tokens(col("text")), ShingleN).as("shingles"))
 
   private val shingledSql: String =
     s"""SELECT doc_id,
@@ -63,14 +69,11 @@ object NearDup {
     signaturesFrom(shingled(documents))
 
   private[ops] def signaturesFrom(sh: DataFrame): DataFrame = {
-    // Repartition by doc_id before the heavy md5×K aggregation: a compact
-    // documents table may arrive in one split, and without this the whole
-    // exploded shingle stream (and its 12 hash computations per row) runs
-    // on a single core. Hash partitioning on the group key also feeds the
-    // aggregation without a second exchange.
+    // sh arrives hash-partitioned by doc_id (see shingled), explode keeps
+    // that layout, and the groupBy(doc_id) aggregation reuses it — the 12
+    // md5 minima run fully parallel with no extra exchange.
     val exploded = sh
       .filter(size(col("shingles")) > 0)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val aggs = (0 until NumHashes).map(i =>
       min(seededMd5(i, col("shingle"))).as(s"mh_$i"))
