@@ -52,7 +52,7 @@ object NearDup {
     documents
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        wordShingles(tokens(col("text")), ShingleN).as("shingles"))
+        graft.functions.ShingleSet.shingles(col("text"), ShingleN).as("shingles"))
 
   private val shingledSql: String =
     s"""SELECT doc_id,
@@ -163,7 +163,8 @@ object NearDup {
   def ngramJaccardPairs(
       documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val sh = documents
-      .select(col("doc_id"), wordShingles(tokens(col("text")), n).as("shingles"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.ShingleSet.shingles(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .cache()
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))

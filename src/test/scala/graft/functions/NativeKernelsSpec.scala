@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions.{tokens, wordShingles}
+
+/** Property tests pinning the native codegen kernels to their declarative
+  * Spark-built-in references: any divergence (tokenization edge, rounding,
+  * distinct order) fails here before it can silently skew a 100 TB run.
+  */
+class NativeKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling in place of the scalatestplus bridge (not in
+    * the offline dependency cache): N samples from fixed seeds.
+    */
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+  private val spacedText = for {
+    ws <- Gen.listOf(word)
+    sep <- Gen.oneOf(" ", "  ", " \t ")
+  } yield ws.mkString(sep)
+
+  test("ShingleSet.compute == declarative shingle pipeline (random texts)") {
+    val texts = samples(spacedText, 200)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select(ShingleSet.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).sorted.toList)
+    val declarative = df.select(wordShingles(tokens(col("text")), 3).as("s"))
+      .collect().map(_.getSeq[String](0).sorted.toList)
+    assert(native.toSeq == declarative.toSeq)
+  }
+
+  test("QuantizedDot == floor reference (random float vectors)") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-2.0f, 2.0f))
+    val pairs = samples(Gen.zip(vec, vec), 100)
+    val df = pairs.toDF("a", "b")
+    val got = df.select(QuantizedDot.dotq6(col("a"), col("b"))).as[Long].collect()
+    val expect = pairs.map { case (a, b) =>
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * 1e6).toLong * math.floor(y.toDouble * 1e6).toLong
+      }.sum
+    }
+    assert(got.toSeq == expect)
+  }
+
+  test("QuantizedDot interpreted eval == codegen result") {
+    // force the interpreted path through a context codegen can't help:
+    // nullSafeEval called directly
+    val a = Array(0.1f, -0.7f, 1.5f)
+    val b = Array(2.0f, 0.3f, -0.25f)
+    val toArrayData = (xs: Array[Float]) =>
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs)
+    val e = QuantizedDot(
+      org.apache.spark.sql.catalyst.expressions.Literal(toArrayData(a),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal(toArrayData(b),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val interpreted = e.eval(null).asInstanceOf[Long]
+    val viaPlan = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(QuantizedDot.dotq6(col("a"), col("b"))).as[Long].collect()(0)
+    assert(interpreted == viaPlan)
+  }
+
+  test("mismatched lengths use the common prefix; empty arrays give 0") {
+    val df = Seq((Seq(1.0f, 1.0f), Seq(1.0f))).toDF("a", "b")
+    assert(df.select(QuantizedDot.dotq6(col("a"), col("b"))).as[Long].collect()(0)
+      == 1000000000000L)
+    val empty = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    assert(empty.select(QuantizedDot.dotq6(col("a"), col("b"))).as[Long].collect()(0) == 0L)
+  }
+}
