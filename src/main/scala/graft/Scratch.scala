@@ -27,15 +27,6 @@ object Scratch {
     time("candidates")(NearDup.lshCandidates(docs).count())
     time("neardups")(NearDup.minhashNearDups(docs).count())
     time("simhash")(NearDup.simhash(docs).count())
-    locally {
-      import org.apache.spark.sql.functions._
-      val sh2 = NearDup.simhash(docs)
-      val q = (0 until 4).map(i => sh2.select(expr(s"substring(simhash, ${i*4+1}, 4)").as("qk"), expr(s"$i").as("qi")))
-        .reduce(_ union _)
-      val heat = q.groupBy("qi", "qk").count()
-        .agg(sum(col("count") * col("count")).as("join_rows"), max("count").as("hottest"), count(lit(1)).as("distinct_keys"))
-      heat.show(false)
-    }
     time("simhash_pairs")(NearDup.simhashNearDups(docs).count())
     spark.stop()
   }

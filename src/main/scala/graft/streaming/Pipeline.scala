@@ -62,12 +62,27 @@ object Pipeline {
     Enrich.enrichedAt(Validate.withValidation(parsed), now)
   }
 
-  /** The deduplicated valid branch: watermark bounds dedup state (D1+D2). */
-  def dedupedValid(enriched: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
-    enriched
+  /** The deduplicated valid branch: watermark bounds dedup state (D1+D2).
+    *
+    * `withinWatermark = true` uses Spark 4's
+    * `dropDuplicatesWithinWatermark` — state for an event_id expires once
+    * the watermark passes its event time + delay, which is the right
+    * semantics when duplicates arrive close together (the reference's
+    * at-least-once file source re-delivery) and keeps state strictly
+    * bounded. The default mirrors the reference's documented
+    * `dropDuplicates` exactly: one state entry per key for as long as the
+    * key's event time is above the watermark.
+    */
+  def dedupedValid(
+      enriched: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      withinWatermark: Boolean = false): DataFrame = {
+    val marked = enriched
       .filter(col("is_valid"))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("event_id")
+    if (withinWatermark) marked.dropDuplicatesWithinWatermark("event_id")
+    else marked.dropDuplicates("event_id")
+  }
 
   /** One micro-batch: quality metrics in one agg pass, valid/dead-letter
     * routing, pinned-column projection, three sink appends

@@ -15,6 +15,7 @@ import graft.util.PipelineMonitor
   * (reference manual plan `docs/test_cases.md` cases 2/6/9).
   */
 class PipelineSpec extends SparkSpec {
+  import spark.implicits._
 
   private def tmpDir(prefix: String): Path = {
     val d = Files.createTempDirectory(prefix)
@@ -93,6 +94,23 @@ class PipelineSpec extends SparkSpec {
     // ts parses to null → row still flows (valid: no ts-null rule), time
     // parts are null; the pipeline must not throw.
     assert(sink.rowCount("ecommerce_events") + sink.rowCount("dead_letter_events") == 1)
+  }
+
+  test("dropDuplicatesWithinWatermark variant dedups re-delivered events") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Pipeline.dedupedValid(
+      Pipeline.transform(events, anchor), withinWatermark = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_ww_out").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-10 10:00:00")
+      mem.addData((1L, t, 7L, "view", 5.0, "{}"), (1L, t, 7L, "view", 5.0, "{}"))
+      out.processAllAvailable()
+      assert(spark.table("dedup_ww_out").count() == 1)
+    } finally out.stop()
   }
 
   test("empty batches are short-circuited") {
