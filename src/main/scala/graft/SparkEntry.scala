@@ -127,6 +127,8 @@ object SparkEntry {
     "q35_sliding_activity" -> ((s, dir) =>
       graft.streaming.WindowedAggs.slidingActivity(ev(s, dir))
         .orderBy("window_start")),
+    // similarity search: IVF coarse-quantizer ANN (centroid routing, nprobe=1)
+    "q36_ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -308,6 +310,7 @@ object SparkEntry {
     // q35 intentionally has no oracle: approx_count_distinct is a sketch
     // (HLL++) that DuckDB cannot reproduce bit-for-bit; the driver records
     // the weaker rows-only check for it.
+    "q36_ann_ivf_topk" -> Similarity.ivfTopKSql(),
     "q33_migrate_defaults" ->
       s"""SELECT event_id, ts, user_id, event_type, value, props,
          |  'unknown' AS session_id,

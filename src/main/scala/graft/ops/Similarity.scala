@@ -152,6 +152,91 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Fixed-point quantization of an embedding (floor(x·1e6) per element) —
+    * the shared representation for centroid math.
+    */
+  private def quantized(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * 1e6).cast("long"))
+
+  /** IVF coarse quantizer: per-cell centroids as exact fixed-point sums.
+    * Cells are seeded from the corpus `label` column (the pre-clustering a
+    * real IVF trains with k-means; the assignment step below is the same
+    * either way). Centroids are k×dim — metadata-sized — and every vector
+    * is assigned to its nearest centroid by quantized dot (ties → lowest
+    * cell id). All integer math → bit-identical in any engine.
+    */
+  def ivfCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label").as("clabel"), posexplode(quantized(col("embedding"))).as(Seq("pos", "qv")))
+      .groupBy("clabel", "pos")
+      .agg(sum("qv").as("s"), count(lit(1)).as("cnt"))
+      .groupBy("clabel")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"),
+        first("cnt").as("n"))
+      .select(col("clabel"), transform(col("ps"), p => p.getField("s")).as("cs"), col("n"))
+
+  /** (vec_id, cell): nearest-centroid assignment. */
+  def ivfCells(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(col("vec_id"), quantized(col("embedding")).as("qv"))
+    val dotd = (aggregate(
+      zip_with(col("qv"), col("cs"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x).cast("double") / col("n"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(dotd.desc, col("clabel"))
+    q.crossJoin(broadcast(ivfCentroids(embeddings)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"))
+  }
+
+  /** IVF approximate top-k: probe only the query's own cell (nprobe=1).
+    * The search join is an equi-join on cell — the same co-partitioned
+    * shape as [[lshBucketedTopK]], with centroids as the router.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val cells = ivfCells(embeddings)
+    val withCell = embeddings.select(col("vec_id"), col("embedding"))
+      .join(cells, "vec_id")
+    val a = withCell.toDF("query_id", "query_emb", "cell_a")
+    val b = withCell.toDF("neighbor_id", "emb_b", "cell_b")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, col("cell_a") === col("cell_b") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("query_emb"), col("emb_b")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfTopKSql(k: Int = 3): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cend AS (
+       |  SELECT label AS clabel, i AS pos, SUM(qv[i]) AS s, COUNT(*) AS n
+       |  FROM (SELECT e.label, q.qv FROM embeddings e JOIN q ON e.vec_id = q.vec_id),
+       |    unnest(generate_series(1, len(qv))) AS t(i)
+       |  GROUP BY 1, 2),
+       |cen AS (SELECT clabel, list(s ORDER BY pos) AS cs, any_value(n) AS n FROM cend GROUP BY clabel),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT q.vec_id, c.clabel AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        (CAST(list_sum(list_transform(list_zip(q.qv, c.cs), x -> x[1]*x[2])) AS DOUBLE) / c.n) DESC,
+       |        c.clabel) AS rn
+       |    FROM q, cen c) WHERE rn = 1),
+       |wc AS (SELECT q.vec_id, q.embedding, a.cell FROM q JOIN assigned a ON q.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("a.embedding", "b.embedding")} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${dotSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rank
+       |  FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   def lshBucketedTopKSql(k: Int = 3): String = {
     val bitExprs = planeSigns.map { signs =>
       val arr = signs.mkString("[", ",", "]")

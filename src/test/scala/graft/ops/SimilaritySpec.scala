@@ -52,6 +52,22 @@ class SimilaritySpec extends SparkSpec {
     assert(topk.toSet == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("ivf assigns vectors to nearest label centroid and searches in-cell") {
+    val df = emb(
+      (1L, Seq(1.0f, 0.0f), 0), // cluster A
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), // cluster B
+      (4L, Seq(0.1f, 0.9f), 1),
+      (5L, Seq(0.95f, 0.05f), 1)) // labeled B but nearest centroid is A
+    val cells = Similarity.ivfCells(df)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(cells(1L) == 0 && cells(2L) == 0 && cells(3L) == 1 && cells(4L) == 1)
+    assert(cells(5L) == 0) // routed by centroid distance, not by its label
+    val topk = Similarity.ivfTopK(df, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(topk(1L) == 5L && topk(3L) == 4L) // 5 re-routed into cell 0 wins
+  }
+
   test("plane signs are ±1 and stable across invocations") {
     val p = Similarity.planeSigns
     assert(p.size == Similarity.Planes && p.forall(_.size == Similarity.Dim))
