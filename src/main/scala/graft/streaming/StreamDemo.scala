@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, StandardCopyOption}
+import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -34,20 +34,14 @@ object StreamDemo {
     val sink = new ParquetSink(out.toString)
     val monitor = new PipelineMonitor(handlers = Seq(new ConsoleAlertHandler))
 
-    val header = "event_id,ts,user_id,event_type,value,props"
-    val types = Seq("view", "click", "purchase", "signup", "error", "bogus")
-    var id = 0L
+    val gen = new graft.datagen.EventGenerator(seed = 42L, anomalyRate = 0.1)
     def drop(batch: Int): Unit = {
-      val lines = (0 until rows).map { i =>
-        id += 1
-        val t = types((i + batch) % types.size)
-        val user = if (i % 17 == 0) "" else (i % 50).toString
-        val dup = if (i % 10 == 0) id - 1 else id // ~10% duplicate ids
-        s"$dup,2024-01-10 10:0${batch % 10}:${"%02d".format(i % 60)},$user,$t,${(i % 40) * 1.5},{}"
+      val events = gen.batch(batch, rows)
+      // ~10% duplicate ids to exercise the dedup stage
+      val withDups = events.zipWithIndex.map { case (e, i) =>
+        if (i % 10 == 0 && i > 0) e.copy(eventId = events(i - 1).eventId) else e
       }
-      val tmp = Files.createTempFile("gen", ".tmp")
-      Files.write(tmp, (header +: lines).mkString("\n").getBytes("UTF-8"))
-      Files.move(tmp, in.resolve(f"batch_$batch%03d.csv"), StandardCopyOption.ATOMIC_MOVE)
+      gen.writeCsvAtomic(in, f"batch_$batch%03d.csv", withDups)
     }
 
     val query = Pipeline.start(spark, in.toString, cp.toString, sink,
