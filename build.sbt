@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage-codegen classes from many queries fill the JIT code cache;
+  // once full, new generated methods run interpreted (observed 4-30x
+  // slowdowns on wide aggregates late in a session).
+  "-XX:ReservedCodeCacheSize=512m",
 )

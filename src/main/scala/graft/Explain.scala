@@ -17,7 +17,7 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => println(s"== $name: unknown query ==")
@@ -30,6 +30,7 @@ object Explain {
           val t0 = System.nanoTime()
           val n = df.count()
           println(f"== $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs ==")
+          if (sys.env.contains("SPARK_GRAFT_CLEARCACHE")) spark.catalog.clearCache()
       }
     }
     spark.stop()

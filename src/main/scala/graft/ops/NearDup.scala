@@ -62,7 +62,28 @@ object NearDup {
        |    ELSE [] END AS shingles
        |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)""".stripMargin
 
-  /** MinHash signature: K independent min-over-md5 aggregates of the
+  /** Width of each hash slice (hex chars): 12 slices × 5 chars over two
+    * md5 digests (32 hex each). Disjoint slices of a cryptographic digest
+    * are independent uniform hashes, so two md5 calls per shingle replace
+    * twelve — 6× less hashing in the signature aggregation, identical LSH
+    * statistics. 20 bits per slice is ample for per-document minima.
+    */
+  val SliceLen = 5
+
+  /** The i-th MinHash function: a disjoint hex slice of md5(shingle) /
+    * md5("x"+shingle).
+    */
+  private def sliceHash(i: Int, shingle: Column): Column = {
+    val digest = if (i < 6) md5(shingle) else md5(concat(lit("x"), shingle))
+    substring(digest, 1 + (i % 6) * SliceLen, SliceLen)
+  }
+
+  private def sliceHashSql(i: Int, shingleExpr: String): String = {
+    val digest = if (i < 6) s"md5($shingleExpr)" else s"md5('x' || $shingleExpr)"
+    s"substr($digest, ${1 + (i % 6) * SliceLen}, $SliceLen)"
+  }
+
+  /** MinHash signature: K independent min-over-slice-hash aggregates of the
     * exploded shingle stream (partial-agg friendly: min combines map-side).
     */
   def minhashSignatures(documents: DataFrame): DataFrame =
@@ -70,13 +91,18 @@ object NearDup {
 
   private[ops] def signaturesFrom(sh: DataFrame): DataFrame = {
     // sh arrives hash-partitioned by doc_id (see shingled), explode keeps
-    // that layout, and the groupBy(doc_id) aggregation reuses it — the 12
-    // md5 minima run fully parallel with no extra exchange.
+    // that layout, and the groupBy(doc_id) aggregation reuses it — the
+    // hash minima run fully parallel with no extra exchange. Both digests
+    // are projected once per row; the K minima slice them.
     val exploded = sh
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val aggs = (0 until NumHashes).map(i =>
-      min(seededMd5(i, col("shingle"))).as(s"mh_$i"))
+      .select(col("doc_id"), md5(col("shingle")).as("h1"),
+        md5(concat(lit("x"), col("shingle"))).as("h2"))
+    val aggs = (0 until NumHashes).map { i =>
+      val digest = if (i < 6) col("h1") else col("h2")
+      min(substring(digest, 1 + (i % 6) * SliceLen, SliceLen)).as(s"mh_$i")
+    }
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -128,7 +154,7 @@ object NearDup {
 
   def minhashNearDupsSql: String = {
     val minExprs = (0 until NumHashes).map(i =>
-      s"min(${seededMd5Sql(i, "shingle")}) AS mh_$i").mkString(",\n    ")
+      s"min(${sliceHashSql(i, "shingle")}) AS mh_$i").mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
       val slice = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}")
       s"SELECT doc_id, $b AS band_idx, md5(${slice.mkString(" || '|' || ")}) AS band_key FROM sig"
@@ -214,14 +240,18 @@ object NearDup {
     * sums (map-side combined), then assembled per-row.
     */
   def simhash(documents: DataFrame): DataFrame = {
+    // project each hex nibble ONCE (16 string ops/row), so the 64 bit-count
+    // sums below are integer-only — keeps the aggregate's generated code
+    // small enough to stay JIT-compiled
     val toksDf = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
+      .select(col("doc_id") +: (1 to SimHashNibbles).map(p =>
+        hexNibble(col("h"), p).as(s"nib_$p")): _*)
     val sums: Seq[Column] = (1 to SimHashNibbles).flatMap { p =>
-      val nib = hexNibble(col("h"), p)
       (0 until 4).map(bit =>
-        sum(shiftright(nib, bit).bitwiseAND(lit(1))).as(s"ones_${p}_$bit"))
+        sum(shiftright(col(s"nib_$p"), bit).bitwiseAND(lit(1))).as(s"ones_${p}_$bit"))
     }
     val agged = toksDf.groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sums: _*)
@@ -246,7 +276,9 @@ object NearDup {
     * the pigeonhole guarantee (see class doc) — the oracle does all-pairs.
     */
   def simhashNearDups(documents: DataFrame): DataFrame = {
-    val sh = simhash(documents)
+    // cache: both sides of the banded self-join read the simhash relation,
+    // which is otherwise computed twice (one row per doc — tiny)
+    val sh = simhash(documents).cache()
     val quarters = (0 until SimHashQuarters).map(q =>
       struct(lit(q).as("q_idx"), substring(col("simhash"), q * 4 + 1, 4).as("q_key")))
     val banded = sh
