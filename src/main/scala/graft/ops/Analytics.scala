@@ -22,6 +22,20 @@ import graft.sources.Tables
   */
 object Analytics {
 
+  /** Register the reference's four analytics views under their DDL names
+    * (`postgres_setup.sql:101-151`) as temp views over the events pipeline,
+    * so the SQL surface is name-compatible:
+    * `spark.sql("SELECT * FROM v_hourly_event_summary")` etc.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val enriched = Enrich.enriched(Validate.withValidation(Tables.events(spark, dir)))
+    hourlySummary(enriched).createOrReplaceTempView("v_hourly_event_summary")
+    sessionSummary(enriched).createOrReplaceTempView("v_user_sessions")
+    categoryPerformance(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+      .createOrReplaceTempView("v_category_performance")
+    qualitySummary(enriched).createOrReplaceTempView("v_data_quality_summary")
+  }
+
   /** A1 — event-type distribution (per-batch monitoring,
     * `spark_streaming_to_postgres.py:260-262`).
     */
