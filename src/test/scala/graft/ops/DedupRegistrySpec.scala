@@ -89,6 +89,16 @@ class DedupRegistrySpec extends SparkSpec {
     assert(Registry.detectVersion(v2df).contains("v2"))
   }
 
+  test("migration composes: v1→v3 direct == v1→v2→v3 staged") {
+    val v1df = Seq((1L, ts("2024-01-10 10:00:00"), 7L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val direct = Registry.migrate(v1df, "v1", "v3")
+    val staged = Registry.migrate(
+      Registry.migrate(v1df, "v1", "v2").drop("schema_version"), "v2", "v3")
+    assert(direct.columns.toSeq == staged.columns.toSeq)
+    assert(direct.collect().toSeq == staged.collect().toSeq)
+  }
+
   test("autoMigrate lands on the current version") {
     val v1df = Seq((1L, ts("2024-01-10 10:00:00"), 7L, "view", 5.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
