@@ -129,6 +129,8 @@ object SparkEntry {
         .orderBy("window_start")),
     // similarity search: IVF coarse-quantizer ANN (centroid routing, nprobe=1)
     "q36_ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    // the curation endpoint: near-dup connected components → keep-list
+    "q37_dedup_keeplist" -> ((s, dir) => NearDup.dedupKeepList(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -311,6 +313,7 @@ object SparkEntry {
     // (HLL++) that DuckDB cannot reproduce bit-for-bit; the driver records
     // the weaker rows-only check for it.
     "q36_ann_ivf_topk" -> Similarity.ivfTopKSql(),
+    "q37_dedup_keeplist" -> NearDup.dedupKeepListSql,
     "q33_migrate_defaults" ->
       s"""SELECT event_id, ts, user_id, event_type, value, props,
          |  'unknown' AS session_id,

@@ -232,6 +232,73 @@ object NearDup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Connected components over near-dup pairs by min-label propagation:
+    * every doc's label converges to the smallest doc_id reachable through
+    * near-duplicate edges. Iterative joins, deterministic; converges in
+    * O(diameter) rounds (near-dup clusters are small, so 2–3). At corpus
+    * scale swap in the large-star/small-star formulation — same join
+    * shapes, fewer rounds on long chains.
+    */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .cache()
+    var converged = false
+    while (!converged) {
+      val prop = labels.join(edges, col("doc_id") === col("doc_a"))
+        .select(col("doc_b").as("doc_id"), col("label"))
+        .union(labels)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .cache()
+      prop.count() // materialize before comparing
+      val changed = prop.as("p")
+        .join(labels.as("l"), col("p.doc_id") === col("l.doc_id"))
+        .filter(col("p.label") =!= col("l.label"))
+        .limit(1).count() > 0
+      labels = prop
+      converged = !changed
+    }
+    labels
+  }
+
+  /** The deduplicated corpus: per near-dup component only the lowest doc_id
+    * survives; documents in no component pass through. This is the actual
+    * training-data curation step the pair lists feed.
+    */
+  def dedupKeepList(documents: DataFrame): DataFrame = {
+    val losers = components(minhashNearDups(documents))
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id").as("loser_id"))
+    documents
+      .join(losers, col("doc_id") === col("loser_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  def dedupKeepListSql: String = {
+    // the pair pipeline as a CTE, then transitive min-label closure via a
+    // recursive CTE (UNION dedups → terminates), then anti-join the losers
+    val pairsSql = minhashNearDupsSql
+      .replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a),
+       |label AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS label
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |LEFT JOIN label l ON d.doc_id = l.doc_id
+       |WHERE l.doc_id IS NULL OR l.label = l.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over the token stream as a 16-nibble hex string: for

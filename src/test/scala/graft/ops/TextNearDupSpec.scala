@@ -73,6 +73,18 @@ class TextNearDupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 1L && p._2 == 3L))
   }
 
+  test("components propagate the min label across chains; keep-list drops losers") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels = NearDup.components(pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+    assert(labels == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 20L -> 20L, 21L -> 20L))
+
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = docs((1L, base), (2L, base), (3L, (100 to 130).map(i => s"w$i").mkString(" ")))
+    val kept = NearDup.dedupKeepList(df).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L)) // 2 is a dup of 1; 3 unrelated
+  }
+
   test("shingles of short documents are empty, not an error") {
     val df = docs((1L, "one two"))
     assert(NearDup.minhashNearDups(df).count() == 0)
