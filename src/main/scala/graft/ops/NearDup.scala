@@ -258,6 +258,7 @@ object NearDup {
         .join(labels.as("l"), col("p.doc_id") === col("l.doc_id"))
         .filter(col("p.label") =!= col("l.label"))
         .limit(1).count() > 0
+      labels.unpersist()
       labels = prop
       converged = !changed
     }
