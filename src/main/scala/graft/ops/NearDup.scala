@@ -308,35 +308,18 @@ object NearDup {
     * sums (map-side combined), then assembled per-row.
     */
   def simhash(documents: DataFrame): DataFrame = {
-    // project each hex nibble ONCE (16 string ops/row), so the 64 bit-count
-    // sums below are integer-only — keeps the aggregate's generated code
-    // small enough to stay JIT-compiled
+    // One native aggregate ([[graft.functions.SimHashAgg]]) replaces 64
+    // separate bit-count sums: the buffer walks each token's md5 hex once
+    // and the generated aggregation method stays small (and JIT-compiled).
     val toksDf = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-      .select(col("doc_id") +: (1 to SimHashNibbles).map(p =>
-        hexNibble(col("h"), p).as(s"nib_$p")): _*)
-    val sums: Seq[Column] = (1 to SimHashNibbles).flatMap { p =>
-      (0 until 4).map(bit =>
-        sum(shiftright(col(s"nib_$p"), bit).bitwiseAND(lit(1))).as(s"ones_${p}_$bit"))
-    }
-    val agged = toksDf.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"), sums: _*)
-    def nibVal(p: Int): Column = (0 until 4)
-      .map(bit =>
-        when(col(s"ones_${p}_$bit") * 2 >= col("n_toks"), lit(1 << bit)).otherwise(lit(0)))
-      .reduce(_ + _)
-    val nibbleChars: Seq[Column] = (1 to SimHashNibbles).map { p =>
-      substr(lit("0123456789abcdef"), lit(1) + nibVal(p), lit(1))
-    }
-    // the same 64 bits packed into a long (shiftleft/OR: pure bit ops, no
-    // ANSI overflow checks) so pair comparison is one xor+popcount
-    val packed: Column = (1 to SimHashNibbles)
-      .map(p => shiftleft(nibVal(p).cast("long"), (SimHashNibbles - p) * 4))
-      .reduce(_.bitwiseOR(_))
-    agged.select(col("doc_id"), concat(nibbleChars: _*).as("simhash"),
-      packed.as("simhash_long"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    toksDf.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash_long"))
+      .select(col("doc_id"),
+        lower(lpad(hex(col("simhash_long")), 16, "0")).as("simhash"),
+        col("simhash_long"))
   }
 
   /** Near-dup pairs by SimHash: banded join on the 4 hex-quarter keys, then
