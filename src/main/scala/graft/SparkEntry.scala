@@ -131,6 +131,9 @@ object SparkEntry {
     "q36_ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // the curation endpoint: near-dup connected components → keep-list
     "q37_dedup_keeplist" -> ((s, dir) => NearDup.dedupKeepList(Tables.documents(s, dir))),
+    // df-capped inverted index — the hot-key escalation for q32
+    "q38_ngram_jaccard_capped" -> ((s, dir) =>
+      NearDup.ngramJaccardPairsCapped(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -314,6 +317,7 @@ object SparkEntry {
     // the weaker rows-only check for it.
     "q36_ann_ivf_topk" -> Similarity.ivfTopKSql(),
     "q37_dedup_keeplist" -> NearDup.dedupKeepListSql,
+    "q38_ngram_jaccard_capped" -> NearDup.ngramJaccardPairsCappedSql(),
     "q33_migrate_defaults" ->
       s"""SELECT event_id, ts, user_id, event_type, value, props,
          |  'unknown' AS session_id,

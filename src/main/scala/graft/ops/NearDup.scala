@@ -300,6 +300,66 @@ object NearDup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The documented scale escalation for [[ngramJaccardPairs]]: drop
+    * shingles whose document frequency exceeds `maxDf` from the inverted
+    * index before the self-join. Candidate recall is exact for any pair
+    * sharing at least one sub-hot shingle (hot shingles carry no
+    * discriminative signal anyway); the posting join cost drops from
+    * Σdf² to Σ min(df,cap)² over the capped vocabulary. Verification still
+    * uses the FULL shingle sets, so reported Jaccard values are exact.
+    */
+  def ngramJaccardPairsCapped(
+      documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    val sh = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.ShingleSet.shingles(col("text"), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val exCapped = ex.join(rare, "shingle").repartition(col("shingle"))
+    val cand = exCapped.toDF("shingle", "doc_a")
+      .join(exCapped.toDF("shingle_b", "doc_b"),
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val shA = sh.toDF("doc_a_k", "shingles_a")
+    val shB = sh.toDF("doc_b_k", "shingles_b")
+    cand
+      .join(shA, col("doc_a") === col("doc_a_k"))
+      .join(shB, col("doc_b") === col("doc_b_k"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("double") /
+          size(array_union(col("shingles_a"), col("shingles_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardPairsCappedSql(
+      n: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 100): String = {
+    val gram = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $n
+       |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
+       |      ELSE [] END AS shingles
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
+       |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= $maxDf),
+       |exc AS (SELECT e.doc_id, e.shingle FROM ex e JOIN rare r ON e.shingle = r.shingle),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+       |      / len(list_distinct(x.shingles || y.shingles)) AS jaccard
+       |  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+       |WHERE jaccard >= $minJaccard ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over the token stream as a 16-nibble hex string: for
