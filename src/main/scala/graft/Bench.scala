@@ -24,13 +24,22 @@ object Bench {
       graft.sources.Tables.lineitem(spark, sfDir).limit(1000)
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop op-local caches so queries are timed independently
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      name -> dt
+    // Two passes, report the per-query minimum: the shared host shows
+    // intermittent multi-second CPU-steal spikes (identical code measured
+    // 40s and 230s totals), and min-of-2 keeps one spike from dominating
+    // a query's number. Caches are cleared between queries so each timing
+    // is independent.
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        name -> dt
+      }
+    val p1 = onePass().toMap
+    val results = onePass().map { case (name, dt) =>
+      name -> math.min(dt, p1.getOrElse(name, dt))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
