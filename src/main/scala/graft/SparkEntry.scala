@@ -134,6 +134,31 @@ object SparkEntry {
     // df-capped inverted index — the hot-key escalation for q32
     "q38_ngram_jaccard_capped" -> ((s, dir) =>
       NearDup.ngramJaccardPairsCapped(Tables.documents(s, dir))),
+    // R1 — chained migration v2→v3 (device/geo columns)
+    "q39_migrate_v2_v3" -> ((s, dir) =>
+      Registry.migrate(
+        Registry.migrate(ev(s, dir), "v1", "v2").drop("schema_version"),
+        "v2", "v3").orderBy("event_id")),
+    // R4 — detect (no schema_version column → required-columns heuristic
+    // picks v1) then migrate to the current version
+    "q40_auto_migrate" -> ((s, dir) =>
+      Registry.autoMigrate(ev(s, dir)).orderBy("event_id")),
+    // skew-safe two-phase salted aggregation of a hot grouping key (5
+    // event types over the whole table) — must equal the plain groupBy
+    "q41_salted_revenue" -> ((s, dir) =>
+      graft.ops.Skew.saltedAgg(
+          enrichedV(s, dir), Seq("event_type"), Seq(col("event_id")), salts = 16,
+          aggs = Seq(
+            ("event_count", (count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))),
+            ("revenue", (sum(col("total_amount").cast("decimal(22,6)")),
+              (c: org.apache.spark.sql.Column) => sum(c)))))
+        .select(col("event_type"), col("event_count"),
+          col("revenue").cast("double").as("revenue"))
+        .orderBy("event_type")),
+    // embedding near-dup, corpus-scale path: multi-probe LSH candidates +
+    // exact quantized-cosine verify (approximation explicit + oracle-mirrored)
+    "q42_embedding_neardup_lsh" -> ((s, dir) =>
+      Similarity.embeddingNearDupsApprox(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -328,5 +353,36 @@ object SparkEntry {
          |  'unknown' AS source_system,
          |  'v2' AS schema_version
          |FROM events ORDER BY event_id""".stripMargin,
+    "q39_migrate_v2_v3" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  CAST(NULL AS VARCHAR) AS session_id,
+         |  CAST(NULL AS VARCHAR) AS category,
+         |  CAST(NULL AS INTEGER) AS quantity,
+         |  CAST(NULL AS VARCHAR) AS user_segment,
+         |  CAST(NULL AS VARCHAR) AS search_query,
+         |  CAST(NULL AS VARCHAR) AS source_system,
+         |  CAST(NULL AS VARCHAR) AS device_type,
+         |  CAST(NULL AS VARCHAR) AS browser,
+         |  CAST(NULL AS VARCHAR) AS geo_country,
+         |  CAST(NULL AS VARCHAR) AS geo_city,
+         |  CAST(NULL AS VARCHAR) AS referrer,
+         |  CAST(NULL AS VARCHAR) AS campaign_id,
+         |  'v3' AS schema_version
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q40_auto_migrate" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  CAST(NULL AS VARCHAR) AS session_id,
+         |  CAST(NULL AS VARCHAR) AS category,
+         |  CAST(NULL AS INTEGER) AS quantity,
+         |  CAST(NULL AS VARCHAR) AS user_segment,
+         |  CAST(NULL AS VARCHAR) AS search_query,
+         |  CAST(NULL AS VARCHAR) AS source_system,
+         |  'v2' AS schema_version
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q41_salted_revenue" ->
+      s"""SELECT event_type, COUNT(*) AS event_count, ${dsum("total_amount")} AS revenue
+         |FROM ($enrichedSql)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q42_embedding_neardup_lsh" -> Similarity.embeddingNearDupsApproxSql(),
   )
 }

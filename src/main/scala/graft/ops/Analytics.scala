@@ -136,9 +136,12 @@ object Analytics {
       .orderBy("event_id")
   }
 
-  /** Star-schema join: revenue by nation/region. Dims are broadcast; the
-    * only shuffle is orders⋈lineitem on the (large) order key plus the
-    * final tiny aggregation.
+  /** Star-schema join: revenue by nation/region. Only the FIXED-cardinality
+    * dims (nation 25, region 5) carry a broadcast hint; customer grows
+    * linearly with SF, so its join is left to AQE — broadcast at small SF,
+    * shuffled-hash/sort-merge once it outgrows the threshold. The large
+    * shuffles are orders⋈lineitem and orders⋈customer on their keys plus
+    * the final tiny aggregation.
     */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -147,7 +150,7 @@ object Analytics {
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
@@ -159,13 +162,15 @@ object Analytics {
 
   /** Window function: top-3 customers by revenue within each nation
     * (rank + partitioned window; deterministic tie-break on custkey).
+    * customer is NOT broadcast-hinted (it scales with SF — AQE decides);
+    * nation is fixed-size and stays hinted.
     */
   def topCustomersPerNation(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
     val nat = Tables.nation(spark, dir)
     val perCust = ord
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name").as("nation_name"), col("c_custkey").as("custkey"),
         col("c_name").as("customer_name"))

@@ -242,25 +242,29 @@ object NearDup {
   def components(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
+      .localCheckpoint() // materialize the (expensive) pair pipeline once;
+                         // every round re-reads checkpointed blocks, not lineage
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .cache()
+      .localCheckpoint()
     var converged = false
     while (!converged) {
+      // One propagation pass that ALSO carries the changed flag: join the
+      // proposed labels back to the current ones in the same plan, then
+      // eagerly localCheckpoint — a single job materializes the round and
+      // truncates lineage (no per-iteration plan growth). The convergence
+      // check is then a near-free scan of the checkpointed blocks.
       val prop = labels.join(edges, col("doc_id") === col("doc_a"))
         .select(col("doc_b").as("doc_id"), col("label"))
         .union(labels)
         .groupBy("doc_id").agg(min("label").as("label"))
-        .cache()
-      prop.count() // materialize before comparing
-      val changed = prop.as("p")
-        .join(labels.as("l"), col("p.doc_id") === col("l.doc_id"))
-        .filter(col("p.label") =!= col("l.label"))
-        .limit(1).count() > 0
-      labels.unpersist()
-      labels = prop
-      converged = !changed
+      val next = prop
+        .join(labels.select(col("doc_id").as("doc_id_old"), col("label").as("label_old")),
+          col("doc_id") === col("doc_id_old"))
+        .select(col("doc_id"), col("label"), (col("label") < col("label_old")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).limit(1).isEmpty
+      labels = next.select("doc_id", "label")
     }
     labels
   }
@@ -305,34 +309,77 @@ object NearDup {
     * index before the self-join. Candidate recall is exact for any pair
     * sharing at least one sub-hot shingle (hot shingles carry no
     * discriminative signal anyway); the posting join cost drops from
-    * Σdf² to Σ min(df,cap)² over the capped vocabulary. Verification still
-    * uses the FULL shingle sets, so reported Jaccard values are exact.
+    * Σdf² to Σ min(df,cap)² over the capped vocabulary.
+    *
+    * Reported Jaccard values are still EXACT over the full shingle sets,
+    * without ever shuffling a shingle array:
+    *  1. `n_rare` — the rare-shingle intersection count — falls out of the
+    *     capped posting join's own groupBy (the q32 shape), so candidate
+    *     generation and rare verification are ONE pass.
+    *  2. Per-doc scalars (total shingles `n_sh`, hot-shingle count `n_hot`)
+    *     give an exact upper bound on achievable Jaccard:
+    *     `hot_common ≤ min(n_hot_a, n_hot_b)`, and x/(S−x) is increasing in
+    *     x, so any pair failing the bound can never reach the threshold.
+    *  3. Only the few survivors join the per-doc HOT-ONLY shingle arrays
+    *     (tiny — just the over-cap vocabulary) for the exact hot
+    *     correction. The full arrays never leave the document scan.
     */
   def ngramJaccardPairsCapped(
       documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
       maxDf: Int = 100): DataFrame = {
-    val sh = documents
+    val ex = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), graft.functions.ShingleSet.shingles(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .cache()
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("shingle")
-    val exCapped = ex.join(rare, "shingle").repartition(col("shingle"))
-    val cand = exCapped.toDF("shingle", "doc_a")
-      .join(exCapped.toDF("shingle_b", "doc_b"),
+    // The hot vocabulary is small BY CONSTRUCTION (≤ total_postings/maxDf
+    // distinct shingles can exceed the cap), so it broadcasts — flagging
+    // the postings costs a map-side hash lookup, not a full shuffle of the
+    // posting relation against the df table.
+    val hotSet = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"), lit(true).as("hot_flag"))
+    val flagged = ex.join(broadcast(hotSet), Seq("shingle"), "left")
+      .select(col("doc_id"), col("shingle"), coalesce(col("hot_flag"), lit(false)).as("is_hot"))
+    // One row per doc: set size, hot count, and the hot-only shingle array
+    // (sorted for determinism). Scalar columns feed the prune join; the
+    // array column is only read by the survivor join — column pruning keeps
+    // it out of every other shuffle.
+    val docStats = flagged.groupBy("doc_id").agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_hot"),
+        sort_array(collect_list(when(col("is_hot"), col("shingle")))).as("hot_arr"))
+      .cache()
+    // Capped postings, co-located by shingle; the self-join's groupBy IS the
+    // candidate set AND the exact rare-intersection count.
+    val exCapped = flagged.filter(!col("is_hot")).select("doc_id", "shingle")
+      .repartition(col("shingle"))
+    val pairRare = exCapped.toDF("doc_a", "shingle")
+      .join(exCapped.toDF("doc_b", "shingle_b"),
         col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val shA = sh.toDF("doc_a_k", "shingles_a")
-    val shB = sh.toDF("doc_b_k", "shingles_b")
-    cand
-      .join(shA, col("doc_a") === col("doc_a_k"))
-      .join(shB, col("doc_b") === col("doc_b_k"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_rare"))
+    val sA = docStats.select(col("doc_id").as("doc_a_k"),
+      col("n_sh").as("n_a"), col("n_hot").as("h_a"))
+    val sB = docStats.select(col("doc_id").as("doc_b_k"),
+      col("n_sh").as("n_b"), col("n_hot").as("h_b"))
+    // Exact upper bound on jaccard: common ≤ n_rare + min(h_a, h_b).
+    val maxCommon = col("n_rare") + least(col("h_a"), col("h_b"))
+    val survivors = pairRare
+      .join(sA, col("doc_a") === col("doc_a_k"))
+      .join(sB, col("doc_b") === col("doc_b_k"))
+      .filter(maxCommon.cast("double") /
+        (col("n_a") + col("n_b") - maxCommon) >= minJaccard)
+    // Exact hot correction for the survivors only (hot arrays are tiny).
+    val hA = docStats.select(col("doc_id").as("doc_a_h"), col("hot_arr").as("hot_a"))
+    val hB = docStats.select(col("doc_id").as("doc_b_h"), col("hot_arr").as("hot_b"))
+    val nCommon = col("n_rare") + size(array_intersect(col("hot_a"), col("hot_b")))
+    survivors
+      .join(hA, col("doc_a") === col("doc_a_h"))
+      .join(hB, col("doc_b") === col("doc_b_h"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("double") /
-          size(array_union(col("shingles_a"), col("shingles_b")))).as("jaccard"))
+        (nCommon.cast("double") / (col("n_a") + col("n_b") - nCommon)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
