@@ -1,0 +1,135 @@
+package graft.sink
+
+import java.sql.{Connection, DriverManager}
+
+import scala.util.Try
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.DatabaseConfig
+
+/** DB-gated integration spec for the sink-side idempotency/constraint layer
+  * (SURVEY.md §2 D5) — the behavior the reference checks live in
+  * `/root/reference/tests/test_integration.py:169-275` (duplicate PK
+  * rejected, CHECK-violating rows rejected) against
+  * `docker/postgres/postgres_setup.sql`.
+  *
+  * Gating mirrors the reference's skip-when-unreachable fixture
+  * (`test_integration.py:34-42`): every test `assume`s a reachable
+  * Postgres, so without one the suite reports CANCELED (visible in the
+  * run), never silently green. Configure via GRAFT_PG_HOST / GRAFT_PG_PORT
+  * / GRAFT_PG_DB / GRAFT_PG_USER / GRAFT_PG_PASSWORD.
+  *
+  * Uses plain JDBC (not Spark) so the constraint round-trips are exact and
+  * fast; the Spark write path itself is covered by the ParquetSink /
+  * InMemorySink streaming specs — semantics at the DataFrame boundary are
+  * identical by construction (same `Sink.append` contract).
+  */
+class PostgresIntegrationSpec extends AnyFunSuite {
+
+  private val cfg = DatabaseConfig(
+    host = sys.env.getOrElse("GRAFT_PG_HOST", "localhost"),
+    port = sys.env.getOrElse("GRAFT_PG_PORT", "5432").toInt,
+    database = sys.env.getOrElse("GRAFT_PG_DB", "ecommerce"),
+    user = sys.env.getOrElse("GRAFT_PG_USER", "spark_user"),
+    password = sys.env.getOrElse("GRAFT_PG_PASSWORD", "spark_password"))
+
+  private def connect(): Option[Connection] =
+    Try {
+      Class.forName("org.postgresql.Driver")
+      DriverManager.setLoginTimeout(3)
+      DriverManager.getConnection(cfg.jdbcUrl, cfg.user, cfg.password)
+    }.toOption
+
+  private def withDb(testBody: Connection => Unit): Unit = {
+    val conn = connect()
+    assume(conn.isDefined, s"PostgreSQL not reachable at ${cfg.jdbcUrl} — skipping")
+    try {
+      applySetupDdl(conn.get)
+      testBody(conn.get)
+    } finally conn.get.close()
+  }
+
+  /** Applies sql/postgres_setup.sql (idempotent: IF NOT EXISTS / OR REPLACE). */
+  private def applySetupDdl(conn: Connection): Unit = {
+    val ddl = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("sql/postgres_setup.sql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val st = conn.createStatement()
+    try ddl.split(";").map(_.trim).filter(_.nonEmpty).foreach(st.execute)
+    finally st.close()
+  }
+
+  private def insertEvent(conn: Connection, id: Long, eventType: String,
+      userId: java.lang.Long, value: Double): Unit = {
+    val ps = conn.prepareStatement(
+      "INSERT INTO events (event_id, ts, user_id, event_type, value) VALUES (?, NOW(), ?, ?, ?)")
+    try {
+      ps.setLong(1, id)
+      if (userId == null) ps.setNull(2, java.sql.Types.BIGINT) else ps.setLong(2, userId)
+      ps.setString(3, eventType)
+      ps.setDouble(4, value)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  private def cleanup(conn: Connection, id: Long): Unit = {
+    val st = conn.createStatement()
+    try st.execute(s"DELETE FROM events WHERE event_id = $id") finally st.close()
+  }
+
+  test("duplicate event_id is rejected by the primary key (sink idempotency)") {
+    withDb { conn =>
+      val id = System.nanoTime()
+      try {
+        insertEvent(conn, id, "view", 1L, 1.0)
+        val dup = Try(insertEvent(conn, id, "view", 1L, 1.0))
+        assert(dup.isFailure, "second insert with same event_id must fail")
+        assert(dup.failed.get.isInstanceOf[java.sql.SQLException])
+      } finally cleanup(conn, id)
+    }
+  }
+
+  test("invalid event_type is rejected by CHECK") {
+    withDb { conn =>
+      val id = System.nanoTime()
+      try {
+        val bad = Try(insertEvent(conn, id, "not_a_type", 1L, 1.0))
+        assert(bad.isFailure, "unknown event_type must violate the CHECK constraint")
+      } finally cleanup(conn, id)
+    }
+  }
+
+  test("negative value is rejected by CHECK") {
+    withDb { conn =>
+      val id = System.nanoTime()
+      try {
+        val bad = Try(insertEvent(conn, id, "view", 1L, -1.0))
+        assert(bad.isFailure, "negative value must violate the CHECK constraint")
+      } finally cleanup(conn, id)
+    }
+  }
+
+  test("login-required event without user_id is rejected (chk_user_required)") {
+    withDb { conn =>
+      val id = System.nanoTime()
+      try {
+        val bad = Try(insertEvent(conn, id, "purchase", null, 5.0))
+        assert(bad.isFailure, "purchase without user_id must violate chk_user_required")
+        // ...while an anonymous view passes:
+        insertEvent(conn, id, "view", null, 1.0)
+      } finally cleanup(conn, id)
+    }
+  }
+
+  test("dead-letter insert requires validation_errors NOT NULL") {
+    withDb { conn =>
+      val st = conn.createStatement()
+      try {
+        val bad = Try(st.execute(
+          "INSERT INTO dead_letter_events (event_id, event_type) VALUES (1, 'view')"))
+        assert(bad.isFailure, "dead-letter rows must carry their error tag")
+      } finally st.close()
+    }
+  }
+}
