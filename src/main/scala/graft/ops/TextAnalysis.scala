@@ -32,20 +32,25 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
   )
 
-  private def toksCol: Column = tokens(col("text"))
+  /** The shared one-pass stats struct ([[graft.functions.TextStats]]) —
+    * native codegen kernel; each op below projects the fields it needs.
+    */
+  private def statsCol(withFp: Boolean = false): Column =
+    graft.functions.TextStats.stats(
+      col("text"), Stopwords, LangMarkers.map(_._2), withFp)
 
   /** Token statistics: counts, distinct counts, average token length.
     * avg_token_len divides two exact ints — deterministic double.
     */
   def tokenStats(documents: DataFrame): DataFrame =
     documents
+      .withColumn("_ts", statsCol())
       .select(
         col("doc_id"),
         col("n_chars"),
-        size(toksCol).as("n_tokens"),
-        size(array_distinct(toksCol)).as("n_distinct_tokens"),
-        (aggregate(transform(toksCol, t => length(t)), lit(0), (acc, x) => acc + x)
-          .cast("double") / size(toksCol)).as("avg_token_len"),
+        col("_ts.n_tokens").as("n_tokens"),
+        col("_ts.n_distinct").as("n_distinct_tokens"),
+        (col("_ts.sum_len").cast("double") / col("_ts.n_tokens")).as("avg_token_len"),
         regexp_count(lower(col("text")), lit(BpeishPattern)).cast("int").as("n_subtokens"))
       .orderBy("doc_id")
 
@@ -72,14 +77,13 @@ object TextAnalysis {
     * deterministic arithmetic only.
     */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val toks = toksCol
-    val nTok = size(toks)
-    val stopRatio =
-      size(filter(toks, t => t.isInCollection(Stopwords))).cast("double") / nTok
+    val nTok = col("_ts.n_tokens")
+    val stopRatio = col("_ts.n_stop").cast("double") / nTok
     val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
-    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val diversity = col("_ts.n_distinct").cast("double") / nTok
     val stopOk = when(stopRatio >= 0.05 && stopRatio <= 0.6, 1.0).otherwise(0.0)
     documents
+      .withColumn("_ts", statsCol())
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
@@ -110,12 +114,11 @@ object TextAnalysis {
     * "und" (undetermined). Pure per-row expressions.
     */
   def languageId(documents: DataFrame): DataFrame = {
-    val toks = toksCol
-    val scored = LangMarkers.foldLeft(documents.select(col("doc_id"), toks.as("toks"))) {
-      case (df, (lang, markers)) =>
-        df.withColumn(s"score_$lang",
-          size(filter(col("toks"), t => t.isInCollection(markers))))
-    }
+    val scored = documents
+      .withColumn("_ts", statsCol())
+      .select(col("doc_id") +: LangMarkers.zipWithIndex.map {
+        case ((lang, _), i) => col("_ts.lang_scores").getItem(i).as(s"score_$lang")
+      }: _*)
     val best = LangMarkers.map { case (l, _) => col(s"score_$l") }
     val maxScore = greatest(best: _*)
     val pick = LangMarkers.foldRight(lit("und")) { case ((lang, _), onElse) =>
@@ -156,18 +159,15 @@ object TextAnalysis {
     */
   def fingerprints(documents: DataFrame): DataFrame = {
     val norm = concat_ws(" ", tokens(col("text")))
-    // fold: acc = (acc * 31 + nibble16(token)) mod 2^31-1, over first-16-hex
-    // nibble sums per token; expressible identically in DuckDB.
-    val tokHash = transform(tokens(col("text")),
-      t => (instr(lit("0123456789abcdef"), substring(md5(t), 1, 1)) - 1) +
-        (instr(lit("0123456789abcdef"), substring(md5(t), 2, 1)) - 1) * 16)
-    val rolling = aggregate(tokHash, lit(0L),
-      (acc, h) => pmod(acc * 31 + h.cast("long"), lit(2147483647L)))
+    // rolling fp: acc = (acc * 31 + nibble16(md5(token))) mod 2^31-1 —
+    // computed inside the TextStats kernel (withFp), expressible
+    // identically in DuckDB.
     documents
+      .withColumn("_ts", statsCol(withFp = true))
       .select(
         col("doc_id"),
         md5(norm).as("content_md5"),
-        rolling.as("rolling_fp"))
+        col("_ts.rolling_fp").as("rolling_fp"))
       .orderBy("doc_id")
   }
 

@@ -76,4 +76,53 @@ class NativeKernelsSpec extends SparkSpec {
     val empty = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
     assert(empty.select(QuantizedDot.dotq6(col("a"), col("b"))).as[Long].collect()(0) == 0L)
   }
+
+  test("TextStats == declarative HOF pipeline (random texts incl. ws edges)") {
+    val stop = Seq("the", "a", "of")
+    val lex = Seq(Seq("the", "is"), Seq("der", "und"))
+    val edgy = Seq("", " ", "\t", "  x  ", "\tthe der a", "a  b\tc\n", "the the und")
+    val texts = edgy ++ samples(spacedText, 150)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val tokHash = transform(toks,
+      t => (instr(lit("0123456789abcdef"), substring(md5(t), 1, 1)) - 1) +
+        (instr(lit("0123456789abcdef"), substring(md5(t), 2, 1)) - 1) * 16)
+    val reference = df.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        aggregate(transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x).as("sum_len"),
+        size(filter(toks, t => t.isInCollection(stop))).as("n_stop"),
+        array(lex.map(l => size(filter(toks, t => t.isInCollection(l)))): _*).as("lang_scores"),
+        aggregate(tokHash, lit(0L),
+          (acc, h) => pmod(acc * 31 + h.cast("long"), lit(2147483647L))).as("rolling_fp"))
+      .orderBy("doc_id").collect()
+    val native = df.select(col("doc_id"),
+        TextStats.stats(col("text"), stop, lex, withFp = true).as("s"))
+      .select("doc_id", "s.n_tokens", "s.n_distinct", "s.sum_len", "s.n_stop",
+        "s.lang_scores", "s.rolling_fp")
+      .orderBy("doc_id").collect()
+    assert(native.map(_.toSeq).toSeq == reference.map(_.toSeq).toSeq)
+  }
+
+  test("LongArrayDot == zip-multiply-sum reference (random long vectors)") {
+    val vec = Gen.listOfN(12, Gen.chooseNum(-2000000L, 2000000L))
+    val pairs = samples(Gen.zip(vec, vec), 100)
+    val df = pairs.toDF("a", "b")
+    val got = df.select(LongArrayDot.dotLong(col("a"), col("b"))).as[Long].collect()
+    val expect = pairs.map { case (a, b) => a.zip(b).map { case (x, y) => x * y }.sum }
+    assert(got.toSeq == expect)
+  }
+
+  test("LongArrayDot equals QuantizedDot on pre-quantized float inputs") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-2.0f, 2.0f))
+    val pairs = samples(Gen.zip(vec, vec), 50)
+    val df = pairs.toDF("a", "b")
+    val quant = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
+    val viaLong = df.select(LongArrayDot.dotLong(quant(col("a")), quant(col("b"))))
+      .as[Long].collect()
+    val viaFloat = df.select(QuantizedDot.dotq6(col("a"), col("b"))).as[Long].collect()
+    assert(viaLong.toSeq == viaFloat.toSeq)
+  }
 }

@@ -68,6 +68,51 @@ class SimilaritySpec extends SparkSpec {
     assert(topk(1L) == 5L && topk(3L) == 4L) // 5 re-routed into cell 0 wins
   }
 
+  test("block-grid exact near-dup == naive all-pairs for every block count") {
+    // 25 pseudo-random unit-ish vectors; the grid decomposition must return
+    // exactly the same pair set regardless of how many blocks it uses
+    // (including blocks > n and blocks = 1).
+    val rows = (0 until 25).map { i =>
+      val v = Seq.tabulate(8)(d => (((i * 31 + d * 17) % 13) - 6) / 6.0f)
+      (i.toLong, v, i % 3)
+    }
+    val df = emb(rows: _*)
+    val naive = {
+      val a = df.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+      val b = df.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+      a.crossJoin(b).filter($"vec_a" < $"vec_b")
+        .select($"vec_a", $"vec_b", Similarity.dot($"ea", $"eb").as("cosine"))
+        .filter($"cosine" >= Similarity.CosineThreshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(naive.nonEmpty) // the fixture must actually exercise the threshold
+    for (blocks <- Seq(1, 3, 8, 40)) {
+      val got = Similarity.embeddingNearDups(df, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == naive, s"blocks=$blocks")
+    }
+  }
+
+  test("multi-probe LSH near-dup = exact pairs at bucket Hamming <= maxFlips") {
+    val rows = (0 until 40).map { i =>
+      val v = Seq.tabulate(Similarity.Dim)(d => (((i * 7 + d * 5) % 11) - 5) / 16.0f)
+      (i.toLong, v, 0)
+    }
+    val df = emb(rows: _*)
+    val buckets = Similarity.lshBuckets(df)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket")).toMap
+    val exact = Similarity.embeddingNearDups(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (flips <- Seq(0, 1, 2)) {
+      val expected = exact.filter { case (a, b) =>
+        buckets(a).zip(buckets(b)).count { case (x, y) => x != y } <= flips
+      }
+      val got = Similarity.embeddingNearDupsApprox(df, maxFlips = flips)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"maxFlips=$flips")
+    }
+  }
+
   test("plane signs are ±1 and stable across invocations") {
     val p = Similarity.planeSigns
     assert(p.size == Similarity.Planes && p.forall(_.size == Similarity.Dim))

@@ -89,4 +89,41 @@ class TextNearDupSpec extends SparkSpec {
     val df = docs((1L, "one two"))
     assert(NearDup.minhashNearDups(df).count() == 0)
   }
+
+  test("capped Jaccard: values exact incl. hot shingles; hot-only pairs dropped") {
+    val phrase = "alpha beta gamma delta"
+    val df = docs(
+      (1L, s"$phrase one two three four five"),
+      (2L, s"$phrase one two three four five"), // dup of 1, shares RARE shingles
+      (3L, phrase),                             // 3 and 4 share ONLY hot shingles
+      (4L, phrase),
+      (5L, s"$phrase six seven eight nine ten"))
+    // With maxDf=2 the phrase 3-grams (df=5) are hot, doc 1/2's tail (df=2)
+    // is rare. Uncapped finds both dup pairs; capped keeps (1,2) — found via
+    // rare shingles, jaccard still 1.0 because hot shingles are corrected
+    // back in — and documents the designed recall cut for hot-only (3,4).
+    val uncapped = NearDup.ngramJaccardPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(uncapped.toSet == Set((1L, 2L, 1.0), (3L, 4L, 1.0)))
+    val capped = NearDup.ngramJaccardPairsCapped(df, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSet == Set((1L, 2L, 1.0)))
+  }
+
+  test("capped Jaccard hot-correction arithmetic on a partial overlap") {
+    val df = docs(
+      (1L, "h1 h2 h3 h4 a b c"),
+      (2L, "h1 h2 h3 h4 a b d"),
+      (3L, "h1 h2 h3 h4 x y z"))
+    // cap 2: "h1 h2 h3"/"h2 h3 h4" have df=3 → hot; "h3 h4 a"/"h4 a b" have
+    // df=2 → rare. Pair (1,2): n_rare=2, hot_common=2, sizes 5/5 →
+    // jaccard = 4/6. Must equal the uncapped exact value bit-for-bit.
+    val expect = NearDup.ngramJaccardPairs(df)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val got = NearDup.ngramJaccardPairsCapped(df, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == expect((1L, 2L)))
+    assert(got((1L, 2L)) == 4.0 / 6.0)
+  }
 }
