@@ -228,8 +228,11 @@ object Similarity {
     * co-partitioned search that replaces the O(n²) scan.
     */
   def lshBucketedTopK(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    // cache: both sides of the same-bucket self-join read the bucketed
+    // relation; without it the corpus scan + 4 plane dots run twice
     val withB = embeddings.select(col("vec_id"), col("embedding"),
       bucketCol(col("embedding")).as("bucket"))
+      .cache()
     val a = withB.select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),
       col("bucket").as("bucket_a"))
     val b = withB.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"),
@@ -292,8 +295,12 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 3): DataFrame = {
     val cells = ivfCells(embeddings)
+    // cache: both sides of the in-cell self-join read the assignment
+    // relation, and the toDF renames below would otherwise defeat
+    // exchange reuse — without this the centroid pipeline runs twice
     val withCell = embeddings.select(col("vec_id"), col("embedding"))
       .join(cells, "vec_id")
+      .cache()
     val a = withCell.toDF("query_id", "query_emb", "cell_a")
     val b = withCell.toDF("neighbor_id", "emb_b", "cell_b")
     val w = Window.partitionBy(col("query_id"))
