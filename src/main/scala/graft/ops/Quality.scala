@@ -35,4 +35,37 @@ object Quality {
       .withColumn(
         "validity_rate",
         (col("valid_events").cast("double") / col("total_events").cast("double")) * 100.0)
+
+  /** The micro-batch variant: the SAME global metrics row PLUS the
+    * per-validation-error counts out of ONE job — `rollup` carries both
+    * grouping levels through a single shuffle (the grand-total row keeps
+    * `count_distinct` exact, which per-group sums could not), and
+    * `grouping()` disambiguates the total row from the valid (null-error)
+    * group. Returns (metrics row, error → count).
+    */
+  def batchMetricsWithErrors(df: DataFrame): (org.apache.spark.sql.Row, Map[String, Long]) = {
+    val rows = df
+      .rollup(col("validation_errors"))
+      .agg(
+        count("*").as("total_events"),
+        count(when(col("is_valid"), 1)).as("valid_events"),
+        count(when(!col("is_valid"), 1)).as("invalid_events"),
+        count(when(col("user_id").isNull, 1)).as("null_user_id"),
+        count(when(col("value").isNull, 1)).as("null_value"),
+        count(when(col("props").isNull, 1)).as("null_props"),
+        count(when(col("is_late_arrival"), 1)).as("late_events"),
+        countDistinct("user_id").as("distinct_users"),
+        dsum(col("value")).as("total_value"),
+        grouping(col("validation_errors")).cast("int").as("is_total"))
+      .withColumn(
+        "validity_rate",
+        (col("valid_events").cast("double") / col("total_events").cast("double")) * 100.0)
+      .collect()
+    val total = rows.find(_.getAs[Int]("is_total") == 1).get
+    val errors = rows.iterator
+      .filter(r => r.getAs[Int]("is_total") == 0 && r.getAs[String]("validation_errors") != null)
+      .map(r => r.getAs[String]("validation_errors") -> r.getAs[Long]("total_events"))
+      .toMap
+    (total, errors)
+  }
 }

@@ -98,16 +98,13 @@ object Pipeline {
       val t0 = System.nanoTime()
       val cached = batchDf.cache()
       try {
-        val m = Quality.batchMetrics(cached).collect()(0)
+        // metrics + per-error counts in ONE job (rollup — see
+        // Quality.batchMetricsWithErrors); the reference ran ~10
+        val (m, errorCounts) = Quality.batchMetricsWithErrors(cached)
         val valid = cached.filter(col("is_valid"))
         val dead = cached.filter(!col("is_valid"))
         sink.append(SinkColumns.project(valid, SinkColumns.events), "ecommerce_events")
         sink.append(SinkColumns.project(dead, SinkColumns.deadLetter), "dead_letter_events")
-        val errorCounts = dead
-          .groupBy("validation_errors").count()
-          .collect()
-          .map(r => r.getString(0) -> r.getLong(1))
-          .toMap
         val metrics = BatchMetrics(
           batchId = batchId,
           totalEvents = m.getAs[Long]("total_events"),
