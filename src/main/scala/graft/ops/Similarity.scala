@@ -29,7 +29,12 @@ object Similarity {
   /** Embedding dimensionality of the testdata corpus. */
   val Dim = 64
 
-  /** Hyperplane count → 2^Planes LSH buckets. */
+  /** Hyperplane count → 2^Planes LSH buckets — the default for this
+    * corpus size. At scale this MUST grow with the corpus (buckets ≈
+    * n / target-bucket-size, i.e. planes ≈ log₂(n) − log₂(bucket)), which
+    * is why every bucket/probe entry point takes `planes` as a parameter;
+    * the md5-derived plane family extends to any count deterministically.
+    */
   val Planes = 4
 
   /** Near-duplicate cosine threshold. */
@@ -39,14 +44,15 @@ object Similarity {
     * md5 byte of "plane_j|d". Public-knowledge construction (sign random
     * projections, Charikar 2002), reproducible anywhere md5 exists.
     */
-  lazy val planeSigns: Seq[Seq[Int]] = {
-    (0 until Planes).map { j =>
+  def planeSignsFor(planes: Int): Seq[Seq[Int]] =
+    (0 until planes).map { j =>
       (0 until Dim).map { d =>
         val dig = MessageDigest.getInstance("MD5").digest(s"plane_$j|$d".getBytes("UTF-8"))
         if ((dig(0) & 1) == 0) 1 else -1
       }
     }
-  }
+
+  lazy val planeSigns: Seq[Seq[Int]] = planeSignsFor(Planes)
 
   /** Quantized cosine (fixed-point exact dot / 1e12) — a native codegen
     * expression, bit-identical across engines ([[graft.functions.QuantizedDot]]).
@@ -111,15 +117,16 @@ object Similarity {
     * `Planes` with corpus size (buckets ~ n / target bucket size) and keep
     * probes fixed — candidate volume stays Σ bucket² instead of n².
     */
-  def embeddingNearDupsApprox(embeddings: DataFrame, maxFlips: Int = 1): DataFrame = {
+  def embeddingNearDupsApprox(
+      embeddings: DataFrame, maxFlips: Int = 1, planes: Int = Planes): DataFrame = {
     val withB = embeddings.select(col("vec_id"), col("embedding"),
-      bucketCol(col("embedding")).as("bucket"))
+      bucketCol(col("embedding"), planes).as("bucket"))
     // Probe keys: the bucket itself + every ≤maxFlips bit-flip of it.
     val probeKeys: Seq[Column] = {
-      val idxSets = (0 until Planes).toSet.subsets().filter(_.size <= maxFlips).toSeq
+      val idxSets = (0 until planes).toSet.subsets().filter(_.size <= maxFlips).toSeq
         .sortBy(s => (s.size, s.toSeq.sorted.mkString(",")))
       idxSets.map { s =>
-        (0 until Planes).map { j =>
+        (0 until planes).map { j =>
           val bit = substring(col("bucket"), j + 1, 1)
           if (s.contains(j)) when(bit === "1", "0").otherwise("1") else bit
         }.reduce(concat(_, _))
@@ -199,19 +206,20 @@ object Similarity {
 
   /** The bucket signature as a Column over an `embedding` column: bit j is
     * the sign of the quantized dot with plane j (planes are ±1 vectors, so
-    * their quantization is exact: ±1e6).
+    * their quantization is exact: ±1e6). `planes` scales the bucket count
+    * with corpus size (see [[Planes]]).
     */
-  def bucketCol(emb: Column): Column = {
-    val bits: Seq[Column] = planeSigns.map { signs =>
+  def bucketCol(emb: Column, planes: Int = Planes): Column = {
+    val bits: Seq[Column] = planeSignsFor(planes).map { signs =>
       val planeArr = array(signs.map(s => lit(s.toFloat)): _*)
       when(graft.functions.QuantizedDot.dotq6(emb, planeArr) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
 
-  def lshBuckets(embeddings: DataFrame): DataFrame =
+  def lshBuckets(embeddings: DataFrame, planes: Int = Planes): DataFrame =
     embeddings
-      .select(col("vec_id"), col("label"), bucketCol(col("embedding")).as("bucket"))
+      .select(col("vec_id"), col("label"), bucketCol(col("embedding"), planes).as("bucket"))
       .orderBy("vec_id")
 
   def lshBucketsSql: String = {
@@ -227,11 +235,11 @@ object Similarity {
     * The join is an equi-join on bucket — at scale this is the same-bucket
     * co-partitioned search that replaces the O(n²) scan.
     */
-  def lshBucketedTopK(embeddings: DataFrame, k: Int = 3): DataFrame = {
+  def lshBucketedTopK(embeddings: DataFrame, k: Int = 3, planes: Int = Planes): DataFrame = {
     // cache: both sides of the same-bucket self-join read the bucketed
-    // relation; without it the corpus scan + 4 plane dots run twice
+    // relation; without it the corpus scan + plane dots run twice
     val withB = embeddings.select(col("vec_id"), col("embedding"),
-      bucketCol(col("embedding")).as("bucket"))
+      bucketCol(col("embedding"), planes).as("bucket"))
       .cache()
     val a = withB.select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),
       col("bucket").as("bucket_a"))

@@ -119,4 +119,20 @@ class SimilaritySpec extends SparkSpec {
     assert(p.flatten.forall(s => s == 1 || s == -1))
     assert(p == Similarity.planeSigns)
   }
+
+  test("plane family extends deterministically; bucket width follows planes") {
+    // the corpus-scale knob: more planes → longer signatures, same prefix
+    val p8 = Similarity.planeSignsFor(8)
+    assert(p8.size == 8 && p8.take(4) == Similarity.planeSigns)
+    val df = emb((1L, Seq.fill(64)(0.1f), 0), (2L, Seq.fill(64)(-0.1f), 1))
+    val buckets = Similarity.lshBuckets(df, planes = 6)
+      .collect().map(_.getAs[String]("bucket"))
+    assert(buckets.forall(_.length == 6))
+    // antipodal vectors flip every bit whose plane dot is nonzero (a
+    // zero-sum plane maps both to '1' — the >= 0 tie rule)
+    val zeroSum = Similarity.planeSignsFor(6).map(_.sum == 0)
+    buckets(0).zip(buckets(1)).zip(zeroSum).foreach { case ((a, b), z) =>
+      if (z) assert(a == '1' && b == '1') else assert(a != b)
+    }
+  }
 }
