@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.QuantizedDot
+import graft.functions.{LongArrayDot, QuantizedDot, ShingleSet, TextStats}
 
 /** Session extension registering graft's native expressions for SQL use:
   *
@@ -12,29 +13,67 @@ import graft.functions.QuantizedDot
   * SparkSession.builder()
   *   .config("spark.sql.extensions", "graft.GraftExtensions") ...
   * spark.sql("SELECT quantized_dot(a.embedding, b.embedding) FROM ...")
+  * spark.sql("SELECT shingle_set(text, 3) FROM docs")
+  * spark.sql("SELECT text_stats(text).n_tokens FROM docs")
   * }}}
   *
   * [[GraftExtensions.register]] does the same on an already-running session
-  * (useful in notebooks/tests).
+  * (useful in notebooks/tests). Registered functions:
+  *
+  *  - `quantized_dot(array<float>, array<float>) → bigint` — exact
+  *    fixed-point dot (Σ floor(aᵢ·1e6)·floor(bᵢ·1e6));
+  *  - `long_array_dot(array<bigint>, array<bigint>) → bigint`;
+  *  - `shingle_set(text, n) → array<string>` — distinct word n-grams
+  *    (n a literal int);
+  *  - `text_stats(text) → struct` — one-pass token statistics (counts,
+  *    distinct, summed length, rolling md5 fingerprint; stopword/lexicon
+  *    variants stay on the Scala API where lists are parameters).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.quantizedDotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private def builder(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 2, s"quantized_dot expects 2 arguments, got ${exprs.length}")
-    QuantizedDot(exprs.head, exprs(1))
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$name expects 2 arguments, got ${exprs.length}")
+    mk(exprs.head, exprs(1))
   }
 
-  private[graft] val quantizedDotDescriptor = (
-    FunctionIdentifier("quantized_dot"),
-    new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
-    (exprs: Seq[Expression]) => builder(exprs))
+  private val quantizedDotBuilder = binary("quantized_dot", QuantizedDot.apply)
+  private val longArrayDotBuilder = binary("long_array_dot", LongArrayDot.apply)
+
+  private val shingleSetBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"shingle_set expects 2 arguments, got ${exprs.length}")
+    val n = exprs(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"shingle_set's second argument must be a literal int, got $other")
+    }
+    ShingleSet(exprs.head, n)
+  }
+
+  private val textStatsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"text_stats expects 1 argument, got ${exprs.length}")
+    TextStats(exprs.head, Nil, Nil, withFp = true)
+  }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "quantized_dot" -> quantizedDotBuilder,
+    "long_array_dot" -> longArrayDotBuilder,
+    "shingle_set" -> shingleSetBuilder,
+    "text_stats" -> textStatsBuilder)
+
+  private[graft] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    builders.map { case (name, b) =>
+      (FunctionIdentifier(name), new ExpressionInfo(classOf[GraftExtensions].getName, name), b)
+    }
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "quantized_dot", builder, "built-in")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
 }

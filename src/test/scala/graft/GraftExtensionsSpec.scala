@@ -20,4 +20,21 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT quantized_dot(1)").collect())
     intercept[Exception](spark.sql("SELECT quantized_dot(1, 2)").collect())
   }
+
+  test("long_array_dot / shingle_set / text_stats callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((1L, "The quick brown fox the END"))
+      .toDF("id", "text").createOrReplaceTempView("docs_sql")
+    assert(spark.sql("SELECT long_array_dot(array(2L,3L), array(4L,5L)) AS d")
+      .as[Long].collect()(0) == 23L)
+    val sh = spark.sql("SELECT shingle_set(text, 2) AS s FROM docs_sql")
+      .collect()(0).getSeq[String](0)
+    assert(sh.contains("the quick") && sh.contains("fox the"))
+    val st = spark.sql(
+      "SELECT text_stats(text).n_tokens AS n, text_stats(text).n_distinct AS d FROM docs_sql")
+      .collect()(0)
+    assert(st.getInt(0) == 6 && st.getInt(1) == 5) // 'the' twice after lowering
+    intercept[Exception](
+      spark.sql("SELECT shingle_set(text, id) FROM docs_sql").collect())
+  }
 }

@@ -90,6 +90,32 @@ class TextNearDupSpec extends SparkSpec {
     assert(NearDup.minhashNearDups(df).count() == 0)
   }
 
+  test("components == union-find reference on pseudo-random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      // deterministic pseudo-random edge list over 40 nodes
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until 35).map { _ =>
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+      // union-find reference
+      val parent = Array.tabulate(40L.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n.toInt).toLong).toMap
+      val got = NearDup.components(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // min-label propagation converges to the min node id per component;
+      // union-find with min-root union does the same
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("capped Jaccard: values exact incl. hot shingles; hot-only pairs dropped") {
     val phrase = "alpha beta gamma delta"
     val df = docs(
