@@ -159,6 +159,15 @@ object SparkEntry {
     // exact quantized-cosine verify (approximation explicit + oracle-mirrored)
     "q42_embedding_neardup_lsh" -> ((s, dir) =>
       Similarity.embeddingNearDupsApprox(Tables.embeddings(s, dir))),
+    // the exact batch twin of q35's sliding sketch — oracle-checked, pins
+    // the sliding-window assignment semantics
+    "q43_sliding_exact" -> ((s, dir) =>
+      graft.streaming.WindowedAggs.slidingActivityExact(ev(s, dir))
+        .orderBy("window_start")),
+    // IVF with multi-cell probing (nprobe=2) — the standard recall/cost
+    // dial; same equi-join plan shape as q36, candidates scale with nprobe
+    "q44_ann_ivf_nprobe" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -384,5 +393,7 @@ object SparkEntry {
          |FROM ($enrichedSql)
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q42_embedding_neardup_lsh" -> Similarity.embeddingNearDupsApproxSql(),
+    "q43_sliding_exact" -> graft.streaming.WindowedAggs.slidingActivityExactSql,
+    "q44_ann_ivf_nprobe" -> Similarity.ivfTopKSql(nprobe = 2),
   )
 }

@@ -280,37 +280,47 @@ object Similarity {
         first("cnt").as("n"))
       .select(col("clabel"), transform(col("ps"), p => p.getField("s")).as("cs"), col("n"))
 
-  /** (vec_id, cell): nearest-centroid assignment. The n×k dot products run
-    * through [[graft.functions.LongArrayDot]] — native codegen — instead of
+  /** (vec_id, cell, cell_rank): centroid assignments ranked by similarity
+    * (cell_rank 1 = nearest). The n×k dot products run through
+    * [[graft.functions.LongArrayDot]] — native codegen — instead of
     * interpreted `aggregate(zip_with(...))` lambdas (the quantization
     * `transform` stays: it runs once per VECTOR in the projection, not once
-    * per vector×centroid candidate).
+    * per vector×centroid candidate). `maxRank` bounds the fan-out (1 for
+    * storage assignment, nprobe for query routing).
     */
-  def ivfCells(embeddings: DataFrame): DataFrame = {
+  def ivfCellsRanked(embeddings: DataFrame, maxRank: Int): DataFrame = {
     val q = embeddings.select(col("vec_id"), quantized(col("embedding")).as("qv"))
     val dotd = (graft.functions.LongArrayDot.dotLong(col("qv"), col("cs"))
       .cast("double") / col("n"))
     val w = Window.partitionBy(col("vec_id")).orderBy(dotd.desc, col("clabel"))
     q.crossJoin(broadcast(ivfCentroids(embeddings)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("clabel").as("cell"))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= maxRank)
+      .select(col("vec_id"), col("clabel").as("cell"), col("cell_rank"))
   }
 
-  /** IVF approximate top-k: probe only the query's own cell (nprobe=1).
-    * The search join is an equi-join on cell — the same co-partitioned
-    * shape as [[lshBucketedTopK]], with centroids as the router.
+  /** (vec_id, cell): nearest-centroid assignment. */
+  def ivfCells(embeddings: DataFrame): DataFrame =
+    ivfCellsRanked(embeddings, 1).select("vec_id", "cell")
+
+  /** IVF approximate top-k: each query probes its `nprobe` nearest cells;
+    * corpus vectors live in their single nearest cell. The search join is
+    * an equi-join on cell — the same co-partitioned shape as
+    * [[lshBucketedTopK]], with centroids as the router. A (query, neighbor)
+    * pair meets at most once because the neighbor has ONE home cell.
+    * nprobe is the standard IVF recall/cost dial: candidates grow
+    * linearly with it while the plan shape stays identical.
     */
-  def ivfTopK(embeddings: DataFrame, k: Int = 3): DataFrame = {
-    val cells = ivfCells(embeddings)
-    // cache: both sides of the in-cell self-join read the assignment
+  def ivfTopK(embeddings: DataFrame, k: Int = 3, nprobe: Int = 1): DataFrame = {
+    // cache: both sides of the in-cell join read the ranked-assignment
     // relation, and the toDF renames below would otherwise defeat
     // exchange reuse — without this the centroid pipeline runs twice
-    val withCell = embeddings.select(col("vec_id"), col("embedding"))
-      .join(cells, "vec_id")
-      .cache()
-    val a = withCell.toDF("query_id", "query_emb", "cell_a")
-    val b = withCell.toDF("neighbor_id", "emb_b", "cell_b")
+    val ranked = ivfCellsRanked(embeddings, nprobe).cache()
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val a = emb.join(ranked, "vec_id")
+      .toDF("query_id", "query_emb", "cell_a", "cell_rank")
+    val b = emb.join(ranked.filter(col("cell_rank") === 1), "vec_id")
+      .toDF("neighbor_id", "emb_b", "cell_b", "cell_rank_b")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     a.join(b, col("cell_a") === col("cell_b") && col("query_id") =!= col("neighbor_id"))
@@ -321,7 +331,7 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def ivfTopKSql(k: Int = 3): String =
+  def ivfTopKSql(k: Int = 3, nprobe: Int = 1): String =
     s"""WITH q AS (
        |  SELECT vec_id, embedding,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
@@ -333,19 +343,21 @@ object Similarity {
        |  GROUP BY 1, 2),
        |cen AS (SELECT clabel, list(s ORDER BY pos) AS cs, any_value(n) AS n FROM cend GROUP BY clabel),
        |assigned AS (
-       |  SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, rn FROM (
        |    SELECT q.vec_id, c.clabel AS cell,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |        (CAST(list_sum(list_transform(list_zip(q.qv, c.cs), x -> x[1]*x[2])) AS DOUBLE) / c.n) DESC,
        |        c.clabel) AS rn
-       |    FROM q, cen c) WHERE rn = 1),
-       |wc AS (SELECT q.vec_id, q.embedding, a.cell FROM q JOIN assigned a ON q.vec_id = a.vec_id)
+       |    FROM q, cen c) WHERE rn <= $nprobe),
+       |wc_q AS (SELECT q.vec_id, q.embedding, a.cell FROM q JOIN assigned a ON q.vec_id = a.vec_id),
+       |wc_c AS (SELECT q.vec_id, q.embedding, a.cell FROM q JOIN assigned a
+       |  ON q.vec_id = a.vec_id AND a.rn = 1)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    ${dotSql("a.embedding", "b.embedding")} AS cosine,
        |    CAST(row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY ${dotSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rank
-       |  FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  FROM wc_q a JOIN wc_c b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   def lshBucketedTopKSql(k: Int = 3): String = {

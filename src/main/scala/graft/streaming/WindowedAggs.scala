@@ -35,7 +35,12 @@ object WindowedAggs {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("event_count"), col("total_value"))
 
-  /** Sliding-window (1 hour, sliding 15 min) distinct-user activity. */
+  /** Sliding-window (1 hour, sliding 15 min) distinct-user activity —
+    * STREAMING form: `approx_count_distinct` (HLL++) because exact distinct
+    * aggregation is not mergeable under incremental streaming state. The
+    * sketch is why this query is rows-only at the oracle; the exact batch
+    * twin is [[slidingActivityExact]].
+    */
   def slidingActivity(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
@@ -43,6 +48,32 @@ object WindowedAggs {
       .agg(approx_count_distinct("user_id").as("active_users"),
         count(lit(1)).as("event_count"))
       .select(col("w.start").as("window_start"), col("active_users"), col("event_count"))
+
+  /** The exact BATCH/backfill twin of [[slidingActivity]]: same sliding
+    * windows, exact `count_distinct` (one shuffle on the window key with
+    * partial aggregation; the 4× window fan-out happens map-side). This is
+    * the variant a backfill or reconciliation job runs — and it is fully
+    * oracle-checkable, pinning the window assignment semantics that the
+    * sketch variant shares.
+    */
+  def slidingActivityExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count_distinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("event_count"))
+      .select(col("w.start").as("window_start"), col("active_users"), col("event_count"))
+
+  /** DuckDB mirror of [[slidingActivityExact]]: each event belongs to the
+    * four 15-min-aligned window starts in (ts−1h, ts]; `time_bucket`'s
+    * 2000-01-01 origin is 900-second-aligned with Spark's epoch-0 grid.
+    */
+  def slidingActivityExactSql: String =
+    s"""SELECT window_start, COUNT(DISTINCT user_id) AS active_users, COUNT(*) AS event_count
+       |FROM (
+       |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - (k * INTERVAL 15 MINUTE) AS window_start,
+       |    user_id
+       |  FROM events, unnest(generate_series(0, 3)) AS t(k))
+       |GROUP BY window_start ORDER BY window_start""".stripMargin
 
   // ---------------------------------------------------------------- state
 
