@@ -311,6 +311,15 @@ object NearDup {
     * discriminative signal anyway); the posting join cost drops from
     * Σdf² to Σ min(df,cap)² over the capped vocabulary.
     *
+    * When the cap actually binds (measured — [[graft.CapDemo]]): on this
+    * corpus's degenerate 2-gram vocabulary, 99.997% of the uncapped Σdf²
+    * (73.2M of 73.2M posting pairs) comes from hot shingles, and hot df
+    * grows linearly with corpus size — so the uncapped join cost is
+    * QUADRATIC in corpus scale while the capped index stays ≤ cap²·vocab.
+    * On the 3-gram default the cap barely binds (avg df ≈ 37 < 100), so
+    * q38 costs ≈ q32 plus the df/doc-stats overhead — the escalation is
+    * insurance you buy for hot-key distributions, not a free speedup.
+    *
     * Reported Jaccard values are still EXACT over the full shingle sets,
     * without ever shuffling a shingle array:
     *  1. `n_rare` — the rare-shingle intersection count — falls out of the
