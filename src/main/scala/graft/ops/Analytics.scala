@@ -13,12 +13,14 @@ import graft.sources.Tables
   * joins / windows / top-k at scale.
   *
   * Scale notes: all aggregations are partial-agg friendly (`groupBy.agg`
-  * with algebraic functions only → map-side combine); dimension tables
-  * (`nation`, `region`, `customer`, `part`) are explicitly `broadcast()` so
-  * the fact scan never shuffles for them; sorts happen post-aggregation on
-  * already-tiny results. Monetary aggregates go through
-  * [[graft.functions.Deterministic]] (exact decimal sums) so results are
-  * order-independent.
+  * with algebraic functions only → map-side combine); only FIXED-cardinality
+  * dimension tables (`nation` 25 rows, `region` 5) carry explicit
+  * `broadcast()` hints — `customer` and `part` grow linearly with SF
+  * (measured: ×100 rows sf0.001→sf0.1), so their joins are left to AQE,
+  * which broadcasts while they fit and switches to a shuffled join when
+  * they don't; sorts happen post-aggregation on already-tiny results.
+  * Monetary aggregates go through [[graft.functions.Deterministic]] (exact
+  * decimal sums) so results are order-independent.
   */
 object Analytics {
 
@@ -69,12 +71,12 @@ object Analytics {
 
   /** A5 — category performance view (`postgres_setup.sql:128-137`), over the
     * star schema: part type as the category, lineitem revenue as the spend.
-    * `part` is broadcast — the lineitem scan aggregates without a join
-    * shuffle.
+    * `part` scales linearly with SF, so no broadcast hint — AQE broadcasts
+    * it while small and shuffles on `l_partkey`/`p_partkey` once it isn't.
     */
   def categoryPerformance(lineitem: DataFrame, part: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
       .groupBy(col("p_type").as("category"))
       .agg(
         count("*").as("event_count"),
