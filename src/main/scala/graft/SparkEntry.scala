@@ -168,6 +168,10 @@ object SparkEntry {
     // dial; same equi-join plan shape as q36, candidates scale with nprobe
     "q44_ann_ivf_nprobe" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
+    // TPC-H Q5 shape: two dimension paths meet at the fact (local-supplier
+    // revenue); exercises the supplier table + date pushdown + region prune
+    "q45_local_supplier_revenue" -> ((s, dir) =>
+      Analytics.localSupplierRevenue(s, dir)),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -395,5 +399,19 @@ object SparkEntry {
     "q42_embedding_neardup_lsh" -> Similarity.embeddingNearDupsApproxSql(),
     "q43_sliding_exact" -> graft.streaming.WindowedAggs.slidingActivityExactSql,
     "q44_ann_ivf_nprobe" -> Similarity.ivfTopKSql(nprobe = 2),
+    "q45_local_supplier_revenue" ->
+      s"""SELECT n_name AS nation_name,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, nation_name""".stripMargin,
   )
 }

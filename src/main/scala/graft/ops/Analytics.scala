@@ -162,6 +162,38 @@ object Analytics {
       .orderBy(col("revenue").desc, col("nation_name"))
   }
 
+  /** TPC-H Q5-shaped local-supplier revenue: two independent dimension
+    * paths (orders→customer and lineitem→supplier) meet at the fact and
+    * must agree on the nation — the classic multi-path star topology. The
+    * region filter prunes through broadcast `nation⋈region` BEFORE the
+    * fact shuffles, and the `o_orderdate` range predicate pushes down to
+    * the orders scan. `customer`/`supplier` joins are AQE's call (both
+    * scale with SF); the only guaranteed big shuffle is lineitem⋈orders.
+    */
+  def localSupplierRevenue(
+      spark: SparkSession, dir: String, region: String = "ASIA",
+      yearFrom: String = "1996-01-01 00:00:00",
+      yearTo: String = "1998-01-01 00:00:00"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(yearFrom).cast("timestamp") &&
+        col("o_orderdate") < lit(yearTo).cast("timestamp"))
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).filter(col("r_name") === region)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("nation_name"))
+  }
+
   /** Window function: top-3 customers by revenue within each nation
     * (rank + partitioned window; deterministic tie-break on custkey).
     * customer is NOT broadcast-hinted (it scales with SF — AQE decides);
