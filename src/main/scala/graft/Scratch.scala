@@ -28,6 +28,8 @@ object Scratch {
     time("neardups")(NearDup.minhashNearDups(docs).count())
     time("simhash")(NearDup.simhash(docs).count())
     time("simhash_pairs")(NearDup.simhashNearDups(docs).count())
+    time("components")(NearDup.components(NearDup.minhashNearDups(docs)).count())
+    time("keeplist")(NearDup.dedupKeepList(docs).count())
     spark.stop()
   }
 }

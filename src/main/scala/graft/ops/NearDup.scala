@@ -247,13 +247,15 @@ object NearDup {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
+    val sc = pairs.sparkSession.sparkContext
     var converged = false
     while (!converged) {
-      // One propagation pass that ALSO carries the changed flag: join the
-      // proposed labels back to the current ones in the same plan, then
-      // eagerly localCheckpoint — a single job materializes the round and
-      // truncates lineage (no per-iteration plan growth). The convergence
-      // check is then a near-free scan of the checkpointed blocks.
+      // ONE job per round: the propagation join carries the changed flag,
+      // a LongAccumulator counts changed rows DURING the eager
+      // localCheckpoint that materializes the round (and truncates lineage
+      // — no per-iteration plan growth). Safe under task retries: a
+      // converged round has zero changed rows, so replays add zero.
+      val changedAcc = sc.longAccumulator("graft.components.changed")
       val prop = labels.join(edges, col("doc_id") === col("doc_a"))
         .select(col("doc_b").as("doc_id"), col("label"))
         .union(labels)
@@ -262,8 +264,12 @@ object NearDup {
         .join(labels.select(col("doc_id").as("doc_id_old"), col("label").as("label_old")),
           col("doc_id") === col("doc_id_old"))
         .select(col("doc_id"), col("label"), (col("label") < col("label_old")).as("changed"))
+        .filter { r: org.apache.spark.sql.Row =>
+          if (r.getBoolean(2)) changedAcc.add(1L)
+          true
+        }
         .localCheckpoint()
-      converged = next.filter(col("changed")).limit(1).isEmpty
+      converged = changedAcc.value == 0L
       labels = next.select("doc_id", "label")
     }
     labels
