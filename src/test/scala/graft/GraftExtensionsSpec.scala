@@ -21,6 +21,26 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT quantized_dot(1, 2)").collect())
   }
 
+  test("extension descriptors: distinct names, builders construct and eval") {
+    // the spark.sql.extensions path can't be exercised in-JVM (getOrCreate
+    // returns the shared test session, ignoring extensions), so pin the
+    // pieces it is made of: apply() accepts a fresh SparkSessionExtensions,
+    // and each descriptor's builder yields a working expression.
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    val names = GraftExtensions.descriptors.map(_._1.funcName)
+    assert(names == names.distinct &&
+      names.toSet == Set("quantized_dot", "long_array_dot", "shingle_set", "text_stats"))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val byName = GraftExtensions.descriptors.map(d => d._1.funcName -> d._3).toMap
+    val dot = byName("long_array_dot")(Seq(
+      Literal.create(Seq(3L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+      Literal.create(Seq(4L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+    assert(dot.eval(null) == 12L)
+    intercept[Exception](byName("shingle_set")(Seq(Literal("x"), Literal("y"))))
+  }
+
   test("long_array_dot / shingle_set / text_stats callable from SQL") {
     GraftExtensions.register(spark)
     Seq((1L, "The quick brown fox the END"))
