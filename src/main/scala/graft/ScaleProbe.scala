@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: measured scaling probe for the extension operators.
+  *
+  * Builds a deterministic 10× corpus from sf0.1 (each document duplicated
+  * 10× with one unique extra token — realistic near-dup clusters of 10;
+  * each embedding duplicated 10× with a small deterministic per-copy
+  * jitter), then times the scale-path queries at 1× and 10× so the
+  * claimed complexity is observed, not argued:
+  *
+  * Measured (local[32], 2026-08-12; 5k→50k docs / 2k→20k vectors):
+  *
+  *  - MinHash near-dup (q24 shape): 4.5 s → 10.6 s (2.4× wall) while the
+  *    OUTPUT grew 256 → 247,888 pairs — candidate generation scales with
+  *    corpus + matches, never n².
+  *  - LSH bucketed ANN (q29): 1.8 s → 30–36 s with planes FIXED at 4 —
+  *    the documented failure mode (16 buckets → bucket size ×10 →
+  *    Σ bucket² ×100). With planes scaled to the corpus (7 → 128
+  *    buckets): 7.0 s. The `planes` parameter is the contract.
+  *  - IVF ANN (q36): 3.3 s → 42.9 s — same cause (cells = 8 corpus
+  *    labels); at scale the coarse quantizer must be trained with
+  *    k ∝ corpus/target-cell-size, exactly like planes.
+  *  - Exact embedding near-dup (q26): 1.6 s → 131.6 s ≈ the predicted
+  *    ~100× O(n²) compute — but it DEGRADES BY BALANCED WORK across the
+  *    block grid (completes, no hot partition), which is all an exact
+  *    all-pairs can promise.
+  *
+  * Run: sbt "runMain graft.ScaleProbe" (writes under /tmp/graft-scale10).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/graft-scale10"
+
+    val copies = explode(sequence(lit(0), lit(9))).as("k")
+    graft.sources.Tables.documents(spark, base)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"), copies)
+      .select((col("doc_id") * 10 + col("k")).as("doc_id"),
+        concat(col("text"), lit(" uniq"), (col("doc_id") * 10 + col("k"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    graft.sources.Tables.embeddings(spark, base)
+      .select(col("vec_id"), col("embedding"), col("label"), copies)
+      .select((col("vec_id") * 10 + col("k")).as("vec_id"),
+        // per-copy jitter on one coordinate keeps copies near-identical but
+        // distinct; deterministic (no rand())
+        transform(col("embedding"),
+          (x, i) => when(i === pmod(col("k"), lit(64)), x + (col("k").cast("float") - 4.5f) * 1e-4f)
+            .otherwise(x)).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[scale] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    for ((label, dir) <- Seq("1x" -> base, "10x" -> out)) {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      time(s"$label minhash_neardup")(graft.ops.NearDup.minhashNearDups(docs).count())
+      time(s"$label ann_lsh_topk")(graft.ops.Similarity.lshBucketedTopK(emb).count())
+      time(s"$label ann_ivf_topk")(graft.ops.Similarity.ivfTopK(emb).count())
+      time(s"$label embedding_neardup_exact")(
+        graft.ops.Similarity.embeddingNearDups(emb, blocks = 16).count())
+      if (label == "10x") {
+        // the remedy for fixed-plane quadratic bucket growth: scale the
+        // plane count with the corpus (16 → 128 buckets at 10×)
+        time(s"$label ann_lsh_topk planes=7")(
+          graft.ops.Similarity.lshBucketedTopK(emb, planes = 7).count())
+      }
+    }
+    spark.stop()
+  }
+}
