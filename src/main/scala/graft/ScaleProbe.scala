@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *    the documented failure mode (16 buckets → bucket size ×10 →
   *    Σ bucket² ×100). With planes scaled to the corpus (7 → 128
   *    buckets): 7.0 s. The `planes` parameter is the contract.
-  *  - IVF ANN (q36): 3.3 s → 42.9 s — same cause (cells = 8 corpus
-  *    labels); at scale the coarse quantizer must be trained with
-  *    k ∝ corpus/target-cell-size, exactly like planes.
+  *  - IVF ANN (q36): 3.3 s → 43–60 s — same cause (cells = 8 corpus
+  *    labels). Composite cells (q46: label × 2^subPlanes LSH sub-buckets,
+  *    subPlanes=4 → 128 cells) recover it to 5.7 s without retraining
+  *    centroids; at true scale you ALSO retrain the coarse quantizer with
+  *    k ∝ corpus/target-cell-size.
   *  - Exact embedding near-dup (q26): 1.6 s → 131.6 s ≈ the predicted
   *    ~100× O(n²) compute — but it DEGRADES BY BALANCED WORK across the
   *    block grid (completes, no hot partition), which is all an exact
@@ -72,10 +74,13 @@ object ScaleProbe {
       time(s"$label embedding_neardup_exact")(
         graft.ops.Similarity.embeddingNearDups(emb, blocks = 16).count())
       if (label == "10x") {
-        // the remedy for fixed-plane quadratic bucket growth: scale the
-        // plane count with the corpus (16 → 128 buckets at 10×)
+        // the remedies for fixed bucket/cell counts: scale the plane count
+        // with the corpus (16 → 128 buckets), and multiply IVF cells by
+        // LSH sub-buckets (8 label cells → 128 composite cells)
         time(s"$label ann_lsh_topk planes=7")(
           graft.ops.Similarity.lshBucketedTopK(emb, planes = 7).count())
+        time(s"$label ann_ivf_topk subPlanes=4")(
+          graft.ops.Similarity.ivfTopK(emb, subPlanes = 4).count())
       }
     }
     spark.stop()

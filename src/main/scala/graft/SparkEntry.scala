@@ -172,6 +172,10 @@ object SparkEntry {
     // revenue); exercises the supplier table + date pushdown + region prune
     "q45_local_supplier_revenue" -> ((s, dir) =>
       Analytics.localSupplierRevenue(s, dir)),
+    // composite IVF cells (label × 2^2 LSH sub-buckets) — the multi-index
+    // remedy for cell-count scaling measured in graft.ScaleProbe
+    "q46_ann_ivf_subbucket" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), subPlanes = 2)),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -413,5 +417,6 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, nation_name""".stripMargin,
+    "q46_ann_ivf_subbucket" -> Similarity.ivfTopKSql(subPlanes = 2),
   )
 }

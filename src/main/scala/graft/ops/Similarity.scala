@@ -287,16 +287,28 @@ object Similarity {
     * `transform` stays: it runs once per VECTOR in the projection, not once
     * per vector×centroid candidate). `maxRank` bounds the fan-out (1 for
     * storage assignment, nprobe for query routing).
+    *
+    * `subPlanes` > 0 appends an LSH sub-bucket key to the cell — the
+    * multi-index remedy for the measured cell-scaling limit
+    * ([[graft.ScaleProbe]]: cells are seeded from the corpus `label`
+    * column, so a 10× corpus means 10× vectors PER CELL and Σ cell²
+    * candidate growth; composite cells multiply the cell count by
+    * 2^subPlanes without retraining centroids).
     */
-  def ivfCellsRanked(embeddings: DataFrame, maxRank: Int): DataFrame = {
-    val q = embeddings.select(col("vec_id"), quantized(col("embedding")).as("qv"))
+  def ivfCellsRanked(embeddings: DataFrame, maxRank: Int, subPlanes: Int = 0): DataFrame = {
+    val q = embeddings.select(col("vec_id"), col("embedding"),
+      quantized(col("embedding")).as("qv"))
     val dotd = (graft.functions.LongArrayDot.dotLong(col("qv"), col("cs"))
       .cast("double") / col("n"))
     val w = Window.partitionBy(col("vec_id")).orderBy(dotd.desc, col("clabel"))
+    val cellCol =
+      if (subPlanes <= 0) col("clabel")
+      else concat(col("clabel").cast("string"), lit("|"),
+        bucketCol(col("embedding"), subPlanes))
     q.crossJoin(broadcast(ivfCentroids(embeddings)))
       .withColumn("cell_rank", row_number().over(w))
       .filter(col("cell_rank") <= maxRank)
-      .select(col("vec_id"), col("clabel").as("cell"), col("cell_rank"))
+      .select(col("vec_id"), cellCol.as("cell"), col("cell_rank"))
   }
 
   /** (vec_id, cell): nearest-centroid assignment. */
@@ -311,11 +323,12 @@ object Similarity {
     * nprobe is the standard IVF recall/cost dial: candidates grow
     * linearly with it while the plan shape stays identical.
     */
-  def ivfTopK(embeddings: DataFrame, k: Int = 3, nprobe: Int = 1): DataFrame = {
+  def ivfTopK(
+      embeddings: DataFrame, k: Int = 3, nprobe: Int = 1, subPlanes: Int = 0): DataFrame = {
     // cache: both sides of the in-cell join read the ranked-assignment
     // relation, and the toDF renames below would otherwise defeat
     // exchange reuse — without this the centroid pipeline runs twice
-    val ranked = ivfCellsRanked(embeddings, nprobe).cache()
+    val ranked = ivfCellsRanked(embeddings, nprobe, subPlanes).cache()
     val emb = embeddings.select(col("vec_id"), col("embedding"))
     val a = emb.join(ranked, "vec_id")
       .toDF("query_id", "query_emb", "cell_a", "cell_rank")
@@ -331,7 +344,17 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def ivfTopKSql(k: Int = 3, nprobe: Int = 1): String =
+  def ivfTopKSql(k: Int = 3, nprobe: Int = 1, subPlanes: Int = 0): String = {
+    val cellExpr =
+      if (subPlanes <= 0) "c.clabel"
+      else {
+        val bits = planeSignsFor(subPlanes).map { signs =>
+          val arr = signs.mkString("[", ",", "]")
+          val d = graft.functions.QuantizedDot.dotq6Sql("q.embedding", arr)
+          s"(CASE WHEN $d >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"CAST(c.clabel AS VARCHAR) || '|' || $bits"
+      }
     s"""WITH q AS (
        |  SELECT vec_id, embedding,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
@@ -344,7 +367,7 @@ object Similarity {
        |cen AS (SELECT clabel, list(s ORDER BY pos) AS cs, any_value(n) AS n FROM cend GROUP BY clabel),
        |assigned AS (
        |  SELECT vec_id, cell, rn FROM (
-       |    SELECT q.vec_id, c.clabel AS cell,
+       |    SELECT q.vec_id, $cellExpr AS cell,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |        (CAST(list_sum(list_transform(list_zip(q.qv, c.cs), x -> x[1]*x[2])) AS DOUBLE) / c.n) DESC,
        |        c.clabel) AS rn
@@ -359,6 +382,7 @@ object Similarity {
        |      ORDER BY ${dotSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rank
        |  FROM wc_q a JOIN wc_c b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   def lshBucketedTopKSql(k: Int = 3): String = {
     val bitExprs = planeSigns.map { signs =>
