@@ -50,4 +50,25 @@ object Dedup {
       Seq(col("doc_id")))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
+
+  /** STREAMING content dedup for document ingest: first-arrival wins per
+    * md5(text) under an event-time watermark — the D2 pattern applied to
+    * the training-data domain (continuous crawl/ingest). State holds one
+    * 16-byte hash per distinct document inside the watermark horizon and
+    * expires with it (`dropDuplicatesWithinWatermark`), so state is
+    * bounded by ingest rate × watermark, not corpus size. Works on batch
+    * frames too (watermark/dedup degrade to a plain distinct-by-hash),
+    * which is how the spec pins the semantics.
+    */
+  def streamingContentDedup(
+      documents: DataFrame, tsCol: String = "ingest_ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    val hashed = documents.withColumn("text_hash", md5(col("text")))
+    val deduped =
+      if (documents.isStreaming)
+        hashed.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("text_hash")
+      else hashed.dropDuplicates("text_hash")
+    deduped.drop("text_hash")
+  }
 }

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.current_timestamp
+
 import graft.SparkSpec
 
 /** Specs for the training-data text ops: analysis, MinHash/SimHash/embedding
@@ -88,6 +90,31 @@ class TextNearDupSpec extends SparkSpec {
   test("shingles of short documents are empty, not an error") {
     val df = docs((1L, "one two"))
     assert(NearDup.minhashNearDups(df).count() == 0)
+  }
+
+  test("streaming content dedup: first arrival wins, duplicates dropped in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ingest_ts", "text")
+    val out = Dedup.streamingContentDedup(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("content_dedup_out").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-10 10:00:00")
+      mem.addData((1L, t, "same text"), (2L, t, "same text"), (3L, t, "other text"))
+      out.processAllAvailable()
+      // re-delivery of an already-seen document in a later batch
+      mem.addData((4L, java.sql.Timestamp.valueOf("2024-01-10 10:01:00"), "same text"))
+      out.processAllAvailable()
+      val kept = spark.table("content_dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.length == 2 && kept.contains(3L) && !kept.contains(4L))
+    } finally out.stop()
+    // batch path: plain distinct-by-hash
+    val batch = docs((1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ccc ddd"))
+      .withColumnRenamed("n_chars", "x").withColumn("ingest_ts", current_timestamp())
+    assert(Dedup.streamingContentDedup(batch).count() == 2)
   }
 
   test("components == union-find reference on pseudo-random graphs") {
