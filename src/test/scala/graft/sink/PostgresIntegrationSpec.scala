@@ -132,4 +132,24 @@ class PostgresIntegrationSpec extends AnyFunSuite {
       } finally st.close()
     }
   }
+
+  test("S2/S3: JdbcSink probe + Spark append round-trip (live DB)") {
+    withDb { conn =>
+      val spark = graft.SparkSpec.session
+      import spark.implicits._
+      val sink = new JdbcSink(cfg)
+      assert(sink.probe(spark).isSuccess, "probe read of (SELECT 1) t must succeed")
+      val id = System.nanoTime()
+      try {
+        val df = Seq((id, java.sql.Timestamp.valueOf("2024-01-10 10:00:00"),
+            7L, "view", 5.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        sink.append(df, "events")
+        val st = conn.createStatement()
+        val rs = st.executeQuery(s"SELECT event_type FROM events WHERE event_id = $id")
+        assert(rs.next() && rs.getString(1) == "view")
+        st.close()
+      } finally cleanup(conn, id)
+    }
+  }
 }
