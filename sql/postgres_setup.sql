@@ -59,16 +59,17 @@ CREATE TABLE IF NOT EXISTS dead_letter_events (
 CREATE INDEX IF NOT EXISTS idx_dead_letter_errors   ON dead_letter_events (validation_errors);
 CREATE INDEX IF NOT EXISTS idx_dead_letter_recorded ON dead_letter_events (recorded_at);
 
--- Per-batch quality metrics (graft.util.Monitoring.BatchMetrics)
+-- Per-batch quality metrics — columns EXACTLY as the engine appends them
+-- (graft.streaming.Pipeline.processBatch metrics DataFrame)
 CREATE TABLE IF NOT EXISTS data_quality_metrics (
-    id                 SERIAL PRIMARY KEY,
-    batch_id           BIGINT NOT NULL,
-    total_rows         BIGINT NOT NULL,
-    valid_rows         BIGINT NOT NULL,
-    invalid_rows       BIGINT NOT NULL,
-    validity_rate      NUMERIC(7, 4),
-    late_arrival_count BIGINT DEFAULT 0,
-    recorded_at        TIMESTAMP DEFAULT CURRENT_TIMESTAMP
+    id                  SERIAL PRIMARY KEY,
+    batch_id            BIGINT NOT NULL,
+    total_events        BIGINT NOT NULL,
+    valid_events        BIGINT NOT NULL,
+    invalid_events      BIGINT NOT NULL,
+    validity_rate       DOUBLE PRECISION,
+    processing_time_sec DOUBLE PRECISION,
+    recorded_at         TIMESTAMP DEFAULT CURRENT_TIMESTAMP
 );
 
 CREATE INDEX IF NOT EXISTS idx_quality_recorded ON data_quality_metrics (recorded_at);

@@ -36,7 +36,8 @@ object CapDemo {
     val stats = ex.groupBy("sh").count()
       .agg(count(lit(1)).as("vocab"),
         sum(col("count") * col("count")).as("sumdf2"),
-        sum(when(col("count") > 100, col("count") * col("count"))).as("hot_sumdf2"))
+        coalesce(sum(when(col("count") > 100, col("count") * col("count"))), lit(0L))
+          .as("hot_sumdf2"))
       .collect()(0)
     println(s"[capdemo] 2-gram vocab=${stats.getLong(0)} sumdf2=${stats.getLong(1)} " +
       s"hot_sumdf2=${stats.getLong(2)}")

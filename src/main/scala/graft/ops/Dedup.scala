@@ -63,12 +63,18 @@ object Dedup {
   def streamingContentDedup(
       documents: DataFrame, tsCol: String = "ingest_ts",
       watermark: String = "10 minutes"): DataFrame = {
-    val hashed = documents.withColumn("text_hash", md5(col("text")))
+    // null-text rows (failed extraction etc.) PASS THROUGH un-deduped:
+    // md5(null) is null and dropDuplicates treats null keys as equal, so
+    // without the split every null-text row after the first would be
+    // silently discarded as a "duplicate".
+    val withText = documents.filter(col("text").isNotNull)
+    val nullText = documents.filter(col("text").isNull)
+    val hashed = withText.withColumn("text_hash", md5(col("text")))
     val deduped =
       if (documents.isStreaming)
         hashed.withWatermark(tsCol, watermark)
           .dropDuplicatesWithinWatermark("text_hash")
       else hashed.dropDuplicates("text_hash")
-    deduped.drop("text_hash")
+    deduped.drop("text_hash").unionByName(nullText)
   }
 }

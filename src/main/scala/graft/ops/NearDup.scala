@@ -249,12 +249,17 @@ object NearDup {
       .localCheckpoint()
     val sc = pairs.sparkSession.sparkContext
     var converged = false
+    var prevRound: DataFrame = null
     while (!converged) {
       // ONE job per round: the propagation join carries the changed flag,
       // a LongAccumulator counts changed rows DURING the eager
       // localCheckpoint that materializes the round (and truncates lineage
       // — no per-iteration plan growth). Safe under task retries: a
       // converged round has zero changed rows, so replays add zero.
+      // Fault-tolerance tradeoff: localCheckpoint blocks are not
+      // recomputable on executor loss — acceptable for this driver-bounded
+      // loop (a failure restarts the op); a long-running production job
+      // would set a reliable checkpoint dir and use Dataset.checkpoint.
       val changedAcc = sc.longAccumulator("graft.components.changed")
       val prop = labels.join(edges, col("doc_id") === col("doc_a"))
         .select(col("doc_b").as("doc_id"), col("label"))
@@ -270,6 +275,10 @@ object NearDup {
         }
         .localCheckpoint()
       converged = changedAcc.value == 0L
+      // the superseded round's checkpointed blocks are dead once `next`
+      // is materialized — free them instead of waiting for GC
+      if (prevRound != null) prevRound.unpersist()
+      prevRound = next
       labels = next.select("doc_id", "label")
     }
     labels

@@ -61,7 +61,11 @@ object Quality {
         "validity_rate",
         (col("valid_events").cast("double") / col("total_events").cast("double")) * 100.0)
       .collect()
-    val total = rows.find(_.getAs[Int]("is_total") == 1).get
+    // rollup over an EMPTY frame emits zero rows (unlike a global agg) —
+    // fall back to the global-agg row so callers get total_events = 0
+    // instead of a NoSuchElementException
+    val total = rows.find(_.getAs[Int]("is_total") == 1)
+      .getOrElse(batchMetrics(df).collect()(0))
     val errors = rows.iterator
       .filter(r => r.getAs[Int]("is_total") == 0 && r.getAs[String]("validation_errors") != null)
       .map(r => r.getAs[String]("validation_errors") -> r.getAs[Long]("total_events"))

@@ -119,8 +119,11 @@ object Similarity {
     */
   def embeddingNearDupsApprox(
       embeddings: DataFrame, maxFlips: Int = 1, planes: Int = Planes): DataFrame = {
+    // cache: probing and home sides both read the bucketed relation;
+    // without it the corpus scan + plane dots run twice
     val withB = embeddings.select(col("vec_id"), col("embedding"),
       bucketCol(col("embedding"), planes).as("bucket"))
+      .cache()
     // Probe keys: the bucket itself + every ≤maxFlips bit-flip of it.
     val probeKeys: Seq[Column] = {
       val idxSets = (0 until planes).toSet.subsets().filter(_.size <= maxFlips).toSeq

@@ -145,9 +145,19 @@ class PostgresIntegrationSpec extends AnyFunSuite {
             7L, "view", 5.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         sink.append(df, "events")
+        // the per-batch metrics row, with the exact columns processBatch writes
+        sink.append(
+          Seq((id, 1L, 1L, 0L, 100.0, 0.01))
+            .toDF("batch_id", "total_events", "valid_events", "invalid_events",
+              "validity_rate", "processing_time_sec"),
+          "data_quality_metrics")
         val st = conn.createStatement()
         val rs = st.executeQuery(s"SELECT event_type FROM events WHERE event_id = $id")
         assert(rs.next() && rs.getString(1) == "view")
+        val rs2 = st.executeQuery(
+          s"SELECT total_events FROM data_quality_metrics WHERE batch_id = $id")
+        assert(rs2.next() && rs2.getLong(1) == 1L)
+        st.execute(s"DELETE FROM data_quality_metrics WHERE batch_id = $id")
         st.close()
       } finally cleanup(conn, id)
     }
