@@ -34,7 +34,11 @@ object Quality {
         dsum(col("value")).as("total_value"))
       .withColumn(
         "validity_rate",
-        (col("valid_events").cast("double") / col("total_events").cast("double")) * 100.0)
+        // ANSI mode makes x/0 an ERROR, so the empty-batch case (total=0)
+        // must short-circuit to 0.0 rather than divide
+        when(col("total_events") === 0, 0.0)
+          .otherwise((col("valid_events").cast("double") /
+            col("total_events").cast("double")) * 100.0))
 
   /** The micro-batch variant: the SAME global metrics row PLUS the
     * per-validation-error counts out of ONE job — `rollup` carries both
@@ -59,7 +63,11 @@ object Quality {
         grouping(col("validation_errors")).cast("int").as("is_total"))
       .withColumn(
         "validity_rate",
-        (col("valid_events").cast("double") / col("total_events").cast("double")) * 100.0)
+        // ANSI mode makes x/0 an ERROR, so the empty-batch case (total=0)
+        // must short-circuit to 0.0 rather than divide
+        when(col("total_events") === 0, 0.0)
+          .otherwise((col("valid_events").cast("double") /
+            col("total_events").cast("double")) * 100.0))
       .collect()
     // rollup over an EMPTY frame emits zero rows (unlike a global agg) —
     // fall back to the global-agg row so callers get total_events = 0

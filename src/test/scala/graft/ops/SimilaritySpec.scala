@@ -113,6 +113,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("composite sub-bucket cells multiply the cell count; top-k stays valid") {
+    val rows = (0 until 24).map { i =>
+      val v = Seq.tabulate(Similarity.Dim)(d => (((i * 13 + d * 7) % 9) - 4) / 12.0f)
+      (i.toLong, v, i % 2)
+    }
+    val df = emb(rows: _*)
+    val plain = Similarity.ivfCellsRanked(df, 1)
+      .select("cell").distinct().count()
+    val composite = Similarity.ivfCellsRanked(df, 1, subPlanes = 2)
+      .collect().map(_.getAs[String]("cell"))
+    assert(composite.forall(_.matches("\\d+\\|[01]{2}")))
+    assert(composite.distinct.length >= plain) // cells only split, never merge
+    val topk = Similarity.ivfTopK(df, k = 2, subPlanes = 2)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    assert(topk.values.forall(_.length <= 2))
+    // every returned neighbor shares the query's composite cell by construction
+  }
+
   test("plane signs are ±1 and stable across invocations") {
     val p = Similarity.planeSigns
     assert(p.size == Similarity.Planes && p.forall(_.size == Similarity.Dim))

@@ -124,4 +124,27 @@ class ValidateEnrichSpec extends SparkSpec {
     assert(m.getAs[Long]("null_user_id") == 1)
     assert(math.abs(m.getAs[Double]("validity_rate") - 200.0 / 3) < 1e-9)
   }
+
+  test("rollup metrics variant: same totals + per-error counts in one pass") {
+    val df = mkEvents(Seq(
+      (1L: java.lang.Long, ts("2024-01-10 10:00:00"), 7L: java.lang.Long, "view", 5.0: java.lang.Double, "{}"),
+      (2L: java.lang.Long, ts("2024-01-10 10:00:00"), 7L: java.lang.Long, "bogus", 5.0: java.lang.Double, "{}"),
+      (3L: java.lang.Long, ts("2024-01-10 10:00:00"), 7L: java.lang.Long, "bogus", 5.0: java.lang.Double, "{}"),
+      (4L: java.lang.Long, ts("2024-01-10 10:00:00"), 7L: java.lang.Long, "view", -1.0: java.lang.Double, "{}")))
+    val (m, errors) =
+      Quality.batchMetricsWithErrors(Enrich.enriched(Validate.withValidation(df)))
+    assert(m.getAs[Long]("total_events") == 4)
+    assert(m.getAs[Long]("valid_events") == 1)
+    assert(m.getAs[Long]("invalid_events") == 3)
+    assert(errors == Map("invalid_event_type" -> 2L, "negative_value" -> 1L))
+  }
+
+  test("rollup metrics variant on an EMPTY frame returns zeros, not a crash") {
+    // rollup over empty input emits zero rows; the fallback must produce
+    // the global-agg zero row (the regression the code-review caught)
+    val (m, errors) = Quality.batchMetricsWithErrors(
+      Enrich.enriched(Validate.withValidation(mkEvents(Seq.empty))))
+    assert(m.getAs[Long]("total_events") == 0)
+    assert(errors.isEmpty)
+  }
 }
