@@ -10,8 +10,12 @@
 -- bad writer cannot corrupt the serving tables.
 -- ============================================================================
 
--- Main events table: engine-enriched rows (SinkColumns.events order)
-CREATE TABLE IF NOT EXISTS events (
+-- Main events table: engine-enriched rows (SinkColumns.events order).
+-- Table name MUST match the pipeline's write target
+-- (graft.streaming.Pipeline.processBatch appends to "ecommerce_events"),
+-- otherwise Spark JDBC auto-creates an unconstrained table and the PK /
+-- CHECK layer never applies to the real stream.
+CREATE TABLE IF NOT EXISTS ecommerce_events (
     event_id        BIGINT PRIMARY KEY,      -- idempotency: replayed batches upsert-or-fail, never duplicate
     ts              TIMESTAMP NOT NULL,
     user_id         BIGINT,                  -- NULL allowed: anonymous view/click/error events
@@ -35,12 +39,12 @@ CREATE TABLE IF NOT EXISTS events (
     )
 );
 
-CREATE INDEX IF NOT EXISTS idx_events_ts          ON events (ts);
-CREATE INDEX IF NOT EXISTS idx_events_user_id     ON events (user_id);
-CREATE INDEX IF NOT EXISTS idx_events_event_type  ON events (event_type);
-CREATE INDEX IF NOT EXISTS idx_events_session_id  ON events (session_id);
-CREATE INDEX IF NOT EXISTS idx_events_ts_type     ON events (ts, event_type);
-CREATE INDEX IF NOT EXISTS idx_events_user_ts     ON events (user_id, ts);
+CREATE INDEX IF NOT EXISTS idx_ecommerce_events_ts          ON ecommerce_events (ts);
+CREATE INDEX IF NOT EXISTS idx_ecommerce_events_user_id     ON ecommerce_events (user_id);
+CREATE INDEX IF NOT EXISTS idx_ecommerce_events_event_type  ON ecommerce_events (event_type);
+CREATE INDEX IF NOT EXISTS idx_ecommerce_events_session_id  ON ecommerce_events (session_id);
+CREATE INDEX IF NOT EXISTS idx_ecommerce_events_ts_type     ON ecommerce_events (ts, event_type);
+CREATE INDEX IF NOT EXISTS idx_ecommerce_events_user_ts     ON ecommerce_events (user_id, ts);
 
 -- Dead-letter table: rejected rows + the first-match-wins error tag
 CREATE TABLE IF NOT EXISTS dead_letter_events (
@@ -84,7 +88,7 @@ SELECT
     COUNT(*)               AS event_count,
     COUNT(DISTINCT user_id) AS unique_users,
     SUM(total_amount)      AS total_revenue
-FROM events
+FROM ecommerce_events
 GROUP BY DATE_TRUNC('hour', ts), event_type;
 
 CREATE OR REPLACE VIEW v_user_sessions AS
@@ -97,7 +101,7 @@ SELECT
     SUM(total_amount) AS session_revenue,
     MIN(ts) AS session_start,
     MAX(ts) AS session_end
-FROM events
+FROM ecommerce_events
 GROUP BY user_id, session_id;
 
 CREATE OR REPLACE VIEW v_dead_letter_summary AS

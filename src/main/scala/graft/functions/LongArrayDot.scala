@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * 2^21); with cells ≤ 2^20 docs the products stay ≤ 2^62 summed over 64
   * dims — inside Long for this workload; at larger scale divide centroid
   * sums by count first (means) before the dot.
+  *
+  * Null semantics match the declarative form it replaces: mismatched array
+  * lengths or a null element on either side yield NULL (zip_with pads the
+  * shorter array with nulls and null propagates through the sum) — a ragged
+  * or malformed vector surfaces as a visible null, never as a
+  * plausible-looking partial dot.
   */
 case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,16 +46,18 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_dot"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (!xs.isNullAt(i) && !ys.isNullAt(i)) {
-        acc += xs.getLong(i) * ys.getLong(i)
-      }
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getLong(i) * ys.getLong(i)
       i += 1
     }
     acc
@@ -60,14 +68,19 @@ case class LongArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    $bad = true;
+         |  } else {
          |    $acc += $a.getLong($i) * $b.getLong($i);
          |  }
          |}
+         |${ev.isNull} = $bad;
          |${ev.value} = $acc;
        """.stripMargin
     })

@@ -57,12 +57,14 @@ object Dedup {
     * 16-byte hash per distinct document inside the watermark horizon and
     * expires with it (`dropDuplicatesWithinWatermark`), so state is
     * bounded by ingest rate × watermark, not corpus size. Works on batch
-    * frames too (watermark/dedup degrade to a plain distinct-by-hash),
-    * which is how the spec pins the semantics.
+    * frames too, where "first arrival" is made deterministic: the survivor
+    * per hash is the row with the smallest (`tsCol`, `idCol`) — a streaming
+    * engine sees arrival order, a batch engine must tie-break explicitly or
+    * the kept metadata row differs across runs/engines.
     */
   def streamingContentDedup(
       documents: DataFrame, tsCol: String = "ingest_ts",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes", idCol: String = "doc_id"): DataFrame = {
     // null-text rows (failed extraction etc.) PASS THROUGH un-deduped:
     // md5(null) is null and dropDuplicates treats null keys as equal, so
     // without the split every null-text row after the first would be
@@ -74,7 +76,7 @@ object Dedup {
       if (documents.isStreaming)
         hashed.withWatermark(tsCol, watermark)
           .dropDuplicatesWithinWatermark("text_hash")
-      else hashed.dropDuplicates("text_hash")
+      else deterministic(hashed, Seq("text_hash"), Seq(col(tsCol), col(idCol)))
     deduped.drop("text_hash").unionByName(nullText)
   }
 }

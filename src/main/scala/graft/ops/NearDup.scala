@@ -249,7 +249,7 @@ object NearDup {
       .localCheckpoint()
     val sc = pairs.sparkSession.sparkContext
     var converged = false
-    var prevRound: DataFrame = null
+    var prevRound: DataFrame = labels
     while (!converged) {
       // ONE job per round: the propagation join carries the changed flag,
       // a LongAccumulator counts changed rows DURING the eager
@@ -276,13 +276,29 @@ object NearDup {
         .localCheckpoint()
       converged = changedAcc.value == 0L
       // the superseded round's checkpointed blocks are dead once `next`
-      // is materialized — free them instead of waiting for GC
-      if (prevRound != null) prevRound.unpersist()
+      // is materialized — free them instead of waiting for GC.
+      // Dataset.unpersist would be a no-op here (it only talks to the
+      // CacheManager; localCheckpoint blocks belong to the underlying RDD),
+      // so unpersist the checkpointed RDD itself.
+      freeLocalCheckpoint(prevRound)
       prevRound = next
       labels = next.select("doc_id", "label")
     }
+    freeLocalCheckpoint(edges) // the final labels read only their own blocks
     labels
   }
+
+  /** Frees the block storage behind a `localCheckpoint()`ed DataFrame.
+    * The checkpointed RDD lives inside the Dataset's `LogicalRDD` plan node;
+    * anything else (already freed, not a checkpoint) is left to the
+    * ContextCleaner.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** The deduplicated corpus: per near-dup component only the lowest doc_id
     * survives; documents in no component pass through. This is the actual

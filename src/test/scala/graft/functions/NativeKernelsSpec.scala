@@ -114,6 +114,17 @@ class NativeKernelsSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  test("LongArrayDot: ragged lengths and null elements yield NULL, not a partial dot") {
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](4L, 5L)),       // ragged
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](2L, 3L)),          // null elem
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L))            // clean
+    ).toDF("a", "b")
+    val got = df.select(LongArrayDot.dotLong(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(None, None, Some(11L)))
+  }
+
   test("LongArrayDot equals QuantizedDot on pre-quantized float inputs") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-2.0f, 2.0f))
     val pairs = samples(Gen.zip(vec, vec), 50)

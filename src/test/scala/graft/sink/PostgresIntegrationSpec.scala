@@ -63,7 +63,7 @@ class PostgresIntegrationSpec extends AnyFunSuite {
   private def insertEvent(conn: Connection, id: Long, eventType: String,
       userId: java.lang.Long, value: Double): Unit = {
     val ps = conn.prepareStatement(
-      "INSERT INTO events (event_id, ts, user_id, event_type, value) VALUES (?, NOW(), ?, ?, ?)")
+      "INSERT INTO ecommerce_events (event_id, ts, user_id, event_type, value) VALUES (?, NOW(), ?, ?, ?)")
     try {
       ps.setLong(1, id)
       if (userId == null) ps.setNull(2, java.sql.Types.BIGINT) else ps.setLong(2, userId)
@@ -75,7 +75,7 @@ class PostgresIntegrationSpec extends AnyFunSuite {
 
   private def cleanup(conn: Connection, id: Long): Unit = {
     val st = conn.createStatement()
-    try st.execute(s"DELETE FROM events WHERE event_id = $id") finally st.close()
+    try st.execute(s"DELETE FROM ecommerce_events WHERE event_id = $id") finally st.close()
   }
 
   test("duplicate event_id is rejected by the primary key (sink idempotency)") {
@@ -144,7 +144,7 @@ class PostgresIntegrationSpec extends AnyFunSuite {
         val df = Seq((id, java.sql.Timestamp.valueOf("2024-01-10 10:00:00"),
             7L, "view", 5.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        sink.append(df, "events")
+        sink.append(df, "ecommerce_events")
         // the per-batch metrics row, with the exact columns processBatch writes
         sink.append(
           Seq((id, 1L, 1L, 0L, 100.0, 0.01))
@@ -152,7 +152,7 @@ class PostgresIntegrationSpec extends AnyFunSuite {
               "validity_rate", "processing_time_sec"),
           "data_quality_metrics")
         val st = conn.createStatement()
-        val rs = st.executeQuery(s"SELECT event_type FROM events WHERE event_id = $id")
+        val rs = st.executeQuery(s"SELECT event_type FROM ecommerce_events WHERE event_id = $id")
         assert(rs.next() && rs.getString(1) == "view")
         val rs2 = st.executeQuery(
           s"SELECT total_events FROM data_quality_metrics WHERE batch_id = $id")
