@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Dedup, Enrich, Multimodal, NearDup, Quality, Similarity, TextAnalysis, Validate}
+import graft.ops.{Analytics, Bloom, Curate, Dedup, Enrich, Multimodal, NearDup, Quality, Sessionize, Similarity, TextAnalysis, Validate}
 import graft.schema.Registry
 import graft.sources.Tables
 
@@ -176,6 +176,24 @@ object SparkEntry {
     // remedy for cell-count scaling measured in graft.ScaleProbe
     "q46_ann_ivf_subbucket" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), subPlanes = 2)),
+    // incremental corpus dedup: deterministic Bloom gate — history builds a
+    // fixed-size broadcastable bitmap, the new batch probes it (no
+    // re-shuffle of history per batch); collision behavior oracle-exact
+    "q47_bloom_new_docs" -> ((s, dir) => Bloom.bloomNewDocs(Tables.documents(s, dir))),
+    // gap-based sessionization (30-min inactivity), the batch twin of
+    // session_window(ts, gap) — one shuffle on user_id
+    "q48_gap_sessions" -> ((s, dir) => Sessionize.gapSessions(ev(s, dir))),
+    // as-of (point-in-time) join: purchase → latest view at-or-before,
+    // via the union-timeline window (no range join, one shuffle)
+    "q49_view_attribution" -> ((s, dir) => Sessionize.viewAttribution(ev(s, dir))),
+    // per-document TF-IDF top terms; df derived from the tf relation,
+    // integer-scaled score so the ranking is engine-exact
+    "q50_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))),
+    // content-stable train/validation/test split (md5 bucket, 8/1/1)
+    "q51_train_test_split" -> ((s, dir) => Curate.trainTestSplit(Tables.documents(s, dir))),
+    // exact per-language length percentiles (discrete order statistics,
+    // integer rank arithmetic — no float interpolation)
+    "q52_length_percentiles" -> ((s, dir) => Curate.lengthPercentiles(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -418,5 +436,11 @@ object SparkEntry {
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, nation_name""".stripMargin,
     "q46_ann_ivf_subbucket" -> Similarity.ivfTopKSql(subPlanes = 2),
+    "q47_bloom_new_docs" -> Bloom.bloomNewDocsSql,
+    "q48_gap_sessions" -> Sessionize.gapSessionsSql,
+    "q49_view_attribution" -> Sessionize.viewAttributionSql,
+    "q50_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
+    "q51_train_test_split" -> Curate.trainTestSplitSql,
+    "q52_length_percentiles" -> Curate.lengthPercentilesSql,
   )
 }

