@@ -77,6 +77,25 @@ object Bloom {
       .withColumn("maybe_dup", col("n_hits") === NumHashes)
       .orderBy("doc_id")
 
+  /** An empty filter (the state before any history is ingested). */
+  def emptyFilter(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("word_idx", LongType), StructField("word", LongType))))
+  }
+
+  /** Fold a newly-ingested batch into an existing filter: union the two
+    * word tables and bit_or per word. The result stays ≤ M/BitsPerWord
+    * rows however many batches fold in — this is the streaming-ingest
+    * loop's state transition (probe the batch, then update), used from
+    * `foreachBatch` where the driver carries the tiny filter between
+    * micro-batches (`localCheckpoint` it so state does not chain lineage
+    * across batches).
+    */
+  def update(filter: DataFrame, batch: DataFrame): DataFrame =
+    filter.unionByName(build(batch))
+      .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
+
   /** The graded query: history = docs with doc_id % 4 != 0, incoming batch
     * = doc_id % 4 == 0 (a stable split at any SF); flag batch docs whose
     * content the history filter has plausibly seen.

@@ -1,0 +1,78 @@
+package graft
+
+/** Physical-plan regression guards for the scale properties the engine
+  * claims — the ".explain and iterate until it's the plan you'd want"
+  * discipline, frozen as tests. Each assertion pins a property that a
+  * future refactor could silently lose while every value-level oracle
+  * stays green (the round-1 lesson: q26 was value-correct with an O(n²)
+  * BroadcastNestedLoopJoin in its shipped plan).
+  *
+  * Plans are inspected pre-execution (the AQE initial plan): explicit
+  * broadcast hints, join strategies for equi-joins, scan pushdown and
+  * exchange counts are all visible there and do not depend on runtime
+  * statistics.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q47 bloom probe joins against a BROADCAST filter (no corpus shuffle)") {
+    assert(plan("q47_bloom_new_docs").contains("BroadcastHashJoin"))
+  }
+
+  test("exact embedding near-dup (q26) plans NO nested-loop/cartesian join") {
+    val p = plan("q26_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("approx embedding near-dup (q42) plans NO nested-loop/cartesian join") {
+    val p = plan("q42_embedding_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("star joins (q14) are all hash-based; fixed dims broadcast") {
+    val p = plan("q14_revenue_by_nation")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin")) // nation/region stay hinted
+  }
+
+  test("pricing summary (q16) pushes the shipdate filter into the parquet scan") {
+    val p = plan("q16_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("category performance (q08) prunes the part scan to the joined columns") {
+    val p = plan("q08_category_performance")
+    // the part table is wider than (p_partkey, p_type); the scan must not be
+    val scanLines = p.linesIterator.filter(l => l.contains("parquet") && l.contains("part")).mkString("\n")
+    assert(scanLines.contains("p_partkey") && scanLines.contains("p_type"), scanLines)
+    assert(!scanLines.contains("p_name"), scanLines)
+  }
+
+  test("gap sessions (q48) need exactly ONE hash shuffle (user_id carries " +
+    "window, grouping rides the same partitioning)") {
+    val p = plan("q48_gap_sessions")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("as-of attribution (q49) needs exactly ONE hash shuffle") {
+    val p = plan("q49_view_attribution")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("validation/enrichment (q01, q03) are shuffle-free map pipelines") {
+    Seq("q01_validation", "q03_enriched").foreach { q =>
+      assert(countOf(plan(q), "Exchange hashpartitioning") == 0, q)
+    }
+  }
+
+  test("tfidf (q50) builds candidates through equi-joins only") {
+    val p = plan("q50_tfidf_top_terms")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+}

@@ -40,6 +40,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(words > 0)
   }
 
+  test("bloom gate runs incrementally in foreachBatch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    var filter = Bloom.emptyFilter(spark)
+    val flagged = scala.collection.mutable.Map[Long, Boolean]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Bloom.probe(batch, filter).collect()
+          .foreach(r => flagged(r.getLong(0)) = r.getBoolean(2))
+        filter = Bloom.update(filter, batch).localCheckpoint()
+      }
+      .start()
+    try {
+      mem.addData((1L, "first batch unique text"), (2L, "second unique text"))
+      q.processAllAvailable()
+      mem.addData((3L, "first batch unique text"), (4L, "never seen before"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch 1 probes an empty filter: nothing flagged
+    assert(flagged(1L) == false && flagged(2L) == false)
+    // batch 2: doc 3 repeats doc 1's content → flagged; doc 4 is novel
+    assert(flagged(3L) == true && flagged(4L) == false)
+  }
+
   // ----------------------------------------------------------- gap sessions
 
   test("gap sessions split on >30min inactivity, not on bucket boundaries") {
