@@ -194,6 +194,12 @@ object SparkEntry {
     // exact per-language length percentiles (discrete order statistics,
     // integer rank arithmetic — no float interpolation)
     "q52_length_percentiles" -> ((s, dir) => Curate.lengthPercentiles(Tables.documents(s, dir))),
+    // frequency capping of over-represented sources (top-cap per source,
+    // rank-limited shuffle — the domain-skew counter for crawled corpora)
+    "q53_source_cap" -> ((s, dir) => Curate.sourceCap(Tables.documents(s, dir))),
+    // Gopher-style duplicate-3-gram repetition filter (shuffle-free,
+    // ShingleSet kernel, exact-integer ratio)
+    "q54_repetition_filter" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -442,5 +448,7 @@ object SparkEntry {
     "q50_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "q51_train_test_split" -> Curate.trainTestSplitSql,
     "q52_length_percentiles" -> Curate.lengthPercentilesSql,
+    "q53_source_cap" -> Curate.sourceCapSql(),
+    "q54_repetition_filter" -> TextAnalysis.repetitionStatsSql,
   )
 }

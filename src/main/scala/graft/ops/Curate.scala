@@ -69,6 +69,36 @@ object Curate {
       .orderBy("lang")
   }
 
+  /** Frequency capping of over-represented sources: keep at most `cap`
+    * documents per source, preferring longer documents (then lowest
+    * doc_id — fully deterministic). The standard counter to domain skew
+    * in crawled corpora: without it a handful of boilerplate-heavy sites
+    * dominate the token budget.
+    *
+    * Scale shape: one shuffle on source + a bounded per-partition top-cap.
+    * Catalyst rewrites `row_number ≤ cap` into a rank-limited sort
+    * (WindowGroupLimit), so each partition retains `cap` rows during the
+    * shuffle rather than sorting whole groups — the same mechanism that
+    * makes top-k-per-key safe under 100×-skewed sources.
+    */
+  def sourceCap(documents: DataFrame, cap: Int = 10): DataFrame = {
+    val bySize = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    documents
+      .withColumn("rank_in_source", row_number().over(bySize))
+      .filter(col("rank_in_source") <= cap)
+      .select("doc_id", "source", "n_chars", "rank_in_source")
+      .orderBy("source", "rank_in_source")
+  }
+
+  def sourceCapSql(cap: Int = 10): String =
+    s"""SELECT doc_id, source, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank_in_source
+       |FROM documents
+       |QUALIFY rank_in_source <= $cap
+       |ORDER BY source, rank_in_source""".stripMargin
+
   def lengthPercentilesSql: String = {
     def pick(p: Int) =
       s"MAX(CASE WHEN rn = ($p * n + 99) // 100 THEN n_chars END) AS p$p"

@@ -66,40 +66,66 @@ object Sessionize {
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
-  /** As-of attribution: each purchase is credited to the user's most
-    * recent `view` at or before the purchase time — the canonical as-of
-    * (a.k.a. point-in-time) join, the lookup every feature-store and
-    * attribution pipeline needs.
+  /** Generic as-of (point-in-time) join: for every `probes` row, attach
+    * the `payload` columns of the latest `quotes` row with the same `key`
+    * whose `quoteTs` ≤ the probe's `probeTs` (nulls when no quote
+    * qualifies) — the lookup every feature-store, attribution and
+    * market-data pipeline needs, and an operator Spark has no built-in
+    * for.
     *
-    * Implemented the scalable way: instead of a per-purchase range join
-    * (O(purchases × views) worst case), views and purchases are unioned
-    * onto one per-user timeline and `last(view, ignoreNulls)` over the
-    * running window carries the latest view forward — one shuffle on
-    * user_id, linear work, identical semantics. Ties are pinned: a view
-    * sharing the purchase's timestamp counts ("at or before", marker sorts
-    * views first), and among equal-time views the highest event_id wins.
-    * DuckDB expresses the same plan with IGNORE NULLS (its native ASOF
-    * JOIN leaves equal-key ties unspecified, so the oracle mirrors this
-    * form instead).
+    * Implemented the scalable way: instead of a per-probe range join
+    * (O(probes × quotes) worst case, a BroadcastNestedLoopJoin in Spark),
+    * both sides are unioned onto one per-key timeline and
+    * `last(payload, ignoreNulls)` over the running window carries the
+    * latest quote forward — ONE shuffle on the key, linear work, identical
+    * semantics. Ties are pinned: a quote sharing the probe's timestamp
+    * counts ("at or before": quotes sort before probes at equal time), and
+    * among equal-time quotes the greatest `tieBreak` wins. Probe columns
+    * ride the timeline inside a struct, so arbitrary probe schemas work.
+    */
+  def asofJoin(
+      probes: DataFrame, quotes: DataFrame, key: String,
+      probeTs: String, quoteTs: String,
+      payload: Seq[(String, String)], tieBreak: String): DataFrame = {
+    val quoteSchema = quotes.schema
+    def payloadNull(src: String) =
+      lit(null).cast(quoteSchema(src).dataType)
+    val probeSide = probes.select(
+      (Seq(col(key).as("__k"), col(probeTs).as("__t"), lit(1).as("__m"),
+        lit(null).cast(quoteSchema(tieBreak).dataType).as("__tie"),
+        struct(probes.columns.map(col): _*).as("__probe")) ++
+        payload.map { case (src, dst) => payloadNull(src).as(dst) }): _*)
+    val quoteSide = quotes.select(
+      (Seq(col(key).as("__k"), col(quoteTs).as("__t"), lit(0).as("__m"),
+        col(tieBreak).as("__tie"),
+        lit(null).cast(probeSide.schema("__probe").dataType).as("__probe")) ++
+        payload.map { case (src, dst) => col(src).as(dst) }): _*)
+    val running = Window.partitionBy("__k")
+      .orderBy("__t", "__m", "__tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(quoteSide.unionByName(probeSide)) {
+      case (df, (_, dst)) =>
+        df.withColumn(dst, last(dst, ignoreNulls = true).over(running))
+    }
+    carried.filter(col("__m") === 1)
+      .select(col("__probe.*") +: payload.map(p => col(p._2)): _*)
+  }
+
+  /** As-of attribution: each purchase is credited to the user's most
+    * recent `view` at or before the purchase time — [[asofJoin]] applied
+    * to the events table. Among equal-time views the highest event_id
+    * wins. DuckDB expresses the same plan with IGNORE NULLS (its native
+    * ASOF JOIN leaves equal-key ties unspecified, so the oracle mirrors
+    * the window form instead).
     */
   def viewAttribution(events: DataFrame): DataFrame = {
     val e = events.filter(col("user_id").isNotNull)
     val views = e.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"), col("event_id"),
-        lit(0).as("marker"),
-        col("event_id").as("view_event_id"), col("ts").as("view_ts"))
     val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id"),
-        lit(1).as("marker"),
-        lit(null).cast("long").as("view_event_id"),
-        lit(null).cast("timestamp").as("view_ts"))
-    val running = Window.partitionBy("user_id")
-      .orderBy("ts", "marker", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views.unionByName(purchases)
-      .withColumn("attr_view_id", last("view_event_id", ignoreNulls = true).over(running))
-      .withColumn("attr_view_ts", last("view_ts", ignoreNulls = true).over(running))
-      .filter(col("marker") === 1)
+    asofJoin(purchases, views, key = "user_id",
+        probeTs = "ts", quoteTs = "ts",
+        payload = Seq("event_id" -> "attr_view_id", "ts" -> "attr_view_ts"),
+        tieBreak = "event_id")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("attr_view_id"), col("attr_view_ts"))
       .orderBy("purchase_id")

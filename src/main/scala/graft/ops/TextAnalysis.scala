@@ -181,6 +181,51 @@ object TextAnalysis {
       |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Repetition threshold above which a document is flagged (Gopher-style
+    * repetition-removal heuristic: high duplicate-n-gram fraction =
+    * boilerplate / spam / generation loops).
+    */
+  val RepetitionThreshold = 0.2
+
+  /** Duplicate-3-gram repetition filter: per document, the fraction of
+    * word 3-grams that are repeats of an earlier 3-gram in the same
+    * document. Shuffle-free per-row computation (the ShingleSet kernel
+    * provides the distinct count in one pass); the ratio divides exact
+    * integers so the double is engine-identical.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val total = greatest(size(toks) - 2, lit(0)).cast("long")
+    val distinctG = size(graft.functions.ShingleSet.shingles(col("text"), 3)).cast("long")
+    documents
+      .select(col("doc_id"), total.as("n_grams"), distinctG.as("n_distinct_grams"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+          .otherwise(0.0))
+      .withColumn("is_repetitive", col("rep_ratio") > RepetitionThreshold)
+      .orderBy("doc_id")
+  }
+
+  def repetitionStatsSql: String =
+    s"""SELECT doc_id, n_grams, n_distinct_grams,
+       |  CASE WHEN n_grams > 0
+       |       THEN 1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams
+       |       ELSE 0.0 END AS rep_ratio,
+       |  (CASE WHEN n_grams > 0
+       |        THEN 1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams
+       |        ELSE 0.0 END) > $RepetitionThreshold AS is_repetitive
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_grams,
+       |    CAST(CASE WHEN len(toks) >= 3
+       |      THEN len(list_distinct(list_transform(generate_series(1, len(toks)-2),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+       |      ELSE 0 END AS BIGINT) AS n_distinct_grams
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   /** Per-document TF-IDF top terms — the classic "what is this document
     * about" weighting, and the keyword-extraction step of a corpus
     * curation pipeline.

@@ -71,6 +71,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("source cap (q53) rank-limits BEFORE the shuffle (WindowGroupLimit)") {
+    // top-cap-per-key must not sort whole groups through the exchange:
+    // Catalyst's WindowGroupLimit keeps `cap` rows per key map-side, which
+    // is what makes the op safe under 100×-skewed sources
+    assert(plan("q53_source_cap").contains("WindowGroupLimit"))
+  }
+
   test("tfidf (q50) builds candidates through equi-joins only") {
     val p = plan("q50_tfidf_top_terms")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

@@ -113,6 +113,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Map(3L -> Some(2L), 4L -> Some(2L), 5L -> None, 7L -> Some(6L)))
   }
 
+  test("generic asofJoin attaches the latest quote at-or-before each probe") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-01 09:00:00"), 90.0)
+    ).toDF("sym", "qts", "price")
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "a"), // between quotes → 100.0
+      (1L, ts("2024-01-01 11:00:00"), "b"), // equal-time quote counts → 110.0
+      (2L, ts("2024-01-01 08:00:00"), "c"), // before any quote → null
+      (3L, ts("2024-01-01 12:00:00"), "d")  // key with no quotes → null
+    ).toDF("sym", "pts", "tag")
+    val out = Sessionize.asofJoin(probes, quotes, key = "sym",
+        probeTs = "pts", quoteTs = "qts",
+        payload = Seq("price" -> "asof_price"), tieBreak = "qts")
+      .select("tag", "asof_price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map("a" -> Some(100.0), "b" -> Some(110.0), "c" -> None, "d" -> None))
+  }
+
   // ------------------------------------------------------------------ tfidf
 
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
@@ -144,6 +165,58 @@ class CurationOpsSpec extends SparkSpec {
     // stability: same key → same split on a different frame/partitioning
     val again = Curate.trainTestSplit(docs.repartition(7)).select("doc_id", "split")
     assert(out.select("doc_id", "split").except(again).count() == 0)
+  }
+
+  test("gapSessions partitions events exactly like Spark's native session_window") {
+    // the claim "batch twin of session_window(ts, gap)" — proven, not asserted:
+    // same session count, same (start, end, n_events) per user on random-ish data
+    val rnd = new scala.util.Random(7)
+    var t = 0L
+    val events = (1L to 300L).map { i =>
+      t += rnd.nextInt(3000) // gaps 0..50min, crosses the 30min boundary often
+      (i, (i % 7) + 1, new Timestamp(1700000000000L + t * 1000))
+    }.toDF("event_id", "user_id", "ts")
+    val ours = Sessionize.gapSessions(events)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val native = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(ours == native)
+  }
+
+  // ------------------------------------------------------------- source cap
+
+  test("source cap keeps the longest `cap` docs per source, deterministically") {
+    val docs = (1L to 30L).map(i => (i, s"src${i % 2}", 1000L - (i % 5) * 100))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Curate.sourceCap(docs, cap = 3)
+      .select("source", "doc_id", "rank_in_source").as[(String, Long, Int)].collect()
+    assert(out.count(_._1 == "src0") == 3 && out.count(_._1 == "src1") == 3)
+    // longest first; ties (same n_chars) break by lowest doc_id
+    val src0 = out.filter(_._1 == "src0").sortBy(_._3).map(_._2).toSeq
+    assert(src0 == Seq(10L, 20L, 30L)) // n_chars=1000 tie → ids ascending
+  }
+
+  // ------------------------------------------------------------- repetition
+
+  test("repetition filter flags duplicate-3-gram boilerplate, not diverse text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),  // 6 grams, 1 distinct
+      (2L, "one two three four five six seven eight"),  // all distinct
+      (3L, "ab"),                                       // < 3 tokens → 0 grams
+      (4L, "x y z")                                     // exactly 1 gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "n_grams", "n_distinct_grams", "is_repetitive")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 6L, 1L, true)))
+    assert(out(2L) == ((2L, 6L, 6L, false)))
+    assert(out(3L) == ((3L, 0L, 0L, false)))
+    assert(out(4L) == ((4L, 1L, 1L, false)))
   }
 
   // ------------------------------------------------------------ percentiles
