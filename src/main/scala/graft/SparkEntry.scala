@@ -200,6 +200,12 @@ object SparkEntry {
     // Gopher-style duplicate-3-gram repetition filter (shuffle-free,
     // ShingleSet kernel, exact-integer ratio)
     "q54_repetition_filter" -> ((s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir))),
+    // Spark's NATIVE session_window (streaming merging-window operator),
+    // batch-run — cross-checked against an independent first-principles
+    // gap derivation in the oracle
+    "q55_session_window" -> ((s, dir) =>
+      graft.streaming.WindowedAggs.sessionWindowed(ev(s, dir))
+        .orderBy("user_id", "session_start")),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -450,5 +456,6 @@ object SparkEntry {
     "q52_length_percentiles" -> Curate.lengthPercentilesSql,
     "q53_source_cap" -> Curate.sourceCapSql(),
     "q54_repetition_filter" -> TextAnalysis.repetitionStatsSql,
+    "q55_session_window" -> graft.streaming.WindowedAggs.sessionWindowedSql,
   )
 }

@@ -22,9 +22,12 @@ object Sessionize {
   val GapMinutes = 30
 
   /** Gap-based sessions: a new session starts when a user has been idle
-    * longer than [[GapMinutes]]. Deterministic under timestamp ties
-    * (secondary order on event_id). Null-user events have no timeline and
-    * are excluded.
+    * for [[GapMinutes]] or more — the half-open convention of Spark's
+    * native `session_window` (an event at exactly start+gap begins a new
+    * session), so the two formulations agree on every input, boundary
+    * included (proven in CurationOpsSpec). Deterministic under timestamp
+    * ties (secondary order on event_id). Null-user events have no
+    * timeline and are excluded.
     */
   def gapSessions(events: DataFrame): DataFrame = {
     val timeline = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -33,7 +36,7 @@ object Sessionize {
       .withColumn("prev_ts", lag("ts", 1).over(timeline))
       .withColumn("new_session",
         (col("prev_ts").isNull ||
-          col("ts") > col("prev_ts") + expr(s"INTERVAL $GapMinutes MINUTE")).cast("int"))
+          col("ts") >= col("prev_ts") + expr(s"INTERVAL $GapMinutes MINUTE")).cast("int"))
       .withColumn("session_seq", sum("new_session").over(running).cast("int"))
       .groupBy("user_id", "session_seq")
       .agg(
@@ -56,7 +59,7 @@ object Sessionize {
        |  FROM (
        |    SELECT user_id, ts, event_id,
        |      CASE WHEN prev_ts IS NULL
-       |             OR ts > prev_ts + INTERVAL $GapMinutes MINUTE
+       |             OR ts >= prev_ts + INTERVAL $GapMinutes MINUTE
        |           THEN 1 ELSE 0 END AS new_session
        |    FROM (
        |      SELECT user_id, ts, event_id,

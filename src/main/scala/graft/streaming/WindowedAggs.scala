@@ -91,6 +91,43 @@ object WindowedAggs {
 
   val SessionGapMs: Long = 30 * 60 * 1000L
 
+  /** Declarative gap sessionization on Spark's native `session_window` —
+    * the built-in merging-window operator (streaming-capable with a
+    * watermark; state = one open window per active user). Batch-runnable
+    * with identical semantics, which is how the oracle pins it: the DuckDB
+    * side re-derives sessions from first principles (lag + running sum of
+    * gap breaks), so Spark's built-in window-merging is cross-checked
+    * against an independent formulation — and CurationOpsSpec proves it
+    * equal to [[graft.ops.Sessionize.gapSessions]] as well.
+    */
+  def sessionWindowed(
+      events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+
+  def sessionWindowedSql: String =
+    """SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM events WHERE user_id IS NOT NULL)))
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Gap-based sessionization with explicit state: events for a user extend
     * the open session while they arrive within the gap; a gap — or the
     * event-time watermark passing lastSeen+gap — closes and emits it. One
@@ -119,7 +156,10 @@ object WindowedAggs {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastSeen <= SessionGapMs =>
+                // strict <: the half-open session_window convention (an
+                // event at exactly lastSeen+gap opens a new session), so
+                // all three sessionizers in this repo agree on every input
+                case Some(s) if t - s.lastSeen < SessionGapMs =>
                   cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
                     nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
                 case Some(s) =>

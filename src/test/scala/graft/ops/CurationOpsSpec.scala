@@ -85,13 +85,15 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Set((10L, 1, 3L), (10L, 2, 1L), (20L, 1, 1L)))
   }
 
-  test("gap session exactly at the 30min boundary stays open (strict >)") {
+  test("gap boundary is half-open like session_window: exactly 30min closes") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00")),
-      (2L, 1L, ts("2024-01-01 10:30:00"))
+      (2L, 1L, ts("2024-01-01 10:30:00")), // exactly start+gap → NEW session
+      (3L, 1L, ts("2024-01-01 10:59:59"))  // 29:59 after prev → same session
     ).toDF("event_id", "user_id", "ts")
-    val out = Sessionize.gapSessions(events).collect()
-    assert(out.length == 1 && out(0).getAs[Long]("n_events") == 2L)
+    val out = Sessionize.gapSessions(events)
+      .select("session_seq", "n_events").as[(Int, Long)].collect().toSet
+    assert(out == Set((1, 1L), (2, 2L)))
   }
 
   // ------------------------------------------------------- view attribution
@@ -173,7 +175,9 @@ class CurationOpsSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     var t = 0L
     val events = (1L to 300L).map { i =>
-      t += rnd.nextInt(3000) // gaps 0..50min, crosses the 30min boundary often
+      // gaps 0..50min crossing the 30min boundary often, INCLUDING exactly
+      // 1800s — the half-open boundary case must agree too
+      t += (if (i % 41 == 0) 1800 else rnd.nextInt(3000))
       (i, (i % 7) + 1, new Timestamp(1700000000000L + t * 1000))
     }.toDF("event_id", "user_id", "ts")
     val ours = Sessionize.gapSessions(events)

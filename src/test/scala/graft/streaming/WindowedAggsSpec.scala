@@ -59,6 +59,29 @@ class WindowedAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("declarative session_window sessions emit in append mode on watermark passage") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val q = WindowedAggs.sessionWindowed(
+        mem.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("swin_out").start()
+    try {
+      mem.addData((1L, 7L, ts("2024-01-10 10:00:00")),
+        (2L, 7L, ts("2024-01-10 10:10:00")))
+      q.processAllAvailable()
+      // push the watermark (12:00 − 30min = 11:30) past the open session's
+      // close (10:10 + gap = 10:40) → the session emits
+      mem.addData((3L, 9L, ts("2024-01-10 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("swin_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
+      assert(rows.toSet == Set((7L, ts("2024-01-10 10:00:00"),
+        ts("2024-01-10 10:10:00"), 2L)))
+    } finally q.stop()
+  }
+
   test("sessionization: gap splits in-batch; watermark passage times out open sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
