@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Bloom, Curate, Dedup, Enrich, Multimodal, NearDup, Quality, Sessionize, Similarity, TextAnalysis, Validate}
+import graft.ops.{Analytics, Bloom, Curate, Dedup, Enrich, Multimodal, NearDup, Quality, Redact, Sessionize, Similarity, TextAnalysis, Validate}
 import graft.schema.Registry
 import graft.sources.Tables
 
@@ -206,6 +206,9 @@ object SparkEntry {
     "q55_session_window" -> ((s, dir) =>
       graft.streaming.WindowedAggs.sessionWindowed(ev(s, dir))
         .orderBy("user_id", "session_start")),
+    // PII redaction audit (emails/phones/IPv4 → typed placeholders;
+    // counts + redacted-text md5; Java/RE2-identical pattern dialect)
+    "q56_pii_scrub" -> ((s, dir) => Redact.piiScrub(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -457,5 +460,6 @@ object SparkEntry {
     "q53_source_cap" -> Curate.sourceCapSql(),
     "q54_repetition_filter" -> TextAnalysis.repetitionStatsSql,
     "q55_session_window" -> graft.streaming.WindowedAggs.sessionWindowedSql,
+    "q56_pii_scrub" -> Redact.piiScrubSql,
   )
 }

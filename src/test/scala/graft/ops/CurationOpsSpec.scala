@@ -223,6 +223,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) == ((4L, 1L, 1L, false)))
   }
 
+  // -------------------------------------------------------------------- pii
+
+  test("pii scrub redacts emails, phones and IPs with typed placeholders") {
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.org or bob@test.io today"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "server at 10.0.0.1 and 192.168.1.255"),
+      (4L, "nothing sensitive here"),
+      (5L, "mixed: a@b.co 111-222-3333 8.8.8.8")
+    ).toDF("doc_id", "text")
+    val out = Redact.piiScrub(docs)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "has_pii")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((2L, 0L, 0L, true)))
+    assert(out(2L) == ((0L, 2L, 0L, true)))
+    assert(out(3L) == ((0L, 0L, 2L, true)))
+    assert(out(4L) == ((0L, 0L, 0L, false)))
+    assert(out(5L) == ((1L, 1L, 1L, true)))
+    // the redacted text itself carries the placeholders
+    val redactedMd5 = Redact.piiScrub(docs).filter(col("doc_id") === 5L)
+      .select("clean_md5").as[String].head()
+    val expected = docs.sparkSession.sql(
+      "SELECT md5('mixed: <EMAIL> <PHONE> <IP>')").as[String].head()
+    assert(redactedMd5 == expected)
+  }
+
   // ------------------------------------------------------------ percentiles
 
   test("length percentiles pick exact discrete order statistics per lang") {
