@@ -209,6 +209,10 @@ object SparkEntry {
     // PII redaction audit (emails/phones/IPv4 → typed placeholders;
     // counts + redacted-text md5; Java/RE2-identical pattern dialect)
     "q56_pii_scrub" -> ((s, dir) => Redact.piiScrub(Tables.documents(s, dir))),
+    // quality-weighted deterministic sampling (keep-probability = quality
+    // score, hash-seeded draw — reproducible across engines/runs/growth)
+    "q57_quality_sample" -> ((s, dir) =>
+      Curate.qualityWeightedSample(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -461,5 +465,7 @@ object SparkEntry {
     "q54_repetition_filter" -> TextAnalysis.repetitionStatsSql,
     "q55_session_window" -> graft.streaming.WindowedAggs.sessionWindowedSql,
     "q56_pii_scrub" -> Redact.piiScrubSql,
+    "q57_quality_sample" ->
+      Curate.qualityWeightedSampleSql(TextAnalysis.qualityScoreSql),
   )
 }

@@ -43,6 +43,38 @@ object Curate {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality-weighted deterministic sampling: keep a document with
+    * probability equal to its quality score — the standard C4/FineWeb-style
+    * downsampling that thins low-quality strata instead of hard-filtering
+    * them. The "random" draw is a pure hash function of doc_id (a seeded
+    * md5 slice mapped to [0,1)), so the sample is reproducible across
+    * engines, runs and partitionings, and documents keep/drop decisions
+    * are stable under corpus growth — same rationale as
+    * [[trainTestSplit]]. Shuffle-free per-row work on top of the quality
+    * score.
+    *
+    * `draw` is a 20-bit integer over 2^20 — exact in double — and the
+    * quality score is built from exact integer ratios (q21 is hash-green
+    * cross-engine), so `draw < score` is engine-deterministic.
+    */
+  def qualityWeightedSample(documents: DataFrame): DataFrame =
+    TextAnalysis.qualityScore(documents)
+      .select("doc_id", "quality_score")
+      .withColumn("draw",
+        conv(substring(md5(concat(lit("qs|"), col("doc_id").cast("string"))), 1, 5),
+          16, 10).cast("long").cast("double") / lit(1048576.0))
+      .withColumn("sampled", col("draw") < col("quality_score"))
+      .orderBy("doc_id")
+
+  def qualityWeightedSampleSql(qualityScoreSql: String): String =
+    s"""SELECT doc_id, quality_score, draw, draw < quality_score AS sampled
+       |FROM (
+       |  SELECT doc_id, quality_score,
+       |    ('0x' || substr(md5('qs|' || CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT
+       |      / 1048576.0 AS draw
+       |  FROM ($qualityScoreSql))
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact length percentiles per language (p25/p50/p75/p90 of n_chars,
     * discrete "pick the ceil(q·n)-th order statistic" semantics — integer
     * outputs, no interpolation, so the oracle matches bit-for-bit; engine

@@ -250,6 +250,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(redactedMd5 == expected)
   }
 
+  test("quality-weighted sample keeps docs with probability = quality score") {
+    // high-quality text (diverse, stopword-sane, ≥500 chars: length score
+    // saturates, diversity ~0.91, stopword ratio 0.1) vs degenerate text
+    val good = (1 to 100)
+      .map(i => if (i % 10 == 0) "the" else s"word$i").mkString(" ")
+    val docs = (1L to 400L).map { i =>
+      if (i % 2 == 0) (i, good, good.length.toLong)
+      else (i, "x x x x x x x x", 15L)
+    }.toDF("doc_id", "text", "n_chars")
+    val out = Curate.qualityWeightedSample(docs)
+      .select("doc_id", "quality_score", "sampled")
+      .as[(Long, Double, Boolean)].collect()
+    val (goodRows, badRows) = out.partition(_._1 % 2 == 0)
+    val goodRate = goodRows.count(_._3).toDouble / goodRows.length
+    val badRate = badRows.count(_._3).toDouble / badRows.length
+    // keep-rate tracks the score (deterministically, not statistically:
+    // the draws are fixed by doc_id) — high-quality ≈ its ~0.9+ score,
+    // degenerate ≈ its low score
+    assert(goodRows.forall(_._2 > 0.9) && goodRate > 0.8)
+    assert(badRows.forall(_._2 < 0.5) && badRate < 0.5)
+    // reproducible: same doc_ids → same decisions on a reshuffled frame
+    val again = Curate.qualityWeightedSample(docs.repartition(13))
+      .select("doc_id", "sampled").as[(Long, Boolean)].collect().toMap
+    assert(out.forall(r => again(r._1) == r._3))
+  }
+
   // ------------------------------------------------------------ percentiles
 
   test("length percentiles pick exact discrete order statistics per lang") {
