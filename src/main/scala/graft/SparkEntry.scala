@@ -213,6 +213,11 @@ object SparkEntry {
     // score, hash-seeded draw — reproducible across engines/runs/growth)
     "q57_quality_sample" -> ((s, dir) =>
       Curate.qualityWeightedSample(Tables.documents(s, dir))),
+    // token-budget sequence packing via the scalable two-phase prefix sum
+    // (parallel local cumsums + broadcast partition offsets — never a
+    // single-task global window)
+    "q58_sequence_packing" -> ((s, dir) =>
+      Curate.packSequences(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -467,5 +472,6 @@ object SparkEntry {
     "q56_pii_scrub" -> Redact.piiScrubSql,
     "q57_quality_sample" ->
       Curate.qualityWeightedSampleSql(TextAnalysis.qualityScoreSql),
+    "q58_sequence_packing" -> Curate.packSequencesSql(),
   )
 }

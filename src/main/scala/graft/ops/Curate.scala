@@ -75,6 +75,62 @@ object Curate {
        |  FROM ($qualityScoreSql))
        |ORDER BY doc_id""".stripMargin
 
+  /** Token-budget sequence packing: assign documents (in doc_id order) to
+    * consecutive bins of `binTokens` tokens — the batching/packing step
+    * that turns a curated corpus into fixed-budget training chunks. A
+    * document starts in the bin its running token count falls into.
+    *
+    * The global running sum is the classic distributed prefix-sum problem:
+    * a naive `Window.orderBy(doc_id)` (no partition key) collapses to ONE
+    * task. This implementation is the scalable two-phase form —
+    * (1) per-partition local running sums in parallel, plus one tiny
+    * per-partition total per partition; (2) the partition totals (≤ #
+    * partitions rows) become broadcast prefix offsets added back to the
+    * local sums. Output is a pure function of (doc_id order, n_tokens) —
+    * partitioning never affects it, which the spec proves by repartitioning.
+    */
+  def packSequences(documents: DataFrame, binTokens: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val spark = documents.sparkSession
+    val withTok = documents
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // localCheckpoint, not cache: both passes (totals, final join) MUST see
+    // the same physical partitioning — a cache eviction would re-run the
+    // range partitioner and could re-draw boundaries between the passes
+    val cummed = withTok
+      .withColumn("local_cum", sum("n_tokens").over(local))
+      .localCheckpoint()
+    val totals = cummed.groupBy("pid")
+      .agg(max("local_cum").as("part_total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    cummed.join(bcast(offsetDf), "pid")
+      .withColumn("global_cum", col("offset") + col("local_cum"))
+      .withColumn("bin_id", expr(s"(global_cum - n_tokens) div $binTokens"))
+      .select("doc_id", "n_tokens", "bin_id")
+      .orderBy("doc_id")
+  }
+
+  def packSequencesSql(binTokens: Long = 4096L): String =
+    s"""SELECT doc_id, n_tokens,
+       |  (SUM(n_tokens) OVER (ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+       |    // $binTokens AS bin_id
+       |FROM (SELECT doc_id,
+       |        CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+       |          AS n_tokens
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact length percentiles per language (p25/p50/p75/p90 of n_chars,
     * discrete "pick the ceil(q·n)-th order statistic" semantics — integer
     * outputs, no interpolation, so the oracle matches bit-for-bit; engine

@@ -276,6 +276,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.forall(r => again(r._1) == r._3))
   }
 
+  test("sequence packing matches the single-pass prefix sum and ignores partitioning") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 500L)
+      .map(i => (i, (("tok " * (1 + rnd.nextInt(40))).trim)))
+      .toDF("doc_id", "text")
+    val out = Curate.packSequences(docs, binTokens = 64)
+      .as[(Long, Long, Long)].collect().toSeq
+    // naive reference: global running sum on the driver
+    var cum = 0L
+    val expected = out.sortBy(_._1).map { case (id, n, _) =>
+      val bin = cum / 64; cum += n; (id, n, bin)
+    }
+    assert(out.sortBy(_._1) == expected)
+    // bins are dense and ordered: a doc never lands before its predecessor
+    assert(out.sortBy(_._1).sliding(2).forall { case Seq(a, b) => a._3 <= b._3; case _ => true })
+    // partitioning independence: same answer from a different layout
+    val again = Curate.packSequences(docs.repartition(17), binTokens = 64)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == expected)
+  }
+
   // ------------------------------------------------------------ percentiles
 
   test("length percentiles pick exact discrete order statistics per lang") {
