@@ -30,6 +30,22 @@ import org.apache.spark.sql.functions._
   *    block grid (completes, no hot partition), which is all an exact
   *    all-pairs can promise.
   *
+  * Round-3 curation ops (same harness; 10× events = 1 M rows, same users):
+  *
+  *  - Bloom gate (q47): 1.7 s → 0.5 s — the filter is FIXED-SIZE by
+  *    construction (≤ M/63 words regardless of history), so 10× history
+  *    costs one linear build pass and probing is flat. The only op here
+  *    whose state does not grow with the corpus at all.
+  *  - TF-IDF (q50): 3.3 s → 2.6 s — vocab-bounded df table; (doc, term)
+  *    shuffle grows linearly but is far from dominating at this size.
+  *  - Sequence packing (q58): 1.4 s → 1.9 s — two-phase prefix sum stays
+  *    parallel (the naive global-window form would serialize on 1 task).
+  *  - Gap sessions (q48): 1.0 s → 1.0 s for 10× events; sessions MERGE
+  *    under 10× timeline density (95,465 → 95,330) — evidence the gap
+  *    semantics respond to density, unlike fixed 30-min buckets.
+  *  - As-of attribution (q49): 0.3 s → 0.3 s for 10× output (200,840
+  *    attributed purchases) — one key shuffle, linear scan.
+  *
   * Run: sbt "runMain graft.ScaleProbe" (writes under /tmp/graft-scale10).
   */
 object ScaleProbe {
@@ -60,6 +76,16 @@ object ScaleProbe {
         col("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // 10× events: same users (timelines grow 10× denser), ids/timestamps
+    // deterministically jittered so dedup/session boundaries stay realistic
+    graft.sources.Tables.events(spark, base)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), copies)
+      .select((col("event_id") * 10 + col("k")).as("event_id"),
+        expr("ts + make_interval(0, 0, 0, 0, 0, 0, k * 7)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events10.parquet")
+
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = body
@@ -68,6 +94,14 @@ object ScaleProbe {
     for ((label, dir) <- Seq("1x" -> base, "10x" -> out)) {
       val docs = graft.sources.Tables.documents(spark, dir)
       val emb = graft.sources.Tables.embeddings(spark, dir)
+      val evts =
+        if (label == "1x") graft.sources.Tables.events(spark, dir)
+        else spark.read.parquet(s"$out/events10.parquet")
+      time(s"$label bloom_new_docs")(graft.ops.Bloom.bloomNewDocs(docs).count())
+      time(s"$label tfidf_top_terms")(graft.ops.TextAnalysis.tfidfTopTerms(docs).count())
+      time(s"$label pack_sequences")(graft.ops.Curate.packSequences(docs).count())
+      time(s"$label gap_sessions")(graft.ops.Sessionize.gapSessions(evts).count())
+      time(s"$label view_attribution")(graft.ops.Sessionize.viewAttribution(evts).count())
       time(s"$label minhash_neardup")(graft.ops.NearDup.minhashNearDups(docs).count())
       time(s"$label ann_lsh_topk")(graft.ops.Similarity.lshBucketedTopK(emb).count())
       time(s"$label ann_ivf_topk")(graft.ops.Similarity.ivfTopK(emb).count())
