@@ -27,9 +27,9 @@ import org.apache.spark.sql.functions._
   * is oracle-checked exactly (the DuckDB SQL mirrors slice-by-slice).
   *
   * Reference context: the lab's sink dedups on a Postgres primary key
-  * (docker/postgres/postgres_setup.sql:12); this is the engine-side
-  * equivalent for content keys at a scale where a DB unique index cannot
-  * be the gate.
+  * (reference repo, docker/postgres/postgres_setup.sql:8); this is the
+  * engine-side equivalent for content keys at a scale where a DB unique
+  * index cannot be the gate.
   */
 object Bloom {
   /** Bloom bitmap size in bits (2^20) — ~16 K longs, always broadcastable. */

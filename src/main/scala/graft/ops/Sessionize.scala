@@ -46,12 +46,13 @@ object Sessionize {
       .orderBy("user_id", "session_seq")
   }
 
-  def gapSessionsSql: String =
-    s"""SELECT user_id, session_seq,
-       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
-       |  COUNT(*) AS n_events
-       |FROM (
-       |  SELECT user_id, ts,
+  /** The shared inner derivation (lag → gap-break flag → running sum):
+    * the single source of truth for the gap constant and the half-open
+    * boundary, consumed by BOTH the q48 oracle and the q55
+    * (session_window) oracle so the two can never drift apart.
+    */
+  def sessionDerivationSql: String =
+    s"""SELECT user_id, ts,
        |    CAST(SUM(new_session) OVER (
        |      PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
@@ -65,7 +66,14 @@ object Sessionize {
        |      SELECT user_id, ts, event_id,
        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
        |          AS prev_ts
-       |      FROM events WHERE user_id IS NOT NULL)))
+       |      FROM events WHERE user_id IS NOT NULL))""".stripMargin
+
+  def gapSessionsSql: String =
+    s"""SELECT user_id, session_seq,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  COUNT(*) AS n_events
+       |FROM (
+       |$sessionDerivationSql)
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 

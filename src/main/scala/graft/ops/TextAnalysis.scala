@@ -237,10 +237,16 @@ object TextAnalysis {
     * df table joins back by term (broadcastable: vocab ≪ corpus). No
     * array ever shuffles and no pass re-reads the corpus.
     *
-    * Cross-engine exactness: ranking by ln(N/df) is monotone-equivalent to
-    * ranking by tf/df for a fixed corpus, so the score ships as the
-    * INTEGER `tf * 1e6 div df` — floating-point log never enters, and the
-    * oracle is bit-exact. Ties break lexicographically on term.
+    * Scoring: the shipped weight is the INTEGER `tf * 1e6 div df` — a
+    * df-penalized distinctiveness score, deliberately NOT the classical
+    * `tf * ln(N/df)`. The two agree whenever the compared terms have equal
+    * tf (the idf factor is monotone in 1/df) but CAN rank differently when
+    * tf and df trade off (e.g. tf=10/df=100 vs tf=2/df=2: tf·idf prefers
+    * the first, tf/df the second). The integer form is chosen because it
+    * is exactly computable in any engine — `ln` is libm-dependent and two
+    * engines may round the last ulp differently, which would poison a
+    * hash-exact oracle on ranking ties. Ties break lexicographically on
+    * term.
     */
   def tfidfTopTerms(documents: DataFrame, topK: Int = 5): DataFrame = {
     val tf = documents

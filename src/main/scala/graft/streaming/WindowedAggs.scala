@@ -111,20 +111,10 @@ object WindowedAggs {
       .select("user_id", "session_start", "session_end", "n_events")
 
   def sessionWindowedSql: String =
-    """SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+    s"""SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
       |  COUNT(*) AS n_events
       |FROM (
-      |  SELECT user_id, ts,
-      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-      |  FROM (
-      |    SELECT user_id, ts, event_id,
-      |      CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
-      |           THEN 1 ELSE 0 END AS new_session
-      |    FROM (
-      |      SELECT user_id, ts, event_id,
-      |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      |      FROM events WHERE user_id IS NOT NULL)))
+      |${graft.ops.Sessionize.sessionDerivationSql})
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_start""".stripMargin
 
