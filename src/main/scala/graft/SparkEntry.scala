@@ -218,6 +218,10 @@ object SparkEntry {
     // single-task global window)
     "q58_sequence_packing" -> ((s, dir) =>
       Curate.packSequences(Tables.documents(s, dir))),
+    // the capstone composition: near-dup keep-list ∘ quality gate ∘
+    // content-stable split, hash-checked END TO END (recursive-CTE oracle)
+    "q59_curation_pipeline" -> ((s, dir) =>
+      Curate.curationPipeline(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -473,5 +477,6 @@ object SparkEntry {
     "q57_quality_sample" ->
       Curate.qualityWeightedSampleSql(TextAnalysis.qualityScoreSql),
     "q58_sequence_packing" -> Curate.packSequencesSql(),
+    "q59_curation_pipeline" -> Curate.curationPipelineSql(),
   )
 }

@@ -20,15 +20,21 @@ object Curate {
     * `randomSplit` and modulo-on-position both lack). Embarrassingly
     * parallel: per-row expression, no shuffle, no state.
     */
+  /** The split-assignment expressions, shared by [[trainTestSplit]] and
+    * [[curationPipeline]] (single source of truth for the bucket formula).
+    */
+  private[ops] def bucketCol: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
+      .cast("long") % 10
+  private[ops] def splitCol: org.apache.spark.sql.Column =
+    when(col("bucket") < 8, "train")
+      .when(col("bucket") === 8, "validation")
+      .otherwise("test")
+
   def trainTestSplit(documents: DataFrame): DataFrame =
     documents
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
-          .cast("long") % 10)
-      .withColumn("split",
-        when(col("bucket") < 8, "train")
-          .when(col("bucket") === 8, "validation")
-          .otherwise("test"))
+      .withColumn("bucket", bucketCol)
+      .withColumn("split", splitCol)
       .select("doc_id", "lang", "source", "bucket", "split")
       .orderBy("doc_id")
 
@@ -42,6 +48,39 @@ object Curate {
       |          AS bucket
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** The end-to-end curation pipeline as ONE composed dataflow — the
+    * capstone proving the ops compose: near-dup keep-list (MinHash → LSH →
+    * verified Jaccard → connected components) ∘ quality gate ∘
+    * content-stable split. What remains is exactly what a training run
+    * ingests: deduplicated, quality-filtered, split-assigned documents.
+    * The oracle composes the SAME three derivations in SQL (including the
+    * recursive-CTE component closure), so the composition — not just the
+    * parts — is hash-checked.
+    */
+  def curationPipeline(documents: DataFrame, minQuality: Double = 0.5): DataFrame =
+    graft.ops.NearDup.dedupKeepList(documents)
+      .join(TextAnalysis.qualityScore(documents).select("doc_id", "quality_score"),
+        "doc_id")
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("bucket", bucketCol)
+      .withColumn("split", splitCol)
+      .select("doc_id", "lang", "source", "n_chars", "quality_score", "split")
+      .orderBy("doc_id")
+
+  def curationPipelineSql(minQuality: Double = 0.5): String =
+    s"""SELECT k.doc_id, k.lang, k.source, k.n_chars, q.quality_score,
+       |  CASE WHEN q.bucket < 8 THEN 'train'
+       |       WHEN q.bucket = 8 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM (${graft.ops.NearDup.dedupKeepListSql.replace("ORDER BY d.doc_id", "")}) k
+       |JOIN (SELECT doc_id, quality_score,
+       |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT % 10
+       |          AS bucket
+       |      FROM (${TextAnalysis.qualityScoreSql.replace("ORDER BY doc_id", "")})) q
+       |  ON k.doc_id = q.doc_id
+       |WHERE q.quality_score >= $minQuality
+       |ORDER BY k.doc_id""".stripMargin
 
   /** Quality-weighted deterministic sampling: keep a document with
     * probability equal to its quality score — the standard C4/FineWeb-style

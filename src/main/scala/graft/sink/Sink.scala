@@ -66,6 +66,29 @@ final class ParquetSink(baseDir: String) extends Sink {
     df.write.mode(SaveMode.Append).parquet(s"$baseDir/$table")
 }
 
+/** Dataset publisher: writes a curated corpus as hive-partitioned parquet
+  * (e.g. `split=train/lang=en/part-*.parquet`) — the layout downstream
+  * training jobs prune by directory instead of reading a manifest.
+  *
+  * Scale notes: `partitionBy` writes one file per (task, partition-value)
+  * combination, so the frame is repartitioned by the partition columns
+  * first — at most one shuffle — to avoid the small-files explosion
+  * (32 tasks × P values → 32·P files without it, P files with it; skewed
+  * partition values would instead repartition on (cols, salt)).
+  * `maxRecordsPerFile` bounds the other extreme: one giant file per value.
+  */
+object DatasetWriter {
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}
+
 /** Test sink: collects rows per table on the driver. Not for production
   * scale (collect) — exists so streaming tests can assert on sink contents.
   */

@@ -317,6 +317,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(again.sortBy(_._1) == expected)
   }
 
+  test("curation pipeline composes dedup, quality gate and split end-to-end") {
+    val good = (1 to 100).map(i => if (i % 10 == 0) "the" else s"tok$i").mkString(" ")
+    val near = good.replace("tok99", "tok99x") // near-dup of `good` (1 shingle off)
+    val docs = Seq(
+      (1L, good, 700L),             // survivor (lowest id of the dup pair)
+      (2L, near, 700L),             // near-dup loser → dropped
+      (3L, "x x x x x x", 12L),     // low quality → dropped
+      (4L, good.toUpperCase, 700L)  // same text after lower() normalize → near-dup of 1
+    ).map { case (id, t, n) => (id, t, "en", "web", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.curationPipeline(docs)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(out.map(_._1).toSet == Set(1L))
+    assert(Set("train", "validation", "test").contains(out.head._2))
+  }
+
+  test("DatasetWriter publishes hive-partitioned parquet prunable by split/lang") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-publish").toString
+    val docs = Seq(
+      (1L, "en", "train"), (2L, "en", "test"), (3L, "de", "train")
+    ).toDF("doc_id", "lang", "split")
+    graft.sink.DatasetWriter.writePartitioned(docs, dir, Seq("split", "lang"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    // partition pruning: reading one split touches only its directory
+    assert(new java.io.File(s"$dir/split=train/lang=en").exists())
+    assert(new java.io.File(s"$dir/split=test/lang=en").exists())
+    val pruned = back.filter(col("split") === "train")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 2)
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
   // ------------------------------------------------------------ percentiles
 
   test("length percentiles pick exact discrete order statistics per lang") {
