@@ -222,6 +222,10 @@ object SparkEntry {
     // content-stable split, hash-checked END TO END (recursive-CTE oracle)
     "q59_curation_pipeline" -> ((s, dir) =>
       Curate.curationPipeline(Tables.documents(s, dir))),
+    // multi-dimensional corpus accounting: ROLLUP(lang, source) in one
+    // expand+aggregate pass (dataset-card totals at every granularity)
+    "q60_corpus_rollup" -> ((s, dir) =>
+      Curate.corpusRollup(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -478,5 +482,6 @@ object SparkEntry {
       Curate.qualityWeightedSampleSql(TextAnalysis.qualityScoreSql),
     "q58_sequence_packing" -> Curate.packSequencesSql(),
     "q59_curation_pipeline" -> Curate.curationPipelineSql(),
+    "q60_corpus_rollup" -> Curate.corpusRollupSql,
   )
 }

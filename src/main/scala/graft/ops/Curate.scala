@@ -170,6 +170,33 @@ object Curate {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Multi-dimensional corpus accounting: document and character counts at
+    * every (lang, source) granularity plus per-lang and grand totals in ONE
+    * pass — `ROLLUP`, the dataset-card table. Spark plans rollup as a
+    * single expand+aggregate (rows fan out ×3 map-side, one shuffle), not
+    * three scans. `grouping()` flags disambiguate the total rows from any
+    * genuine NULL dimension values (and note: Spark's grouping() returns
+    * BYTE — cast before comparing).
+    */
+  def corpusRollup(documents: DataFrame): DataFrame =
+    documents
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        // grouping() is only resolvable INSIDE the rollup aggregate list
+        grouping(col("source")).cast("int").as("is_lang_total"),
+        grouping(col("lang")).cast("int").as("is_grand_total"))
+      .orderBy(col("is_grand_total"), col("is_lang_total"), col("lang"), col("source"))
+
+  def corpusRollupSql: String =
+    """SELECT lang, source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(GROUPING(source) AS INTEGER) AS is_lang_total,
+      |  CAST(GROUPING(lang) AS INTEGER) AS is_grand_total
+      |FROM documents
+      |GROUP BY ROLLUP (lang, source)
+      |ORDER BY is_grand_total, is_lang_total, lang, source""".stripMargin
+
   /** Exact length percentiles per language (p25/p50/p75/p90 of n_chars,
     * discrete "pick the ceil(q·n)-th order statistic" semantics — integer
     * outputs, no interpolation, so the oracle matches bit-for-bit; engine
