@@ -136,6 +136,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Map("a" -> Some(100.0), "b" -> Some(110.0), "c" -> None, "d" -> None))
   }
 
+  test("asofJoin == brute-force point-in-time reference on pseudo-random data") {
+    val rnd = new scala.util.Random(23)
+    val quotes = (1L to 300L).map { i =>
+      (rnd.nextInt(12).toLong, ts("2024-01-01 00:00:00").getTime + rnd.nextInt(500) * 60000L, i)
+    }
+    val probes = (1L to 200L).map { i =>
+      (rnd.nextInt(15).toLong, ts("2024-01-01 00:00:00").getTime + rnd.nextInt(500) * 60000L, i)
+    }
+    val qDf = quotes.map { case (k, t, id) => (k, new Timestamp(t), id) }
+      .toDF("k", "qts", "quote_id")
+    val pDf = probes.map { case (k, t, id) => (k, new Timestamp(t), id) }
+      .toDF("k", "pts", "probe_id")
+    val got = Sessionize.asofJoin(pDf, qDf, key = "k",
+        probeTs = "pts", quoteTs = "qts",
+        payload = Seq("quote_id" -> "asof_quote"), tieBreak = "quote_id")
+      .select("probe_id", "asof_quote").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // brute force: per probe, the quote with max (time, quote_id) among t ≤ pt
+    val expected = probes.map { case (k, pt, pid) =>
+      val cands = quotes.filter(q => q._1 == k && q._2 <= pt)
+      pid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(q => (q._2, q._3))._3))
+    }.toMap
+    assert(got == expected)
+  }
+
   // ------------------------------------------------------------------ tfidf
 
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
