@@ -233,7 +233,11 @@ object SparkEntry {
   private def dsum(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(22,6))) AS DOUBLE)"
   private def davg(e: String) = s"(${dsum(e)} / COUNT($e))"
   // enrichment SQL fragments shared by several oracles
-  private val quantitySql = "COALESCE(CAST(props->>'k' AS INTEGER), 0)"
+  // TRY_CAST: Spark's get_json_object yields NULL on malformed JSON;
+  // DuckDB's ->> on a raw string THROWS — casting through JSON first makes
+  // the oracle share Spark's null-on-malformed semantics
+  private val quantitySql =
+    "COALESCE(CAST(TRY_CAST(props AS JSON)->>'k' AS INTEGER), 0)"
   private val totalAmountSql =
     s"CASE WHEN lower(trim(event_type)) IN ('purchase','click') THEN value * $quantitySql ELSE 0.0 END"
   private val sessionIdSql =

@@ -75,7 +75,9 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("format"),
       (col("n_chars") % 640 + 32).cast("int").as("width"),
       (col("n_chars") % 480 + 32).cast("int").as("height"),
-      encode(col("text"), "UTF-8").as("content"))
+      // null text = missing media → EMPTY payload (coalesce on both
+      // sides): the decode path sees zero bytes instead of NPE'ing
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("content"))
 
   /** Decode + feature-extract per partition: n_bytes, mean byte value and a
     * normalized 16-bin byte histogram per media row. The iterator shape is
@@ -132,7 +134,7 @@ object Multimodal {
   def mediaFeaturesMetaSql: String =
     """SELECT doc_id AS media_id,
       |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      |  CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** Resize stub for image rows: scale metadata to fit `maxDim` and stride-

@@ -166,7 +166,9 @@ object TextAnalysis {
       .withColumn("_ts", statsCol(withFp = true))
       .select(
         col("doc_id"),
-        md5(norm).as("content_md5"),
+        // concat_ws treats NULL as '' — null text must stay NULL, not
+        // alias to the empty document's fingerprint (fuzz-harness find)
+        when(col("text").isNotNull, md5(norm)).as("content_md5"),
         col("_ts.rolling_fp").as("rolling_fp"))
       .orderBy("doc_id")
   }
@@ -174,10 +176,11 @@ object TextAnalysis {
   def fingerprintsSql: String =
     """SELECT doc_id,
       |  md5(array_to_string(toks, ' ')) AS content_md5,
+      |  CASE WHEN toks IS NULL THEN NULL ELSE
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t ->
       |      CAST((strpos('0123456789abcdef', substr(md5(t),1,1)) - 1)
       |         + (strpos('0123456789abcdef', substr(md5(t),2,1)) - 1) * 16 AS BIGINT))),
-      |    (acc, h) -> ((acc * 31 + h) % 2147483647 + 2147483647) % 2147483647) AS rolling_fp
+      |    (acc, h) -> ((acc * 31 + h) % 2147483647 + 2147483647) % 2147483647) END AS rolling_fp
       |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
@@ -196,7 +199,9 @@ object TextAnalysis {
   def repetitionStats(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val total = greatest(size(toks) - 2, lit(0)).cast("long")
-    val distinctG = size(graft.functions.ShingleSet.shingles(col("text"), 3)).cast("long")
+    val distinctG = // null text → 0, matching the oracle's ELSE branch
+      coalesce(size(graft.functions.ShingleSet.shingles(col("text"), 3)), lit(0))
+        .cast("long")
     documents
       .select(col("doc_id"), total.as("n_grams"), distinctG.as("n_distinct_grams"))
       .withColumn("rep_ratio",
