@@ -226,6 +226,10 @@ object SparkEntry {
     // expand+aggregate pass (dataset-card totals at every granularity)
     "q60_corpus_rollup" -> ((s, dir) =>
       Curate.corpusRollup(Tables.documents(s, dir))),
+    // wide reshaping: pivot with PINNED values (no discovery job, stable
+    // schema) — plans as one conditional-aggregate groupBy
+    "q61_source_lang_pivot" -> ((s, dir) =>
+      Curate.sourceLangPivot(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -487,5 +491,6 @@ object SparkEntry {
     "q58_sequence_packing" -> Curate.packSequencesSql(),
     "q59_curation_pipeline" -> Curate.curationPipelineSql(),
     "q60_corpus_rollup" -> Curate.corpusRollupSql,
+    "q61_source_lang_pivot" -> Curate.sourceLangPivotSql,
   )
 }

@@ -197,6 +197,32 @@ object Curate {
       |GROUP BY ROLLUP (lang, source)
       |ORDER BY is_grand_total, is_lang_total, lang, source""".stripMargin
 
+  /** The corpus language mix per source as a wide table — `pivot`, the
+    * reshaping operator (one row per source, one column per language).
+    * Pivot values are PINNED (`Langs`), not discovered: discovery costs an
+    * extra distinct-scan job, makes the output schema data-dependent
+    * (schema drift at 100 TB), and breaks oracle comparability. With
+    * pinned values Spark plans a single groupBy with conditional
+    * aggregates — same plan the explicit SQL writes by hand.
+    */
+  val Langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  def sourceLangPivot(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("source")
+      .pivot("lang", Langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, Langs) // a source with no docs in a language = 0, not null
+      .orderBy("source")
+
+  def sourceLangPivotSql: String = {
+    val cols = Langs.map(l =>
+      s"COUNT(CASE WHEN lang = '$l' THEN 1 END) AS $l").mkString(",\n  ")
+    s"""SELECT source,
+       |  $cols
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Exact length percentiles per language (p25/p50/p75/p90 of n_chars,
     * discrete "pick the ceil(q·n)-th order statistic" semantics — integer
     * outputs, no interpolation, so the oracle matches bit-for-bit; engine
