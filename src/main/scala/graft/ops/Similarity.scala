@@ -234,6 +234,32 @@ object Similarity {
     s"SELECT vec_id, label, $bitExprs AS bucket FROM embeddings ORDER BY vec_id"
   }
 
+  /** Streaming retrieval: a stream of probe vectors joined against the
+    * static LSH-bucketed corpus — the real-time ANN lookup a serving
+    * pipeline runs. The probe's bucket is a per-row expression, so each
+    * micro-batch equi-joins (stream-static join, fully supported in
+    * append mode) against only its buckets; ranking happens per batch in
+    * `foreachBatch` (global windows are not available on unaggregated
+    * streams). The corpus side should be pre-bucketed and cached — at
+    * scale, bucketed-table co-location (see BucketingSpec) removes even
+    * the corpus-side shuffle.
+    *
+    * Returns the matched candidates with cosine; the foreachBatch caller
+    * applies the same `row_number ≤ k` as [[lshBucketedTopK]].
+    */
+  def streamingBucketProbe(
+      probes: DataFrame, corpus: DataFrame, planes: Int = Planes): DataFrame = {
+    val bucketed = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n"),
+        bucketCol(col("embedding"), planes).as("bucket"))
+    probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"),
+        bucketCol(col("embedding"), planes).as("bucket"))
+      .join(bucketed, "bucket")
+      .select(col("probe_id"), col("neighbor_id"),
+        dot(col("emb_p"), col("emb_n")).as("cosine"))
+  }
+
   /** Approximate top-k: each vector searches only its own LSH bucket.
     * The join is an equi-join on bucket — at scale this is the same-bucket
     * co-partitioned search that replaces the O(n²) scan.

@@ -153,4 +153,38 @@ class SimilaritySpec extends SparkSpec {
       if (z) assert(a == '1' && b == '1') else assert(a != b)
     }
   }
+
+  test("streaming bucket probe: stream-static ANN retrieval per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    // static corpus: 40 vectors in two clearly-separated directions
+    val corpus = (1L to 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, (Array.fill(8)(base) ++ Array.fill(8)(0.1f * (i % 5))).toSeq)
+    }.toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = Similarity.streamingBucketProbe(
+        mem.toDF().toDF("vec_id", "embedding"), corpus, planes = 2)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-batch top-1, as the serving caller would
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
+        batch.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
+          .select("probe_id", "neighbor_id", "cosine").collect()
+          .foreach(r => results += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+      }
+      .start()
+    try {
+      // a probe pointing in the "+1" direction must retrieve an even
+      // (positive-direction) corpus vector from its own bucket
+      mem.addData((100L, Seq.fill(8)(1.0f) ++ Seq.fill(8)(0.0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results.nonEmpty)
+    val (probe, neighbor, cosine) = results.head
+    assert(probe == 100L && neighbor % 2 == 0 && cosine > 0)
+  }
 }
