@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.sink.InMemorySink
+import org.apache.spark.sql.streaming.OutputMode
+
+/** End-to-end spec for the document-ingest pipeline: in-stream dedup,
+  * cross-batch Bloom gate, quality routing, per-batch metrics.
+  */
+class DocIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // quality ≈ 0.97 (long, diverse, stopword-sane — see CurationOpsSpec)
+  private val good =
+    (1 to 100).map(i => if (i % 10 == 0) "the" else s"word$i").mkString(" ")
+  private val good2 =
+    (1 to 100).map(i => if (i % 10 == 0) "a" else s"tok$i").mkString(" ")
+
+  test("doc ingest: dedup in-stream and across batches, quality-gate, metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val sink = new InMemorySink
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-docingest").toString
+    val q = DocIngest.start(spark,
+      mem.toDF().toDF("doc_id", "ingest_ts", "text"), ckpt, sink)
+    try {
+      // batch 1: in-batch duplicate (2 == 1), a low-quality doc, a good doc
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), good),
+        (2L, ts("2024-01-01 10:00:30"), good),   // in-stream dup of 1
+        (3L, ts("2024-01-01 10:01:00"), "x x"),  // low quality
+        (4L, ts("2024-01-01 10:02:00"), good2))
+      q.processAllAvailable()
+      // the watermarked dedup drops doc 2 BEFORE foreachBatch: 3 rows in
+      assert(sink.rowCount("accepted_documents") == 2) // 1 (or 2) and 4
+      assert(sink.rowCount("rejected_documents") == 1) // 3: low_quality
+
+      // batch 2: new content far in the future — advances the watermark
+      // past batch 1's dedup-state horizon (10:00 + 10min ≪ 12:00 − 10min)
+      mem.addData((6L, ts("2024-01-01 12:00:00"), good2.replace("tok7", "fresh7")))
+      q.processAllAvailable()
+      assert(sink.rowCount("accepted_documents") == 3) // + doc 6
+
+      // batch 3: re-crawl of batch-1 content AFTER the watermark evicted
+      // the in-stream dedup state — only the cross-batch Bloom gate can
+      // catch it now (the layering the pipeline exists for)
+      mem.addData((5L, ts("2024-01-01 12:01:00"), good))
+      q.processAllAvailable()
+      assert(sink.rowCount("accepted_documents") == 3) // unchanged
+      val rejected = sink.tables("rejected_documents")
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rejected(3L) == "low_quality")
+      assert(rejected(5L) == "duplicate_content")
+      assert(sink.rowCount("doc_quality_metrics") == 3)
+    } finally q.stop()
+  }
+}
