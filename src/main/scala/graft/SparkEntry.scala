@@ -230,6 +230,16 @@ object SparkEntry {
     // schema) — plans as one conditional-aggregate groupBy
     "q61_source_lang_pivot" -> ((s, dir) =>
       Curate.sourceLangPivot(Tables.documents(s, dir))),
+    // LEFT ANTI exclusion join: click sessions that never purchased — the
+    // "in A but not in B" pattern (blocklists, already-processed registries)
+    "q62_abandoned_sessions" -> ((s, dir) =>
+      Analytics.abandonedSessions(enrichedV(s, dir))),
+    // lag() window over event time: per-user inter-event gaps in exact
+    // integer microseconds (activity/churn feature feed)
+    "q63_inter_event_gaps" -> ((s, dir) => Analytics.interEventGaps(ev(s, dir))),
+    // CUBE(event_type, dow): all four marginals in one expand+agg pass —
+    // the grouping-sets companion of q60's ROLLUP
+    "q64_event_cube" -> ((s, dir) => Analytics.eventCube(enrichedV(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -492,5 +502,8 @@ object SparkEntry {
     "q59_curation_pipeline" -> Curate.curationPipelineSql(),
     "q60_corpus_rollup" -> Curate.corpusRollupSql,
     "q61_source_lang_pivot" -> Curate.sourceLangPivotSql,
+    "q62_abandoned_sessions" -> Analytics.abandonedSessionsSql(enrichedSql),
+    "q63_inter_event_gaps" -> Analytics.interEventGapsSql,
+    "q64_event_cube" -> Analytics.eventCubeSql(enrichedSql),
   )
 }

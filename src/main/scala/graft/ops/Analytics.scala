@@ -236,4 +236,112 @@ object Analytics {
         davg(col("l_discount")).as("avg_disc"),
         count("*").as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** §2.6 joins — LEFT ANTI exclusion join: sessions with clicks but no
+    * purchase (the cart-abandonment cohort). The general pattern for "in A
+    * but not in B" at scale: both sides hash-partition on the join key (an
+    * equi-join, so AQE broadcasts the exclusion set while it's small and
+    * falls back to a shuffled anti-join when it isn't); the left side is
+    * already aggregated, so only (session, counters) rows move — never raw
+    * events. For this single-table special case a lone groupBy with a
+    * purchase counter would also work; the anti-join form is what
+    * generalizes to a cross-table exclusion list (blocklists, already-
+    * processed registries).
+    */
+  def abandonedSessions(enriched: DataFrame): DataFrame = {
+    val perSession = enriched
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        max(col("ts")).as("last_seen"))
+      .filter(col("n_clicks") > 0)
+    val purchasedSessions = enriched
+      .filter(col("user_id").isNotNull && col("event_type") === "purchase")
+      .select("session_id")
+    perSession
+      .join(purchasedSessions, Seq("session_id"), "left_anti")
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Oracle for [[abandonedSessions]]; takes the caller's enriched-events
+    * SQL so the session/normalization derivation cannot drift from the
+    * Spark side.
+    */
+  def abandonedSessionsSql(enrichedSql: String): String =
+    s"""SELECT session_id, user_id, n_events, n_clicks, last_seen FROM (
+       |  SELECT user_id, session_id, COUNT(*) AS n_events,
+       |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+       |    MAX(ts) AS last_seen
+       |  FROM ($enrichedSql) WHERE user_id IS NOT NULL
+       |  GROUP BY user_id, session_id
+       |) s
+       |WHERE n_clicks > 0 AND NOT EXISTS (
+       |  SELECT 1 FROM ($enrichedSql) p
+       |  WHERE p.user_id IS NOT NULL AND p.event_type = 'purchase'
+       |    AND p.session_id = s.session_id)
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** §2.6 window fns — `lag` over an event-time order: per-user inter-event
+    * gaps (the feed for activity/churn features). Gap arithmetic stays in
+    * exact integer microseconds (`unix_micros`), so aggregates are
+    * engine-portable with no float time math. One exchange total: the
+    * window partitions by user_id and the following groupBy aggregates the
+    * same key, so Spark reuses the window's hash partitioning for the agg.
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ordering by the µs projection == ordering by ts (monotone), so the
+    // raw timestamp need not survive the projection
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(col("gap_us")).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("total_gap_us"))
+      .filter(col("n_gaps") > 0)
+      .orderBy("user_id")
+  }
+
+  def interEventGapsSql: String =
+    """SELECT user_id, COUNT(gap_us) AS n_gaps, MAX(gap_us) AS max_gap_us,
+      |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events WHERE user_id IS NOT NULL)
+      |GROUP BY user_id HAVING COUNT(gap_us) > 0 ORDER BY user_id""".stripMargin
+
+  /** §2.6 grouping sets — CUBE(event_type, day-of-week): every marginal of
+    * the two-dimensional activity matrix in ONE expand+aggregate pass (the
+    * dashboard companion of q60's ROLLUP). grouping() flags distinguish
+    * subtotal rows from genuine NULL dimension values; sort order pins
+    * NULLS LAST explicitly because Spark's ASC default (nulls first)
+    * differs from DuckDB's (nulls last).
+    */
+  def eventCube(enriched: DataFrame): DataFrame =
+    enriched
+      .cube("event_type", "event_dayofweek")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("total_amount")).as("revenue"),
+        grouping(col("event_type")).cast("int").as("is_type_total"),
+        grouping(col("event_dayofweek")).cast("int").as("is_dow_total"))
+      .orderBy(col("is_type_total"), col("is_dow_total"),
+        col("event_type").asc_nulls_last, col("event_dayofweek").asc_nulls_last)
+
+  def eventCubeSql(enrichedSql: String): String =
+    s"""SELECT event_type, event_dayofweek, COUNT(*) AS n_events,
+       |  ${graft.functions.Deterministic.dsumSql("total_amount")} AS revenue,
+       |  CAST(GROUPING(event_type) AS INTEGER) AS is_type_total,
+       |  CAST(GROUPING(event_dayofweek) AS INTEGER) AS is_dow_total
+       |FROM (SELECT e.*, CAST(dayofweek(ts) + 1 AS INTEGER) AS event_dayofweek
+       |      FROM ($enrichedSql) e)
+       |GROUP BY CUBE (event_type, event_dayofweek)
+       |ORDER BY is_type_total, is_dow_total, event_type, event_dayofweek""".stripMargin
 }

@@ -17,4 +17,69 @@ class AnalyticsViewsSpec extends SparkSpec {
     val cols = spark.sql("SELECT * FROM v_category_performance").columns.toSet
     assert(Set("category", "event_count", "total_revenue", "avg_price").subsetOf(cols))
   }
+
+  private def enrichedOf(rows: Seq[(Long, String, Long, String)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = rows
+      .toDF("event_id", "tss", "user_id", "event_type")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+        col("event_type"), lit(5.0).as("value"), lit(null).cast("string").as("props"))
+    Enrich.enriched(raw)
+  }
+
+  test("abandonedSessions keeps click sessions without purchases and drops the rest") {
+    // user 1: one session (same 30-min bucket) with click+purchase → excluded
+    // user 2: click-only session → kept; user 3: view-only session → filtered (no click)
+    val enriched = enrichedOf(Seq(
+      (1L, "2024-05-01 10:00:00", 1L, "click"),
+      (2L, "2024-05-01 10:05:00", 1L, "purchase"),
+      (3L, "2024-05-01 10:00:00", 2L, "click"),
+      (4L, "2024-05-01 10:01:00", 2L, "click"),
+      (5L, "2024-05-01 10:00:00", 3L, "view")))
+    val out = Analytics.abandonedSessions(enriched).collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(2L))
+    assert(out.head.getAs[Long]("n_clicks") == 2L)
+    // the anti-join survives a purchase in a DIFFERENT session of the same user
+    val enriched2 = enrichedOf(Seq(
+      (1L, "2024-05-01 10:00:00", 1L, "click"),
+      (2L, "2024-05-01 12:00:00", 1L, "purchase"))) // separate 30-min bucket
+    assert(Analytics.abandonedSessions(enriched2).count() == 1)
+  }
+
+  test("interEventGaps computes per-user integer-µs gap aggregates via lag") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      (1L, "2024-05-01 10:00:00", 7L),
+      (2L, "2024-05-01 10:00:10", 7L),
+      (3L, "2024-05-01 10:01:10", 7L), // gaps: 10s, 60s
+      (4L, "2024-05-01 10:00:00", 8L)) // single event → no gap row
+      .toDF("event_id", "tss", "user_id")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"))
+    val out = Analytics.interEventGaps(events).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("user_id") == 7L)
+    assert(out.head.getAs[Long]("n_gaps") == 2L)
+    assert(out.head.getAs[Long]("max_gap_us") == 60_000_000L)
+    assert(out.head.getAs[Long]("total_gap_us") == 70_000_000L)
+  }
+
+  test("eventCube emits all four marginals with grouping flags") {
+    val enriched = enrichedOf(Seq(
+      (1L, "2024-05-06 10:00:00", 1L, "click"),  // Monday
+      (2L, "2024-05-07 10:00:00", 1L, "view"),   // Tuesday
+      (3L, "2024-05-07 11:00:00", 2L, "click")))
+    val out = Analytics.eventCube(enriched).collect()
+    // 3 detail cells + 2 type totals + 2 dow totals + 1 grand total
+    assert(out.length == 8)
+    val grand = out.filter(r =>
+      r.getAs[Int]("is_type_total") == 1 && r.getAs[Int]("is_dow_total") == 1)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_events") == 3L)
+    // a type subtotal row aggregates across dows with a NULL dow column
+    val clickTotal = out.filter(r => r.getAs[Int]("is_dow_total") == 1 &&
+      r.getAs[Int]("is_type_total") == 0 && r.getAs[String]("event_type") == "click")
+    assert(clickTotal.length == 1 && clickTotal.head.getAs[Long]("n_events") == 2L)
+    assert(clickTotal.head.isNullAt(clickTotal.head.fieldIndex("event_dayofweek")))
+  }
 }
