@@ -240,6 +240,13 @@ object SparkEntry {
     // CUBE(event_type, dow): all four marginals in one expand+agg pass —
     // the grouping-sets companion of q60's ROLLUP
     "q64_event_cube" -> ((s, dir) => Analytics.eventCube(enrichedV(s, dir))),
+    // tokenizer-vocabulary coverage: top-V bigram vocab (TakeOrdered — no
+    // global gather) + per-doc OOV rate via a broadcast vocab join
+    "q65_vocab_oov" -> ((s, dir) => TextAnalysis.vocabOov(Tables.documents(s, dir))),
+    // directed containment |A∩B|/|A| ≥ 0.9 — the doc-inside-doc case
+    // symmetric Jaccard misses; same posting-count machine as q32
+    "q66_ngram_containment" -> ((s, dir) =>
+      NearDup.ngramContainment(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -505,5 +512,7 @@ object SparkEntry {
     "q62_abandoned_sessions" -> Analytics.abandonedSessionsSql(enrichedSql),
     "q63_inter_event_gaps" -> Analytics.interEventGapsSql,
     "q64_event_cube" -> Analytics.eventCubeSql(enrichedSql),
+    "q65_vocab_oov" -> TextAnalysis.vocabOovSql(),
+    "q66_ngram_containment" -> NearDup.ngramContainmentSql(),
   )
 }

@@ -187,7 +187,21 @@ object NearDup {
     * caps) or use prefix filtering to bound the hottest lists.
     */
   def ngramJaccardPairs(
-      documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame =
+    pairCounts(documents, n)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared exact set-overlap machine for [[ngramJaccardPairs]] and
+    * [[ngramContainment]]: every co-occurring pair with its intersection
+    * and set sizes — `(doc_a < doc_b, n_common, n_a, n_b)`. Intersections
+    * come from a posting-list self-join + count, so full shingle arrays
+    * never enter a shuffle (only `(doc_id, shingle)` postings move).
+    */
+  private def pairCounts(documents: DataFrame, n: Int): DataFrame = {
     val sh = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), graft.functions.ShingleSet.shingles(col("text"), n).as("shingles"))
@@ -207,11 +221,59 @@ object NearDup {
     inter
       .join(sizes.toDF("doc_a_k", "n_a"), col("doc_a") === col("doc_a_k"))
       .join(sizes.toDF("doc_b_k", "n_b"), col("doc_b") === col("doc_b_k"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"))
+  }
+
+  /** Directed near-CONTAINMENT: `|A∩B| / |A| ≥ threshold` flags document A
+    * as (almost) a subset of document B — the quote/wrapper/re-post case
+    * that symmetric Jaccard misses when sizes differ (J = |∩|/|∪| stays
+    * low while containment is 1.0). One undirected pair-count pass, then
+    * each pair is tested in both directions; the ratio divides two exact
+    * ints, so the double (and the threshold compare) is engine-identical.
+    */
+  def ngramContainment(
+      documents: DataFrame, n: Int = 3, minContainment: Double = 0.9): DataFrame =
+    pairCounts(documents, n)
+      .select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          col("n_common"), col("n_a").as("n_contained"), col("n_b").as("n_container")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          col("n_common"), col("n_b").as("n_contained"), col("n_a").as("n_container"))))
+        .as("r"))
+      .select(col("r.*"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_contained"))
+      .filter(col("containment") >= minContainment)
+      .orderBy("contained", "container")
+
+  def ngramContainmentSql(n: Int = 3, minContainment: Double = 0.9): String = {
+    val gram = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $n
+       |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
+       |      ELSE [] END AS shingles
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)),
+       |pc AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.shingles, b.shingles)) AS n_common,
+       |    len(a.shingles) AS n_a, len(b.shingles) AS n_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+       |    AND len(list_intersect(a.shingles, b.shingles)) > 0),
+       |directed AS (
+       |  SELECT doc_a AS contained, doc_b AS container, n_common,
+       |    n_a AS n_contained, n_b AS n_container FROM pc
+       |  UNION ALL
+       |  SELECT doc_b AS contained, doc_a AS container, n_common,
+       |    n_b AS n_contained, n_a AS n_container FROM pc)
+       |SELECT contained, container, CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(n_contained AS INTEGER) AS n_contained,
+       |  CAST(n_container AS INTEGER) AS n_container,
+       |  CAST(n_common AS DOUBLE) / n_contained AS containment
+       |FROM directed
+       |WHERE CAST(n_common AS DOUBLE) / n_contained >= $minContainment
+       |ORDER BY contained, container""".stripMargin
   }
 
   def ngramJaccardPairsSql(n: Int = 3, minJaccard: Double = 0.5): String = {

@@ -303,4 +303,77 @@ object TextAnalysis {
        |      AS rank
        |  FROM tf JOIN dfc USING (term))
        |WHERE rank <= $topK ORDER BY doc_id, rank""".stripMargin
+
+  /** Top-`vocabSize` word n-grams by document frequency (ties break
+    * lexicographically) — the tokenizer-vocabulary build step. `limit`
+    * after `orderBy` plans as TakeOrdered: each partition keeps its local
+    * top-V and a single reduce merges them, so the full df table never
+    * gathers anywhere. Bigrams by default: this corpus's unigram
+    * vocabulary is ~31 words (every doc would cover it), bigrams are ~900.
+    */
+  def ngramVocab(documents: DataFrame, n: Int = 2, vocabSize: Int = 512): DataFrame =
+    gramPostings(documents, n)
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(vocabSize)
+
+  /** (doc_id, gram) postings — distinct n-grams per document, spread off
+    * the single parquet split before the kernel + explode.
+    */
+  private def gramPostings(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleSet.shingles(col("text"), n)).as("gram"))
+
+  /** Per-document out-of-vocabulary rate against [[ngramVocab]]: the
+    * coverage check run before committing to a tokenizer/LM vocabulary.
+    * The vocab is bounded by construction (≤ vocabSize rows), so its join
+    * side is explicitly broadcast — the corpus-side postings never
+    * shuffle for it; the only exchange is the per-doc count aggregation.
+    * Documents too short to produce an n-gram surface with zero counts
+    * (not dropped): the downstream filter decision belongs to the caller.
+    */
+  def vocabOov(documents: DataFrame, n: Int = 2, vocabSize: Int = 512): DataFrame = {
+    val vocab = ngramVocab(documents, n, vocabSize)
+      .select(col("gram")).withColumn("in_vocab", lit(1))
+    val perDoc = gramPostings(documents, n)
+      .join(broadcast(vocab), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+    documents.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_grams") === 0, 0.0)
+          .otherwise(col("n_oov").cast("double") / col("n_grams")))
+      .orderBy("doc_id")
+  }
+
+  def vocabOovSql(n: Int = 2, vocabSize: Int = 512): String = {
+    val gram = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(toks) >= $n
+       |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
+       |      ELSE [] END) AS gram
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)),
+       |dfc AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+       |vocab AS (SELECT gram FROM dfc ORDER BY df DESC, gram LIMIT $vocabSize),
+       |per AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams,
+       |    COUNT(CASE WHEN v.gram IS NULL THEN 1 END) AS n_oov
+       |  FROM g LEFT JOIN vocab v ON g.gram = v.gram
+       |  GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_grams, 0) AS n_grams,
+       |  COALESCE(per.n_oov, 0) AS n_oov,
+       |  CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+       |       ELSE CAST(per.n_oov AS DOUBLE) / per.n_grams END AS oov_rate
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -143,6 +143,43 @@ class TextNearDupSpec extends SparkSpec {
     }
   }
 
+  test("containment flags a doc embedded in a larger one where Jaccard stays low") {
+    // doc 1 = 6 tokens → 4 3-gram shingles, ALL present inside doc 2's 30
+    // tokens (28 shingles): containment(1→2) = 1.0, Jaccard = 4/28 ≈ 0.14
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val outer = ("pre1 pre2 pre3 pre4 pre5 pre6 pre7 pre8 pre9 pre10 pre11 pre12 " +
+      inner + " post1 post2 post3 post4 post5 post6 post7 post8 post9 post10 post11 post12")
+    val df = docs((1L, inner), (2L, outer), (3L, "unrelated words entirely here now"))
+    assert(NearDup.ngramJaccardPairs(df).count() == 0) // symmetric misses it
+    val got = NearDup.ngramContainment(df).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("contained") == 1L && r.getAs[Long]("container") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    // and the reverse direction (big doc in small doc) is NOT flagged
+    assert(r.getAs[Int]("n_container") > r.getAs[Int]("n_contained"))
+  }
+
+  test("vocab build ranks by df with lexicographic ties; OOV counts the tail") {
+    // grams: "a b" df=3, "b c" df=2, "c d" df=1, "x y" df=1 → V=2 vocab
+    // = {"a b", "b c"}; doc 4 too short for a bigram → zero counts, kept
+    val df = docs(
+      (1L, "a b c d"),   // grams: a b, b c, c d
+      (2L, "a b c"),     // grams: a b, b c
+      (3L, "a b x y"),   // grams: a b, b x, x y
+      (4L, "solo"))
+    val vocab = TextAnalysis.ngramVocab(df, n = 2, vocabSize = 2)
+      .collect().map(_.getAs[String]("gram")).toSeq
+    assert(vocab == Seq("a b", "b c"))
+    val oov = TextAnalysis.vocabOov(df, n = 2, vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_oov")))).toMap
+    assert(oov(1L) == ((3L, 1L))) // "c d" is OOV
+    assert(oov(2L) == ((2L, 0L)))
+    assert(oov(3L) == ((3L, 2L))) // "b x", "x y" OOV
+    assert(oov(4L) == ((0L, 0L)))
+  }
+
   test("capped Jaccard: values exact incl. hot shingles; hot-only pairs dropped") {
     val phrase = "alpha beta gamma delta"
     val df = docs(
