@@ -247,6 +247,11 @@ object SparkEntry {
     // symmetric Jaccard misses; same posting-count machine as q32
     "q66_ngram_containment" -> ((s, dir) =>
       NearDup.ngramContainment(Tables.documents(s, dir))),
+    // incremental aggregate maintenance: history-state ⊕ batch-state ==
+    // full recompute, bit for bit (algebraic counters + exact decimal sums)
+    "q67_incremental_hourly" -> ((s, dir) =>
+      graft.ops.Incremental.incrementalHourly(enrichedV(s, dir),
+        lit(graft.ops.Incremental.CutTs).cast("timestamp"))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -514,5 +519,6 @@ object SparkEntry {
     "q64_event_cube" -> Analytics.eventCubeSql(enrichedSql),
     "q65_vocab_oov" -> TextAnalysis.vocabOovSql(),
     "q66_ngram_containment" -> NearDup.ngramContainmentSql(),
+    "q67_incremental_hourly" -> graft.ops.Incremental.incrementalHourlySql(enrichedSql),
   )
 }

@@ -65,6 +65,19 @@ class AnalyticsViewsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("total_gap_us") == 70_000_000L)
   }
 
+  test("incremental state merge equals full recompute for any split") {
+    import org.apache.spark.sql.functions._
+    val enriched = Enrich.enriched(
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.001"))
+    val full = Incremental.readout(Incremental.hourlyState(enriched)).collect()
+    // three-way split on an arbitrary non-time key — merge must not care
+    val parts = (0 until 3).map(i => enriched.filter(pmod(col("event_id"), lit(3)) === i))
+    val merged = Incremental.readout(
+      Incremental.merge(parts.map(Incremental.hourlyState): _*)).collect()
+    assert(merged.toSeq == full.toSeq) // bit-for-bit, revenue double included
+    assert(full.nonEmpty)
+  }
+
   test("eventCube emits all four marginals with grouping flags") {
     val enriched = enrichedOf(Seq(
       (1L, "2024-05-06 10:00:00", 1L, "click"),  // Monday
