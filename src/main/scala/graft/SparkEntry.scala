@@ -252,6 +252,14 @@ object SparkEntry {
     "q67_incremental_hourly" -> ((s, dir) =>
       graft.ops.Incremental.incrementalHourly(enrichedV(s, dir),
         lit(graft.ops.Incremental.CutTs).cast("timestamp"))),
+    // distributed Lloyd's k-means in exact fixed point — trains the IVF
+    // coarse quantizer in-engine; the learned model itself is hash-checked
+    "q68_kmeans_centroids" -> ((s, dir) =>
+      graft.ops.KMeans.kmeansCentroids(Tables.embeddings(s, dir))),
+    // the full ANN loop: k-means-trained quantizer routes the IVF search
+    // (q36's plan shape with LEARNED cells instead of the label column)
+    "q69_ann_ivf_trained" -> ((s, dir) =>
+      graft.ops.KMeans.ivfTopKTrained(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -520,5 +528,7 @@ object SparkEntry {
     "q65_vocab_oov" -> TextAnalysis.vocabOovSql(),
     "q66_ngram_containment" -> NearDup.ngramContainmentSql(),
     "q67_incremental_hourly" -> graft.ops.Incremental.incrementalHourlySql(enrichedSql),
+    "q68_kmeans_centroids" -> graft.ops.KMeans.kmeansCentroidsSql(),
+    "q69_ann_ivf_trained" -> graft.ops.KMeans.ivfTopKTrainedSql(),
   )
 }

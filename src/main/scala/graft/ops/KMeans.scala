@@ -1,0 +1,227 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.LongArrayDot.dotLong
+
+/** Distributed Lloyd's k-means over the embedding corpus — the in-engine
+  * trainer for the IVF coarse quantizer ([[Similarity.ivfTopK]] routes by
+  * nearest centroid; this op is where those centroids come from, replacing
+  * the testdata's pre-assigned `label` column with learned cells).
+  *
+  * Built the way MLlib trains k-means, but engine-portable:
+  *  - Every per-vector computation is quantized to fixed point
+  *    (`floor(x·1e6)` longs, the [[graft.functions.QuantizedDot]]
+  *    convention) so distances are EXACT integers — no float-sum
+  *    nondeterminism across partitionings or engines.
+  *  - Assignment = broadcast the k×Dim centroid table (the model — tiny by
+  *    definition) against the corpus, distance via the codegen'd
+  *    [[graft.functions.LongArrayDot]] (`|x−c|² = x·x − 2x·c + c·c`, the
+  *    x·x term precomputed once per vector), then argmin as
+  *    `min(struct(dist, cluster))` — an ALGEBRAIC aggregate, so the n×k
+  *    candidate rows combine map-side; no window shuffle.
+  *  - Update = posexplode to (cluster, dim, q) cells and sum/count — also
+  *    map-side combinable; the k×Dim result collects to the driver (the
+  *    standard Lloyd's driver-sync; it is the model, not data).
+  *  - Centroid means divide in double (`floor(sum/count)`): both sum
+  *    (≤ n·1e6 < 2^53) and quotient are exactly representable/correctly
+  *    rounded IEEE, so the floor is engine-identical.
+  *  - Seeding is content-deterministic: the k vectors with the smallest
+  *    `md5("km|" ++ vec_id)` — a TakeOrdered top-k, no RNG state.
+  *  - Empty clusters keep their previous centroid (documented, mirrored in
+  *    the oracle) instead of vanishing.
+  *
+  * The oracle unrolls the same iterations in DuckDB SQL (zip-unnest for
+  * per-dim sums, window argmin with the same tie-break), so the LEARNED
+  * MODEL is hash-checked cross-engine, not just "some clusters exist".
+  */
+object KMeans {
+  val Dim: Int = Similarity.Dim
+  val K = 8
+  val Iters = 2
+
+  /** floor(x·1e6) per element — the QuantizedDot fixed-point convention. */
+  private def quantize(emb: org.apache.spark.sql.Column) =
+    transform(emb, x => floor(x.cast("double") * 1e6).cast("long"))
+
+  /** Quantized corpus: (vec_id, xq, x·x), malformed vectors dropped up
+    * front (a NULL distance would otherwise win Spark's nulls-first argmin
+    * while losing DuckDB's nulls-last one).
+    */
+  private def corpus(embeddings: DataFrame): DataFrame =
+    embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .repartition(col("vec_id")) // single-split parquet → spread the work
+      .select(col("vec_id"), quantize(col("embedding")).as("xq"))
+      .withColumn("xx", dotLong(col("xq"), col("xq")))
+      .cache()
+
+  private def seedCentroids(xq: DataFrame, k: Int): Array[(Int, Array[Long])] =
+    xq.select(col("vec_id"), col("xq"),
+        md5(concat(lit("km|"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getAs[scala.collection.Seq[Long]]("xq").toArray) }
+
+  private def centroidDf(
+      spark: SparkSession, cents: Array[(Int, Array[Long])]): DataFrame =
+    spark.createDataFrame(cents.toSeq).toDF("cluster", "cq")
+      .withColumn("cc", dotLong(col("cq"), col("cq")))
+
+  /** Nearest-centroid assignment: (vec_id, cluster). */
+  private def assign(xq: DataFrame, cents: Array[(Int, Array[Long])]): DataFrame =
+    xq.crossJoin(broadcast(centroidDf(xq.sparkSession, cents)))
+      .withColumn("dist",
+        col("xx") - lit(2L) * dotLong(col("xq"), col("cq")) + col("cc"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist").as("d"), col("cluster").as("c"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("cluster"))
+
+  /** One Lloyd's update; clusters with no members keep `prev`'s centroid. */
+  private def updateCentroids(
+      xq: DataFrame, assigned: DataFrame,
+      prev: Array[(Int, Array[Long])]): Array[(Int, Array[Long])] = {
+    val cells = assigned.join(xq, "vec_id")
+      .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("cq", floor(col("s").cast("double") / col("n")).cast("long"))
+      .collect()
+    val byCluster = cells.groupBy(_.getAs[Int]("cluster")).map { case (c, rows) =>
+      val arr = new Array[Long](Dim)
+      rows.foreach(r => arr(r.getAs[Int]("dim")) = r.getAs[Long]("cq"))
+      c -> arr
+    }
+    prev.map { case (c, old) => (c, byCluster.getOrElse(c, old)) }
+  }
+
+  /** Train and return the model relation: one row per (cluster_id, dim)
+    * with the fixed-point centroid coordinate and the cluster's population
+    * under the final assignment.
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+    val xq = corpus(embeddings)
+    var cents = seedCentroids(xq, k)
+    for (_ <- 0 until iters)
+      cents = updateCentroids(xq, assign(xq, cents), cents)
+    val sizes = assign(xq, cents)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .withColumnRenamed("cluster", "cluster_id")
+    val spark = embeddings.sparkSession
+    val centRows = cents.toSeq.flatMap { case (c, arr) =>
+      arr.toSeq.zipWithIndex.map { case (v, d) => (c, d, v) }
+    }
+    val out = spark.createDataFrame(centRows)
+      .toDF("cluster_id", "dim", "centroid_q")
+      .join(sizes, Seq("cluster_id"), "left")
+      .na.fill(0L, Seq("cluster_size"))
+      .orderBy("cluster_id", "dim")
+    xq.unpersist()
+    out
+  }
+
+  /** The final assignment relation (vec_id → trained cluster) for library
+    * users wiring the trained quantizer into IVF routing.
+    */
+  def kmeansAssignments(
+      embeddings: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+    val xq = corpus(embeddings)
+    var cents = seedCentroids(xq, k)
+    for (_ <- 0 until iters)
+      cents = updateCentroids(xq, assign(xq, cents), cents)
+    assign(xq, cents).orderBy("vec_id")
+  }
+
+  /** The shared DuckDB CTE chain (xq → c0 → a1/c1 → … → afinal): the same
+    * unrolled Lloyd's iterations feed both the model dump (q68) and the
+    * trained-IVF search (q69), so the two oracles cannot drift.
+    */
+  def kmeansCtesSql(k: Int = K, iters: Int = Iters, dim: Int = Dim): String = {
+    def assignSql(cents: String) =
+      s"""SELECT vec_id, cluster FROM (
+         |  SELECT x.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, $dim),
+         |        i -> (x.xq[i]-c.cq[i])*(x.xq[i]-c.cq[i]))), c.cluster) AS rn
+         |  FROM xq x CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    def updateSql(assigned: String, prev: String) =
+      s"""SELECT p.cluster, COALESCE(u.cq, p.cq) AS cq FROM $prev p LEFT JOIN (
+         |  SELECT cluster, list(cq ORDER BY dim) AS cq FROM (
+         |    SELECT cluster, dim,
+         |      CAST(floor(CAST(SUM(v) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cq
+         |    FROM (SELECT a.cluster, unnest(x.xq) AS v,
+         |            unnest(generate_series(1, len(x.xq))) AS dim
+         |          FROM $assigned a JOIN xq x USING (vec_id))
+         |    GROUP BY cluster, dim)
+         |  GROUP BY cluster) u ON p.cluster = u.cluster""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS (${assignSql(prev)}),
+         |c$i AS (${updateSql(s"a$i", prev)})""".stripMargin
+    }.mkString(",\n")
+    s"""xq AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS xq
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |c0 AS (
+       |  SELECT cluster, cq FROM (
+       |    SELECT CAST(row_number() OVER (
+       |        ORDER BY md5('km|' || CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1
+       |      AS cluster, xq AS cq
+       |    FROM xq) WHERE cluster < $k),
+       |$iterCtes,
+       |afinal AS (${assignSql(s"c$iters")})""".stripMargin
+  }
+
+  def kmeansCentroidsSql(k: Int = K, iters: Int = Iters, dim: Int = Dim): String =
+    s"""WITH ${kmeansCtesSql(k, iters, dim)}
+       |SELECT c.cluster AS cluster_id, CAST(d.dim - 1 AS INTEGER) AS dim,
+       |  c.cq[d.dim] AS centroid_q, COALESCE(s.n, 0) AS cluster_size
+       |FROM c$iters c
+       |CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS dim) d
+       |LEFT JOIN (SELECT cluster, COUNT(*) AS n FROM afinal GROUP BY cluster) s
+       |  ON c.cluster = s.cluster
+       |ORDER BY cluster_id, dim""".stripMargin
+
+  /** IVF top-k search routed by the TRAINED quantizer — the full
+    * train → index → search loop ([[Similarity.ivfTopK]] with learned
+    * cells instead of the testdata's pre-assigned `label`). Same
+    * co-partitioned equi-join-on-cell plan as q36; the model rides along
+    * as a tiny driver-side relation.
+    */
+  def ivfTopKTrained(
+      embeddings: DataFrame, topK: Int = 3, k: Int = K, iters: Int = Iters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = kmeansAssignments(embeddings, k, iters).cache()
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val a = emb.join(cells, "vec_id").toDF("query_id", "query_emb", "cell_a")
+    val b = emb.join(cells, "vec_id").toDF("neighbor_id", "emb_b", "cell_b")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, col("cell_a") === col("cell_b") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dot(col("query_emb"), col("emb_b")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfTopKTrainedSql(
+      topK: Int = 3, k: Int = K, iters: Int = Iters, dim: Int = Dim): String =
+    s"""WITH ${kmeansCtesSql(k, iters, dim)},
+       |search AS (
+       |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+       |    ${Similarity.dotSql("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM afinal qa JOIN afinal qb
+       |    ON qa.cluster = qb.cluster AND qa.vec_id <> qb.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = qa.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = qb.vec_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM search)
+       |WHERE rn <= $topK ORDER BY query_id, rank""".stripMargin
+}

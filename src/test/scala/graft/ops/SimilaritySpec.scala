@@ -187,4 +187,68 @@ class SimilaritySpec extends SparkSpec {
     val (probe, neighbor, cosine) = results.head
     assert(probe == 100L && neighbor % 2 == 0 && cosine > 0)
   }
+
+  // --- k-means trainer ------------------------------------------------
+
+  /** 30 64-dim vectors in three well-separated planted groups. The
+    * md5-order seeds for ids 0..29 are 29, 28, 17 (computed offline), and
+    * the group map places one seed per group, so 2 Lloyd's iterations must
+    * recover the planted partition exactly.
+    */
+  private def plantedCorpus = {
+    def groupOf(id: Int) = id match {
+      case 29 => 0; case 28 => 1; case 17 => 2; case i => i % 3
+    }
+    val rows = (0 until 30).map { id =>
+      val g = groupOf(id)
+      val v = Array.fill(64)(0.0f)
+      v(2 * g) = 1.0f
+      v(2 * g + 1) = 0.001f * (id % 10) // tiny within-group spread
+      (id.toLong, v.toSeq, g)
+    }
+    (rows.toDF("vec_id", "embedding", "label"), rows.map(r => r._1 -> r._3).toMap)
+  }
+
+  test("k-means recovers planted clusters and is partitioning-invariant") {
+    val (df, groupOf) = plantedCorpus
+    val assigned = KMeans.kmeansAssignments(df, k = 3, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    // exact planted partition: same planted group ⇔ same learned cluster
+    for (a <- 0L until 30L; b <- 0L until 30L)
+      assert((assigned(a) == assigned(b)) == (groupOf(a) == groupOf(b)), s"($a,$b)")
+
+    val cents = KMeans.kmeansCentroids(df, k = 3, iters = 2).collect()
+    assert(cents.length == 3 * 64)
+    assert(cents.map(_.getAs[Long]("cluster_size")).toSet == Set(11L, 10L, 9L))
+    // identical model from a differently-partitioned input (exact integer
+    // distances + algebraic aggregates ⇒ no partitioning sensitivity)
+    val cents2 = KMeans.kmeansCentroids(df.repartition(7), k = 3, iters = 2).collect()
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+  }
+
+  test("k-means centroid coordinates are the floored quantized means") {
+    // two vectors in one cluster along dim 0: 1.0 and 0.5 → quantized
+    // 1000000 and 500000 → centroid floor(1500000/2) = 750000
+    val rows = Seq(
+      (1L, (1.0f +: Array.fill(63)(0.0f).toSeq), 0),
+      (2L, (0.5f +: Array.fill(63)(0.0f).toSeq), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = KMeans.kmeansCentroids(df, k = 1, iters = 1).collect()
+    val dim0 = cents.find(r => r.getAs[Int]("dim") == 0).get
+    assert(dim0.getAs[Long]("centroid_q") == 750000L)
+    assert(dim0.getAs[Long]("cluster_size") == 2L)
+  }
+
+  test("trained IVF search only pairs vectors within a learned cell") {
+    val (df, groupOf) = plantedCorpus
+    val out = KMeans.ivfTopKTrained(df, topK = 3, k = 3, iters = 2).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(groupOf(r.getAs[Long]("query_id")) == groupOf(r.getAs[Long]("neighbor_id")))
+    }
+    // every vector has ≥ 2 same-cell neighbors available → 3 ranked rows
+    // for groups of size ≥ 4
+    val perQuery = out.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 3))
+  }
 }
