@@ -197,7 +197,11 @@ object TextAnalysis {
     * integers so the double is engine-identical.
     */
   def repetitionStats(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // non-EMPTY tokens: boundary whitespace (tab/newline past the
+    // space-only trim) yields empty split fields that the ShingleSet
+    // kernel never shingles — the total must count the same token stream
+    // as the distinct, or hostile texts skew the ratio (fuzz-caught class)
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
     val total = greatest(size(toks) - 2, lit(0)).cast("long")
     val distinctG = // null text → 0, matching the oracle's ELSE branch
       coalesce(size(graft.functions.ShingleSet.shingles(col("text"), 3)), lit(0))
@@ -227,7 +231,8 @@ object TextAnalysis {
        |      THEN len(list_distinct(list_transform(generate_series(1, len(toks)-2),
        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
        |      ELSE 0 END AS BIGINT) AS n_distinct_grams
-       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin
 
@@ -360,7 +365,7 @@ object TextAnalysis {
        |    CASE WHEN len(toks) >= $n
        |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
        |      ELSE [] END) AS gram
-       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)),
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents)),
        |dfc AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
        |vocab AS (SELECT gram FROM dfc ORDER BY df DESC, gram LIMIT $vocabSize),
        |per AS (
