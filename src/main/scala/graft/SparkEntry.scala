@@ -260,6 +260,11 @@ object SparkEntry {
     // (q36's plan shape with LEARNED cells instead of the label column)
     "q69_ann_ivf_trained" -> ((s, dir) =>
       graft.ops.KMeans.ivfTopKTrained(Tables.embeddings(s, dir))),
+    // the stream-stream interval join, batch-run (watermarks are no-ops):
+    // purchase↔view pairs per user within the 30-min horizon
+    "q70_stream_attribution" -> ((s, dir) =>
+      graft.streaming.Joins.attribution(ev(s, dir), ev(s, dir))
+        .orderBy("purchase_id", "view_id")),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -530,5 +535,6 @@ object SparkEntry {
     "q67_incremental_hourly" -> graft.ops.Incremental.incrementalHourlySql(enrichedSql),
     "q68_kmeans_centroids" -> graft.ops.KMeans.kmeansCentroidsSql(),
     "q69_ann_ivf_trained" -> graft.ops.KMeans.ivfTopKTrainedSql(),
+    "q70_stream_attribution" -> graft.streaming.Joins.attributionSql(),
   )
 }
