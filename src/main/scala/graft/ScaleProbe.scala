@@ -46,6 +46,21 @@ import org.apache.spark.sql.functions._
   *  - As-of attribution (q49): 0.3 s → 0.3 s for 10× output (200,840
   *    attributed purchases) — one key shuffle, linear scan.
   *
+  * Round-3 session-2 ops (same harness):
+  *
+  *  - Vocab + OOV (q65): 0.2 s → 1.3 s — df build and broadcast-probe are
+  *    linear; the vocabulary stays fixed-size (top-V) by construction.
+  *  - k-means (q68): 2.2 s → 4.9 s at k=8 for 10× vectors (assignment is
+  *    O(n·k), update O(n·dim) — both linear in n); raising k to 26 on the
+  *    10× corpus costs 2.6 s/iter-pair — the trainer tolerates the
+  *    k ∝ corpus growth the IVF cell-count contract requires.
+  *  - n-gram containment (q66): 2.2 s → 57 s, but OUTPUT grew 975×
+  *    (505 → 492,510 directed pairs — the synthetic 10× corpus is
+  *    near-dup clusters of 10, so within-cluster pairs grow
+  *    quadratically). Like q32 it is the EXACT verification tool with
+  *    Σdf² posting cost; at corpus scale you run it on LSH/minhash
+  *    candidates or behind the q38 df-cap, not on the raw corpus.
+  *
   * Run: sbt "runMain graft.ScaleProbe" (writes under /tmp/graft-scale10).
   */
 object ScaleProbe {
@@ -107,6 +122,16 @@ object ScaleProbe {
       time(s"$label ann_ivf_topk")(graft.ops.Similarity.ivfTopK(emb).count())
       time(s"$label embedding_neardup_exact")(
         graft.ops.Similarity.embeddingNearDups(emb, blocks = 16).count())
+      time(s"$label ngram_containment")(
+        graft.ops.NearDup.ngramContainment(docs).count())
+      time(s"$label vocab_oov")(graft.ops.TextAnalysis.vocabOov(docs).count())
+      // k-means cost model: assignment O(n·k), update O(n·dim); at 10×
+      // corpus with k FIXED both are linear. k should really scale with
+      // the corpus (cells ≈ n / target-cell-size) — measured at k=8 and
+      // k=26 (≈ √(n/3)-ish) to show the trainer itself stays tractable
+      // when k grows.
+      time(s"$label kmeans k=8")(
+        graft.ops.KMeans.kmeansCentroids(emb).count())
       if (label == "10x") {
         // the remedies for fixed bucket/cell counts: scale the plane count
         // with the corpus (16 → 128 buckets), and multiply IVF cells by
@@ -115,6 +140,8 @@ object ScaleProbe {
           graft.ops.Similarity.lshBucketedTopK(emb, planes = 7).count())
         time(s"$label ann_ivf_topk subPlanes=4")(
           graft.ops.Similarity.ivfTopK(emb, subPlanes = 4).count())
+        time(s"$label kmeans k=26")(
+          graft.ops.KMeans.kmeansCentroids(emb, k = 26).count())
       }
     }
     spark.stop()

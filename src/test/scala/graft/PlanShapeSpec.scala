@@ -82,4 +82,37 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q50_tfidf_top_terms")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("abandoned sessions (q62) excludes via a hash ANTI join, not a nested loop") {
+    val p = plan("q62_abandoned_sessions")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("inter-event gaps (q63): window + groupBy share ONE user_id shuffle") {
+    val p = plan("q63_inter_event_gaps")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("vocab OOV (q65) probes the vocabulary with a BROADCAST join") {
+    val p = plan("q65_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the top-V vocabulary build is TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("containment (q66) intersects via the posting-level equi-join") {
+    val p = plan("q66_ngram_containment")
+    // candidates come from a join keyed on the exploded shingle column —
+    // the posting join — not from any array-valued comparison
+    assert(p.contains("Exchange hashpartitioning(shingle"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("trained-IVF search (q70-family joins) stay equi-join shaped") {
+    // q70: stream-stream attribution batch twin — equi-join on user_id with
+    // the range predicate as a filter, never a nested loop over events
+    val p = plan("q70_stream_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
