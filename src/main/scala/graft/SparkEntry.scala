@@ -265,6 +265,11 @@ object SparkEntry {
     "q70_stream_attribution" -> ((s, dir) =>
       graft.streaming.Joins.attribution(ev(s, dir), ev(s, dir))
         .orderBy("purchase_id", "view_id")),
+    // the LEFT OUTER interval join: never-converted views ride along with
+    // null purchase columns (append-emitted at horizon close in streaming)
+    "q71_attribution_outer" -> ((s, dir) =>
+      graft.streaming.Joins.attributionOuter(ev(s, dir), ev(s, dir))
+        .orderBy(col("view_id"), col("purchase_id").asc_nulls_last)),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -536,5 +541,6 @@ object SparkEntry {
     "q68_kmeans_centroids" -> graft.ops.KMeans.kmeansCentroidsSql(),
     "q69_ann_ivf_trained" -> graft.ops.KMeans.ivfTopKTrainedSql(),
     "q70_stream_attribution" -> graft.streaming.Joins.attributionSql(),
+    "q71_attribution_outer" -> graft.streaming.Joins.attributionOuterSql(),
   )
 }

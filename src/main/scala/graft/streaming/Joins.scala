@@ -32,7 +32,29 @@ object Joins {
     */
   def attribution(
       views: DataFrame, purchases: DataFrame,
-      horizonMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+      horizonMinutes: Int = 30, watermark: String = "1 hour"): DataFrame =
+    attributionJoin(views, purchases, horizonMinutes, watermark, "inner")
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+
+  /** LEFT OUTER variant: views that never converted inside the horizon are
+    * ALSO emitted (null purchase columns) — but only once the purchase-side
+    * watermark has passed `view_ts + horizon`, i.e. once the engine can
+    * PROVE no matching purchase can still arrive. That proof requirement is
+    * why streaming outer joins demand both the watermark and the time-range
+    * condition; the unmatched row's emission time is the eviction time of
+    * the very state the inner join would have silently dropped.
+    */
+  def attributionOuter(
+      views: DataFrame, purchases: DataFrame,
+      horizonMinutes: Int = 30, watermark: String = "1 hour"): DataFrame =
+    attributionJoin(views, purchases, horizonMinutes, watermark, "left_outer")
+      .select(col("purchase_id"), col("view_id"), col("v_user").as("user_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+
+  private def attributionJoin(
+      views: DataFrame, purchases: DataFrame,
+      horizonMinutes: Int, watermark: String, joinType: String): DataFrame = {
     val v = views
       .filter(lower(trim(col("event_type"))) === "view" && col("user_id").isNotNull)
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
@@ -46,9 +68,8 @@ object Joins {
     v.join(p,
       col("v_user") === col("p_user") &&
         col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
-      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
-        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+      joinType)
   }
 
   /** Batch oracle for [[attribution]] (watermarks are no-ops in batch, so
@@ -67,4 +88,17 @@ object Joins {
        |  AND lower(trim(p.event_type)) = 'purchase'
        |  AND v.user_id IS NOT NULL AND p.user_id IS NOT NULL
        |ORDER BY purchase_id, view_id""".stripMargin
+
+  /** Batch oracle for [[attributionOuter]]. */
+  def attributionOuterSql(horizonMinutes: Int = 30): String =
+    s"""SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       |  v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+       |  p.value AS purchase_value
+       |FROM (SELECT * FROM events
+       |      WHERE lower(trim(event_type)) = 'view' AND user_id IS NOT NULL) v
+       |LEFT JOIN (SELECT * FROM events
+       |      WHERE lower(trim(event_type)) = 'purchase' AND user_id IS NOT NULL) p
+       |  ON v.user_id = p.user_id
+       |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL $horizonMinutes MINUTE
+       |ORDER BY view_id, purchase_id""".stripMargin
 }

@@ -41,6 +41,36 @@ class JoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits never-converted views after the horizon closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val pMem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = Joins.attributionOuter(
+        vMem.toDF().toDF(cols: _*), pMem.toDF().toDF(cols: _*))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attr_outer").start()
+    try {
+      // user 7 converts in-horizon; user 9's view never converts
+      vMem.addData((1L, ts("2024-01-10 10:00:00"), 7L, "view", 0.0, "{}"))
+      vMem.addData((2L, ts("2024-01-10 10:00:00"), 9L, "view", 0.0, "{}"))
+      pMem.addData((3L, ts("2024-01-10 10:10:00"), 7L, "purchase", 9.5, "{}"))
+      q.processAllAvailable()
+      val before = spark.table("attr_outer")
+        .filter("purchase_id IS NULL").count()
+      assert(before == 0) // unmatched view NOT emitted while it could still match
+      // advance both watermarks well past view_ts + horizon + delay
+      vMem.addData((4L, ts("2024-01-10 20:00:00"), 99L, "view", 0.0, "{}"))
+      pMem.addData((5L, ts("2024-01-10 20:00:00"), 99L, "purchase", 0.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer").collect()
+      val unmatched = rows.filter(_.isNullAt(0)).map(_.getAs[Long]("view_id"))
+      assert(unmatched.contains(2L)) // the never-converted view surfaces
+      assert(rows.exists(r => !r.isNullAt(0) &&
+        r.getAs[Long]("purchase_id") == 3L && r.getAs[Long]("view_id") == 1L))
+    } finally q.stop()
+  }
+
   test("interval-join state is evicted once the watermark passes the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val vMem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
