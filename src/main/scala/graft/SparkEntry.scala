@@ -316,7 +316,7 @@ object SparkEntry {
          |  CAST(dayofweek(ts) + 1 AS INTEGER) AS event_dayofweek,
          |  ts < ($anchor - INTERVAL 5 MINUTE) AS is_late_arrival,
          |  $sessionIdSql AS session_id,
-         |  regexp_replace(props, '[^\\w\\s]', '', 'g') AS props_clean
+         |  regexp_replace(props, '${Enrich.PropsCleanRegex}', '', 'g') AS props_clean
          |FROM events ORDER BY event_id""".stripMargin,
     "q04_batch_metrics" ->
       s"""SELECT COUNT(*) AS total_events,

@@ -165,7 +165,7 @@ object Curate {
        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
        |    // $binTokens AS bin_id
        |FROM (SELECT doc_id,
-       |        CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+       |        CAST(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
        |          AS n_tokens
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin

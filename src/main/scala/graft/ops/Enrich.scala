@@ -34,6 +34,13 @@ object Enrich {
     */
   val SessionBucketSec = 1800
 
+  /** F5 — strip everything that is neither word nor whitespace. ONE shared
+    * pattern string feeds Spark (Java regex) and the DuckDB oracle (RE2):
+    * `\w` means the same in both, but `\s` does not (Java includes \x0B,
+    * RE2 does not), so whitespace is spelled out.
+    */
+  val PropsCleanRegex = "[^\\w \\t\\n\\x0B\\f\\r]"
+
   /** Batch/oracle form: "now" pinned to the deterministic anchor. */
   def enriched(df: DataFrame): DataFrame =
     enrichedAt(df, lit(AnchorTs).cast("timestamp"))
@@ -60,7 +67,7 @@ object Enrich {
         "session_id",
         concat(col("user_id").cast("string"), lit("-"),
           floor(unix_timestamp(col("ts")) / SessionBucketSec).cast("long").cast("string")))
-      .withColumn("props_clean", regexp_replace(col("props"), "[^\\w\\s]", ""))
+      .withColumn("props_clean", regexp_replace(col("props"), PropsCleanRegex, ""))
 
   /** F9 — null-defaulting of the enrichment columns the reference fills
     * (`spark_streaming_to_postgres.py:213-231`): coalesce to semantic

@@ -69,7 +69,11 @@ object Incremental {
     * right.
     */
   def incrementalHourly(enriched: DataFrame, cut: Column): DataFrame = {
-    val history = hourlyState(enriched.filter(col("ts") < cut))
+    // the split must PARTITION the input: `ts < cut` and `ts >= cut` are
+    // both null-false, so a NULL-timestamp row (legal in the schema) would
+    // silently vanish from the maintained state while the one-pass oracle
+    // keeps it under a NULL hour — route nulls to the history side
+    val history = hourlyState(enriched.filter(col("ts") < cut || col("ts").isNull))
     val batch = hourlyState(enriched.filter(col("ts") >= cut))
     readout(merge(history, batch))
   }

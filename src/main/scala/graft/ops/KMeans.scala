@@ -107,9 +107,13 @@ object KMeans {
     var cents = seedCentroids(xq, k)
     for (_ <- 0 until iters)
       cents = updateCentroids(xq, assign(xq, cents), cents)
+    // materialize the k-row size relation NOW (localCheckpoint is eager)
+    // while the corpus cache is hot, so unpersisting xq below cannot force
+    // a later evaluation to recompute the quantization pipeline
     val sizes = assign(xq, cents)
       .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       .withColumnRenamed("cluster", "cluster_id")
+      .localCheckpoint()
     val spark = embeddings.sparkSession
     val centRows = cents.toSeq.flatMap { case (c, arr) =>
       arr.toSeq.zipWithIndex.map { case (v, d) => (c, d, v) }
@@ -132,7 +136,12 @@ object KMeans {
     var cents = seedCentroids(xq, k)
     for (_ <- 0 until iters)
       cents = updateCentroids(xq, assign(xq, cents), cents)
-    assign(xq, cents).orderBy("vec_id")
+    // eager-materialize the final (vec_id, cluster) relation, then release
+    // the quantized-corpus cache: callers (q69's two-sided search join)
+    // re-read checkpoint blocks instead of pinning the corpus in storage
+    val out = assign(xq, cents).localCheckpoint()
+    xq.unpersist()
+    out.orderBy("vec_id")
   }
 
   /** The shared DuckDB CTE chain (xq → c0 → a1/c1 → … → afinal): the same
@@ -195,7 +204,9 @@ object KMeans {
   def ivfTopKTrained(
       embeddings: DataFrame, topK: Int = 3, k: Int = K, iters: Int = Iters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = kmeansAssignments(embeddings, k, iters).cache()
+    // already localCheckpoint'ed by kmeansAssignments — both join sides
+    // read its blocks, no extra cache needed
+    val cells = kmeansAssignments(embeddings, k, iters)
     val emb = embeddings.select(col("vec_id"), col("embedding"))
     val a = emb.join(cells, "vec_id").toDF("query_id", "query_emb", "cell_a")
     val b = emb.join(cells, "vec_id").toDF("neighbor_id", "emb_b", "cell_b")

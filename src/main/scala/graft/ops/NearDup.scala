@@ -60,7 +60,7 @@ object NearDup {
        |    THEN list_distinct(list_transform(generate_series(1, len(toks)-${ShingleN - 1}),
        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
        |    ELSE [] END AS shingles
-       |FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents)""".stripMargin
+       |FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents)""".stripMargin
 
   /** Width of each hash slice (hex chars): 12 slices × 5 chars over two
     * md5 digests (32 hex each). Disjoint slices of a cryptographic digest
@@ -253,7 +253,7 @@ object NearDup {
        |    CASE WHEN len(toks) >= $n
        |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
        |      ELSE [] END AS shingles
-       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents)),
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents)),
        |pc AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_intersect(a.shingles, b.shingles)) AS n_common,
@@ -283,7 +283,7 @@ object NearDup {
        |    CASE WHEN len(toks) >= $n
        |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
        |      ELSE [] END AS shingles
-       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents))
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
        |    / len(list_distinct(a.shingles || b.shingles)) AS jaccard
@@ -494,7 +494,7 @@ object NearDup {
        |    CASE WHEN len(toks) >= $n
        |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
        |      ELSE [] END AS shingles
-       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents)),
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents)),
        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
        |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= $maxDf),
        |exc AS (SELECT e.doc_id, e.shingle FROM ex e JOIN rare r ON e.shingle = r.shingle),
@@ -573,7 +573,7 @@ object NearDup {
       s"bit_count(xor(${hexNibbleSql("a.simhash", p)}, ${hexNibbleSql("b.simhash", p)}))"
     }.mkString(" + ")
     s"""WITH ex AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
        |  FROM documents),
        |agged AS (SELECT doc_id, COUNT(*) AS n_toks, $sumExprs FROM ex GROUP BY doc_id),
        |sh AS (SELECT doc_id, $nibbleChars AS simhash FROM agged)

@@ -56,9 +56,11 @@ object TextAnalysis {
 
   /** BPE-ish subtoken segmentation (letter runs / single digits / single
     * punctuation), the shape GPT-style pre-tokenizers use. Restricted to a
-    * regex dialect Java and RE2 interpret identically.
+    * regex dialect Java and RE2 interpret identically — note `\s` itself is
+    * NOT in that dialect (Java includes vertical tab \x0B, RE2 does not),
+    * so the whitespace class is spelled out.
     */
-  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
   def tokenStatsSql: String =
     s"""SELECT doc_id, n_chars,
@@ -66,7 +68,7 @@ object TextAnalysis {
        |  len(list_distinct(toks)) AS n_distinct_tokens,
        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len,
        |  CAST(len(regexp_extract_all(lower(text), '$BpeishPattern')) AS INT) AS n_subtokens
-       |FROM (SELECT doc_id, n_chars, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)
+       |FROM (SELECT doc_id, n_chars, text, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents)
        |ORDER BY doc_id""".stripMargin
 
   /** Heuristic quality score in [0,1]:
@@ -105,7 +107,7 @@ object TextAnalysis {
        |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS length_score,
        |    CASE WHEN (CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks)) BETWEEN 0.05 AND 0.6
        |         THEN 1.0 ELSE 0.0 END AS stop_ok
-       |  FROM (SELECT doc_id, n_chars, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents))
+       |  FROM (SELECT doc_id, n_chars, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -148,7 +150,7 @@ object TextAnalysis {
        |    ELSE 'und' END AS detected_lang
        |FROM (
        |  SELECT doc_id, $scoreExprs
-       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents))
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -181,7 +183,7 @@ object TextAnalysis {
       |      CAST((strpos('0123456789abcdef', substr(md5(t),1,1)) - 1)
       |         + (strpos('0123456789abcdef', substr(md5(t),2,1)) - 1) * 16 AS BIGINT))),
       |    (acc, h) -> ((acc * 31 + h) % 2147483647 + 2147483647) % 2147483647) END AS rolling_fp
-      |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
+      |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
   /** Repetition threshold above which a document is flagged (Gopher-style
@@ -232,7 +234,7 @@ object TextAnalysis {
        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
        |      ELSE 0 END AS BIGINT) AS n_distinct_grams
        |  FROM (SELECT doc_id,
-       |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+       |          list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin
 
@@ -296,7 +298,7 @@ object TextAnalysis {
     s"""WITH tf AS (
        |  SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
        |    SELECT doc_id, unnest(list_filter(toks, x -> x <> '')) AS t
-       |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
        |          FROM documents))
        |  GROUP BY doc_id, t),
        |dfc AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term)
@@ -317,7 +319,10 @@ object TextAnalysis {
     * vocabulary is ~31 words (every doc would cover it), bigrams are ~900.
     */
   def ngramVocab(documents: DataFrame, n: Int = 2, vocabSize: Int = 512): DataFrame =
-    gramPostings(documents, n)
+    vocabFrom(gramPostings(documents, n), vocabSize)
+
+  private def vocabFrom(postings: DataFrame, vocabSize: Int): DataFrame =
+    postings
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("gram"))
       .limit(vocabSize)
@@ -340,9 +345,12 @@ object TextAnalysis {
     * (not dropped): the downstream filter decision belongs to the caller.
     */
   def vocabOov(documents: DataFrame, n: Int = 2, vocabSize: Int = 512): DataFrame = {
-    val vocab = ngramVocab(documents, n, vocabSize)
+    // ONE shingle+explode pass feeds both the df build and the probe
+    // (without the cache the kernel would run over the corpus twice)
+    val postings = gramPostings(documents, n).cache()
+    val vocab = vocabFrom(postings, vocabSize)
       .select(col("gram")).withColumn("in_vocab", lit(1))
-    val perDoc = gramPostings(documents, n)
+    val perDoc = postings
       .join(broadcast(vocab), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -365,7 +373,7 @@ object TextAnalysis {
        |    CASE WHEN len(toks) >= $n
        |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
        |      ELSE [] END) AS gram
-       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents)),
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents)),
        |dfc AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
        |vocab AS (SELECT gram FROM dfc ORDER BY df DESC, gram LIMIT $vocabSize),
        |per AS (

@@ -109,10 +109,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("trained-IVF search (q70-family joins) stay equi-join shaped") {
-    // q70: stream-stream attribution batch twin — equi-join on user_id with
-    // the range predicate as a filter, never a nested loop over events
+  test("stream attribution batch twin (q70) is equi-join shaped") {
+    // equi-join on user_id with the range predicate as a filter,
+    // never a nested loop over events
     val p = plan("q70_stream_attribution")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("trained-IVF search join (q69) is keyed on the learned cell") {
+    // the model-assignment crossJoin (corpus × k-row broadcast centroid
+    // table) is intentionally a broadcast nested loop — the guard here is
+    // that the SEARCH join, which pairs corpus rows with corpus rows,
+    // stays a hash/merge EQUI-join on the cell id
+    val p = plan("q69_ann_ivf_trained")
+    assert(Seq("SortMergeJoin [cell", "ShuffledHashJoin [cell", "BroadcastHashJoin [cell")
+      .exists(p.contains), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 }

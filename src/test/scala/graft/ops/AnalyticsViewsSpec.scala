@@ -78,6 +78,20 @@ class AnalyticsViewsSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("incremental time-cut split does not drop NULL-timestamp rows") {
+    import org.apache.spark.sql.functions._
+    val enriched = enrichedOf(Seq(
+      (1L, "2024-05-01 10:00:00", 1L, "click"),
+      (2L, "2024-05-02 10:00:00", 1L, "view")))
+      .withColumn("ts", when(col("event_id") === 2L, lit(null).cast("timestamp"))
+        .otherwise(col("ts")))
+    val out = Incremental.incrementalHourly(
+      enriched, lit("2024-05-01 12:00:00").cast("timestamp"))
+    // the null-ts row must survive as a NULL-hour state cell
+    assert(out.count() == 2)
+    assert(out.filter(col("event_hour_ts").isNull).count() == 1)
+  }
+
   test("eventCube emits all four marginals with grouping flags") {
     val enriched = enrichedOf(Seq(
       (1L, "2024-05-06 10:00:00", 1L, "click"),  // Monday

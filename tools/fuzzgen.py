@@ -155,6 +155,10 @@ TEXTS = [
     "a b c d e f g h i j k l m n o p q r s t u v w x y z",
     "Exact duplicate text body.", "Exact duplicate text body.",
     "tabs\tbetween\ttokens and  double  spaces",
+    # vertical tab: Java \s includes \x0B, RE2 \s does not — engines must
+    # agree because the oracles spell the whitespace class out explicitly
+    "vertical\x0Btab splits words here too ok",
+    "\x0B\x0B leading vtab run\x0B trailing \x0B",
     "ALLCAPS SHOUTING TEXT WITH NUMBERS 123 456 789",
     "x" * 5000,                                           # one huge token
     ("repeat me " * 400).strip(),                          # long repetitive
