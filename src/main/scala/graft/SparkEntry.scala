@@ -270,6 +270,10 @@ object SparkEntry {
     "q71_attribution_outer" -> ((s, dir) =>
       graft.streaming.Joins.attributionOuter(ev(s, dir), ev(s, dir))
         .orderBy(col("view_id"), col("purchase_id").asc_nulls_last)),
+    // the embedding-side dedup keep-list: components over cosine near-dup
+    // pairs — completes the dedup-family × keep-list matrix next to q37
+    "q72_embedding_keeplist" -> ((s, dir) =>
+      Similarity.embeddingKeepList(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -542,5 +546,6 @@ object SparkEntry {
     "q69_ann_ivf_trained" -> graft.ops.KMeans.ivfTopKTrainedSql(),
     "q70_stream_attribution" -> graft.streaming.Joins.attributionSql(),
     "q71_attribution_outer" -> graft.streaming.Joins.attributionOuterSql(),
+    "q72_embedding_keeplist" -> Similarity.embeddingKeepListSql,
   )
 }

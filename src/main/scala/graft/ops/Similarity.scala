@@ -428,4 +428,41 @@ object Similarity {
        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** The embedding-side dedup KEEP-LIST — the semantic twin of
+    * [[NearDup.dedupKeepList]]: connected components over cosine-threshold
+    * near-dup pairs, lowest vec_id survives per component. Reuses the same
+    * min-label-propagation machinery (one accumulator-counted job per
+    * round, localCheckpoint'ed), so the whole dedup-family matrix
+    * (exact / MinHash / SimHash / n-gram / embedding) now ends in the same
+    * curation endpoint.
+    */
+  def embeddingKeepList(embeddings: DataFrame): DataFrame = {
+    val pairs = embeddingNearDups(embeddings)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val losers = NearDup.components(pairs)
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id").as("loser_id"))
+    embeddings
+      .join(losers, col("vec_id") === col("loser_id"), "left_anti")
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
+  def embeddingKeepListSql: String = {
+    val pairsSql = embeddingNearDupsSql.replace("ORDER BY vec_a, vec_b", "")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+       |          UNION SELECT vec_b, vec_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |lab AS (SELECT src AS vec_id, least(src, min(dst)) AS lab
+       |        FROM reach GROUP BY src)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |LEFT JOIN lab l ON e.vec_id = l.vec_id
+       |WHERE l.vec_id IS NULL OR l.lab = l.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
 }

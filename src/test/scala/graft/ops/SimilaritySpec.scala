@@ -188,6 +188,17 @@ class SimilaritySpec extends SparkSpec {
     assert(probe == 100L && neighbor % 2 == 0 && cosine > 0)
   }
 
+  test("embedding keep-list drops all but the lowest vec_id per near-dup component") {
+    val df = emb(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),  // dup of 1
+      (5L, Seq(0.99f, 0.01f), 0), // near-dup of 1/2 → same component
+      (9L, Seq(0.0f, 1.0f), 1))  // orthogonal, survives alone
+    val kept = Similarity.embeddingKeepList(df)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(kept == Seq(1L, 9L))
+  }
+
   // --- k-means trainer ------------------------------------------------
 
   /** 30 64-dim vectors in three well-separated planted groups. The
