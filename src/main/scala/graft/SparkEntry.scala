@@ -274,6 +274,15 @@ object SparkEntry {
     // pairs — completes the dedup-family × keep-list matrix next to q37
     "q72_embedding_keeplist" -> ((s, dir) =>
       Similarity.embeddingKeepList(Tables.embeddings(s, dir))),
+    // discretization: fixed-width integer-division binning (engine-exact
+    // boundaries, one map-combinable groupBy)
+    "q73_length_histogram" -> ((s, dir) =>
+      Analytics.lengthHistogram(Tables.documents(s, dir))),
+    // bivariate profiling: covariance/correlation from exact decimal sums —
+    // every downstream double op (incl. sqrt) is IEEE-correctly-rounded,
+    // so even float statistics hash-match across engines
+    "q74_type_correlation" -> ((s, dir) =>
+      Analytics.typeCorrelation(enrichedV(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -547,5 +556,7 @@ object SparkEntry {
     "q70_stream_attribution" -> graft.streaming.Joins.attributionSql(),
     "q71_attribution_outer" -> graft.streaming.Joins.attributionOuterSql(),
     "q72_embedding_keeplist" -> Similarity.embeddingKeepListSql,
+    "q73_length_histogram" -> Analytics.lengthHistogramSql(),
+    "q74_type_correlation" -> Analytics.typeCorrelationSql(enrichedSql),
   )
 }

@@ -335,6 +335,84 @@ object Analytics {
       .orderBy(col("is_type_total"), col("is_dow_total"),
         col("event_type").asc_nulls_last, col("event_dayofweek").asc_nulls_last)
 
+  /** Discretization: fixed-width histogram of document length. Bins are
+    * exact integer division (`div` / DuckDB `//` agree on non-negatives),
+    * so the bucketing is engine-identical with no float boundary
+    * ambiguity; one map-side-combinable groupBy.
+    */
+  def lengthHistogram(documents: DataFrame, binWidth: Int = 100, maxBin: Int = 9): DataFrame =
+    documents
+      .withColumn("bin", least(expr(s"n_chars div $binWidth"), lit(maxBin.toLong)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("bin")
+
+  def lengthHistogramSql(binWidth: Int = 100, maxBin: Int = 9): String =
+    s"""SELECT least(n_chars // $binWidth, $maxBin) AS bin,
+       |  COUNT(*) AS n_docs,
+       |  MIN(n_chars) AS min_chars,
+       |  MAX(n_chars) AS max_chars
+       |FROM documents
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bivariate statistical profiling: per event type, the exact-input
+    * Pearson correlation and population covariance of (value, quantity).
+    * Determinism across engines needs only two things: the AGGREGATED
+    * inputs are exact (decimal sums of value, quantity, value·quantity,
+    * value², quantity² — order-independent), and every subsequent step is
+    * an IEEE-754-specified double op on identical inputs (+,−,×,÷ and
+    * sqrt are all correctly rounded by spec) — so even the final
+    * correlation is bit-identical without avoiding float math.
+    */
+  def typeCorrelation(enriched: DataFrame): DataFrame = {
+    val paired = enriched.filter(col("value").isNotNull)
+    val d = (c: org.apache.spark.sql.Column) => dsum(c)
+    val agged = paired
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        d(col("value")).as("sx"),
+        d(col("quantity").cast("double")).as("sy"),
+        d(col("value") * col("quantity")).as("sxy"),
+        d(col("value") * col("value")).as("sxx"),
+        d(col("quantity").cast("double") * col("quantity")).as("syy"))
+    val n = col("n").cast("double")
+    val covPop = (col("sxy") - col("sx") * col("sy") / n) / n
+    val varX = col("sxx") * n - col("sx") * col("sx")
+    val varY = col("syy") * n - col("sy") * col("sy")
+    val corr = when(varX > 0 && varY > 0,
+      (col("sxy") * n - col("sx") * col("sy")) / (sqrt(varX) * sqrt(varY)))
+    agged
+      .select(col("event_type"), col("n"),
+        covPop.as("cov_pop"), corr.as("corr"))
+      .orderBy("event_type")
+  }
+
+  def typeCorrelationSql(enrichedSql: String): String = {
+    def d(e: String) = graft.functions.Deterministic.dsumSql(e)
+    s"""SELECT event_type, n, cov_pop,
+       |  CASE WHEN var_x > 0 AND var_y > 0
+       |       THEN (sxy * nd - sx * sy) / (sqrt(var_x) * sqrt(var_y)) END AS corr
+       |FROM (
+       |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+       |    (sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov_pop,
+       |    sxx * CAST(n AS DOUBLE) - sx * sx AS var_x,
+       |    syy * CAST(n AS DOUBLE) - sy * sy AS var_y,
+       |    sxy, sx, sy
+       |  FROM (
+       |    SELECT event_type, COUNT(*) AS n,
+       |      ${d("value")} AS sx,
+       |      ${d("CAST(quantity AS DOUBLE)")} AS sy,
+       |      ${d("value * quantity")} AS sxy,
+       |      ${d("value * value")} AS sxx,
+       |      ${d("CAST(quantity AS DOUBLE) * quantity")} AS syy
+       |    FROM ($enrichedSql) WHERE value IS NOT NULL
+       |    GROUP BY event_type))
+       |ORDER BY event_type""".stripMargin
+  }
+
   def eventCubeSql(enrichedSql: String): String =
     s"""SELECT event_type, event_dayofweek, COUNT(*) AS n_events,
        |  ${graft.functions.Deterministic.dsumSql("total_amount")} AS revenue,

@@ -92,6 +92,33 @@ class AnalyticsViewsSpec extends SparkSpec {
     assert(out.filter(col("event_hour_ts").isNull).count() == 1)
   }
 
+  test("length histogram bins by integer division with a capped top bin") {
+    import spark.implicits._
+    val docs = Seq((1L, 48L), (2L, 99L), (3L, 100L), (4L, 5000L))
+      .toDF("doc_id", "n_chars")
+    val got = Analytics.lengthHistogram(docs, binWidth = 100, maxBin = 9)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_docs")).toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L, 9L -> 1L)) // 5000 capped into bin 9
+  }
+
+  test("typeCorrelation: perfect linear relation → corr 1.0; zero variance → null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val enriched = Seq(
+      ("a", 1.0, 2), ("a", 2.0, 4), ("a", 3.0, 6),   // quantity = 2·value
+      ("b", 1.0, 7), ("b", 5.0, 7))                   // quantity constant
+      .toDF("event_type", "value", "quantity")
+    val got = Analytics.typeCorrelation(enriched).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Any]("corr"), r.getAs[Double]("cov_pop")))).toMap
+    // corr is DETERMINISTIC but not exact (sqrt products round in the last
+    // ulp — the same 1.0000000000000002 in any IEEE engine, which is what
+    // the oracle hash-checks); the spec asserts the math, not bit identity
+    assert(math.abs(got("a")._1.asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(got("b")._1 == null) // var(quantity)=0 → undefined, not NaN
+    assert(math.abs(got("a")._2 - 4.0 / 3.0) < 1e-12) // cov_pop of planted data
+  }
+
   test("eventCube emits all four marginals with grouping flags") {
     val enriched = enrichedOf(Seq(
       (1L, "2024-05-06 10:00:00", 1L, "click"),  // Monday
