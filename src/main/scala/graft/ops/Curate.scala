@@ -159,11 +159,13 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  // DuckDB SUM(BIGINT) widens to HUGEINT and `//` keeps it; cast back so the
+  // driver hashes an int64 like Spark's LongType (r03: only hash-red query)
   def packSequencesSql(binTokens: Long = 4096L): String =
     s"""SELECT doc_id, n_tokens,
-       |  (SUM(n_tokens) OVER (ORDER BY doc_id
+       |  CAST((SUM(n_tokens) OVER (ORDER BY doc_id
        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-       |    // $binTokens AS bin_id
+       |    // $binTokens AS BIGINT) AS bin_id
        |FROM (SELECT doc_id,
        |        CAST(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
        |          AS n_tokens
