@@ -70,14 +70,10 @@ object NearDup {
     */
   val SliceLen = 5
 
-  /** The i-th MinHash function: a disjoint hex slice of md5(shingle) /
-    * md5("x"+shingle).
+  /** The i-th MinHash function in oracle SQL: a disjoint hex slice of
+    * md5(shingle) / md5("x"+shingle). The Scala side computes the same
+    * slices natively in [[graft.functions.MinHashSig]].
     */
-  private def sliceHash(i: Int, shingle: Column): Column = {
-    val digest = if (i < 6) md5(shingle) else md5(concat(lit("x"), shingle))
-    substring(digest, 1 + (i % 6) * SliceLen, SliceLen)
-  }
-
   private def sliceHashSql(i: Int, shingleExpr: String): String = {
     val digest = if (i < 6) s"md5($shingleExpr)" else s"md5('x' || $shingleExpr)"
     s"substr($digest, ${1 + (i % 6) * SliceLen}, $SliceLen)"
@@ -90,20 +86,19 @@ object NearDup {
     signaturesFrom(shingled(documents))
 
   private[ops] def signaturesFrom(sh: DataFrame): DataFrame = {
-    // sh arrives hash-partitioned by doc_id (see shingled), explode keeps
-    // that layout, and the groupBy(doc_id) aggregation reuses it — the
-    // hash minima run fully parallel with no extra exchange. Both digests
-    // are projected once per row; the K minima slice them.
-    val exploded = sh
+    // The shingle relation is ONE row per doc, so the signature is a
+    // SCALAR one-pass kernel over the array (graft.functions.MinHashSig)
+    // — no explode, no 12-expression generated hash-aggregate, no
+    // aggregation exchange at all. The two projections stay separate on
+    // purpose: Catalyst's CollapseProject refuses to inline the non-cheap
+    // kernel into 12 element_at consumers, so it evaluates exactly once
+    // per row (PlanShapeSpec pins this).
+    val withSig = sh
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), md5(col("shingle")).as("h1"),
-        md5(concat(lit("x"), col("shingle"))).as("h2"))
-    val aggs = (0 until NumHashes).map { i =>
-      val digest = if (i < 6) col("h1") else col("h2")
-      min(substring(digest, 1 + (i % 6) * SliceLen, SliceLen)).as(s"mh_$i")
-    }
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("shingles")).as("sig"))
+    withSig.select(col("doc_id") +:
+      (0 until NumHashes).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
   }
 
   /** (doc_id, band_idx, band_key) — band key = md5 of the band's signature

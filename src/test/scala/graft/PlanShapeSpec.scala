@@ -116,6 +116,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("minhash signatures (q24 family) evaluate the native kernel ONCE per row") {
+    // the 12 mh_i columns extract from a single minhash_sig alias; if
+    // CollapseProject ever inlined the kernel into its 12 consumers the
+    // signature pass would cost 12×. Also pin: no explode-driven Generate
+    // and no aggregation exchange left in the signature subtree.
+    val p = graft.ops.NearDup.minhashSignatures(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(countOf(p, "minhash_sig(") == 1, p)
+    assert(!p.contains("Generate explode"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("trained-IVF search join (q69) is keyed on the learned cell") {
     // the model-assignment crossJoin (corpus × k-row broadcast centroid
     // table) is intentionally a broadcast nested loop — the guard here is

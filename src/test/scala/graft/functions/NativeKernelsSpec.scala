@@ -38,6 +38,43 @@ class NativeKernelsSpec extends SparkSpec {
     assert(native.toSeq == declarative.toSeq)
   }
 
+  test("MinHashSig.compute == declarative explode+min(substring(md5)) pipeline") {
+    val texts = samples(spacedText, 200).filter(_.trim.split("\\s+").count(_.nonEmpty) >= 3)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), ShingleSet.shingles(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val native = df
+      .select(col("doc_id"), MinHashSig.minhashSig(col("shingles")).as("sig"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    val aggs = (0 until MinHashSig.NumHashes).map { i =>
+      val d = if (i < 6) md5(col("shingle")) else md5(concat(lit("x"), col("shingle")))
+      min(substring(d, 1 + (i % 6) * MinHashSig.SliceLen, MinHashSig.SliceLen)).as(s"mh_$i")
+    }
+    val declarative = df
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), (1 to MinHashSig.NumHashes).map(r.getString).toList))
+    assert(native.toSeq == declarative.toSeq)
+  }
+
+  test("MinHashSig interpreted eval == codegen result") {
+    val shingles = Seq("a b c", "b c d", "c d e")
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      shingles.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+    val e = MinHashSig(org.apache.spark.sql.catalyst.expressions.Literal(arr,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+    val interpreted = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toList
+    val viaPlan = Seq(Tuple1(shingles)).toDF("shingles")
+      .select(MinHashSig.minhashSig(col("shingles")).as("sig"))
+      .collect()(0).getSeq[String](0).toList
+    assert(interpreted == viaPlan)
+    assert(interpreted.forall(s => s.length == 5 && s.forall("0123456789abcdef".contains(_))))
+  }
+
   test("QuantizedDot == floor reference (random float vectors)") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-2.0f, 2.0f))
     val pairs = samples(Gen.zip(vec, vec), 100)
