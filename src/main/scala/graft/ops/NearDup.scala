@@ -289,60 +289,82 @@ object NearDup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Connected components over near-dup pairs by min-label propagation:
-    * every doc's label converges to the smallest doc_id reachable through
-    * near-duplicate edges. Iterative joins, deterministic; converges in
-    * O(diameter) rounds (near-dup clusters are small, so 2–3). At corpus
-    * scale swap in the large-star/small-star formulation — same join
-    * shapes, fewer rounds on long chains.
+  /** Connected components over near-dup pairs via alternating
+    * large-star / small-star (the public MapReduce formulation: Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round, large-star links every node's strictly-larger neighbors to its
+    * minimum neighbor — halving label distance along chains — and
+    * small-star re-hangs the smaller neighbors (and the node itself) onto
+    * that minimum. The edge set converges to disjoint stars rooted at each
+    * component's minimum doc_id in O(log n) rounds; a 1000-link chain
+    * closes in ~⌈log₂ 1000⌉ rounds where plain min-label propagation needs
+    * ~1000 one-hop rounds (spec-pinned on a planted chain corpus). Every
+    * step is min/distinct over (id, id) pairs — deterministic, and the
+    * final labels are exactly the per-component minimum, so the
+    * recursive-CTE oracle closure is unchanged.
+    *
+    * Fault-tolerance tradeoff: localCheckpoint blocks are not recomputable
+    * on executor loss — acceptable for this driver-bounded loop (a failure
+    * restarts the op); a long-running production job would set a reliable
+    * checkpoint dir and use Dataset.checkpoint.
     */
-  def components(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint() // materialize the (expensive) pair pipeline once;
-                         // every round re-reads checkpointed blocks, not lineage
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+  def components(pairs: DataFrame): DataFrame = componentsWithRounds(pairs)._1
+
+  /** [[components]] plus the number of large-star/small-star rounds it
+    * took to converge (exposed for the round-count asymptotics spec).
+    */
+  private[graft] def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical undirected edges (u > v), deduped; materialize the
+    // (expensive) pair pipeline once — every round re-reads checkpointed
+    // blocks, not lineage.
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
-    val sc = pairs.sparkSession.sparkContext
+    var eCount = e.count()
+    var rounds = 0
     var converged = false
-    var prevRound: DataFrame = labels
     while (!converged) {
-      // ONE job per round: the propagation join carries the changed flag,
-      // a LongAccumulator counts changed rows DURING the eager
-      // localCheckpoint that materializes the round (and truncates lineage
-      // — no per-iteration plan growth). Safe under task retries: a
-      // converged round has zero changed rows, so replays add zero.
-      // Fault-tolerance tradeoff: localCheckpoint blocks are not
-      // recomputable on executor loss — acceptable for this driver-bounded
-      // loop (a failure restarts the op); a long-running production job
-      // would set a reliable checkpoint dir and use Dataset.checkpoint.
-      val changedAcc = sc.longAccumulator("graft.components.changed")
-      val prop = labels.join(edges, col("doc_id") === col("doc_a"))
-        .select(col("doc_b").as("doc_id"), col("label"))
-        .union(labels)
-        .groupBy("doc_id").agg(min("label").as("label"))
-      val next = prop
-        .join(labels.select(col("doc_id").as("doc_id_old"), col("label").as("label_old")),
-          col("doc_id") === col("doc_id_old"))
-        .select(col("doc_id"), col("label"), (col("label") < col("label_old")).as("changed"))
-        .filter { r: org.apache.spark.sql.Row =>
-          if (r.getBoolean(2)) changedAcc.add(1L)
-          true
-        }
+      // large-star: symmetrize; every strictly-larger neighbor of u links
+      // to m(u) = min(Γ(u) ∪ {u}). m < u < v, so output is canonical and
+      // self-loop-free by construction.
+      val g = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val gMin = g.groupBy("u").agg(min("v").as("minv"))
+        .select(col("u").as("c"), least(col("u"), col("minv")).as("m"))
+      val ls = g.join(gMin, col("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: on canonical edges Γ(u) holds only smaller neighbors;
+      // re-hang Γ(u) ∪ {u} minus the minimum m onto m.
+      val sMin = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(sMin.select(col("u").as("c"), col("m")), col("u") === col("c"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sMin.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint()
-      converged = changedAcc.value == 0L
-      // the superseded round's checkpointed blocks are dead once `next`
-      // is materialized — free them instead of waiting for GC.
-      // Dataset.unpersist would be a no-op here (it only talks to the
-      // CacheManager; localCheckpoint blocks belong to the underlying RDD),
-      // so unpersist the checkpointed RDD itself.
-      freeLocalCheckpoint(prevRound)
-      prevRound = next
-      labels = next.select("doc_id", "label")
+      rounds += 1
+      // fixed point ⇔ the edge SET is unchanged (both sides are distinct,
+      // so equal counts + empty one-way difference ⇔ equality); a fixed
+      // point of both stars is exactly a union of min-rooted stars.
+      val ssCount = ss.count()
+      converged = ssCount == eCount && ss.except(e).isEmpty
+      // the superseded round's checkpointed blocks are dead — free them
+      // instead of waiting for GC. Dataset.unpersist would be a no-op here
+      // (it only talks to the CacheManager; localCheckpoint blocks belong
+      // to the underlying RDD), so unpersist the checkpointed RDD itself.
+      freeLocalCheckpoint(e)
+      e = ss
+      eCount = ssCount
     }
-    freeLocalCheckpoint(edges) // the final labels read only their own blocks
-    labels
+    // stars: non-roots appear exactly once on the u side pointing at the
+    // root; roots appear only on the v side and label themselves.
+    val labels = e.select(col("u").as("doc_id"), col("v").as("label"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("label")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** Frees the block storage behind a `localCheckpoint()`ed DataFrame.

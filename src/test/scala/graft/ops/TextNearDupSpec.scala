@@ -143,6 +143,19 @@ class TextNearDupSpec extends SparkSpec {
     }
   }
 
+  test("components close a 1000-link chain in O(log n) rounds, not O(n)") {
+    // the adversarial corpus for label propagation: one long path, so the
+    // min label is 999 hops from the far end. Large-star halves the
+    // remaining distance every round — the loop must converge in
+    // ~⌈log₂ 1000⌉ rounds (plus fixed-point detection), nowhere near the
+    // ~1000 one-hop rounds plain propagation would take.
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = NearDup.componentsWithRounds(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1000 && got.values.forall(_ == 0L), s"bad labels")
+    assert(rounds <= 16, s"expected O(log n) rounds, took $rounds")
+  }
+
   test("containment flags a doc embedded in a larger one where Jaccard stays low") {
     // doc 1 = 6 tokens → 4 3-gram shingles, ALL present inside doc 2's 30
     // tokens (28 shingles): containment(1→2) = 1.0, Jaccard = 4/28 ≈ 0.14
