@@ -283,6 +283,11 @@ object SparkEntry {
     // so even float statistics hash-match across engines
     "q74_type_correlation" -> ((s, dir) =>
       Analytics.typeCorrelation(enrichedV(s, dir))),
+    // REAL image decode: PNG payloads rendered from a closed-form pixel
+    // formula, stats computed from ImageIO-decoded rasters — the oracle
+    // computes the formula directly, so a broken codec hash-mismatches
+    "q75_image_pixel_stats" -> ((s, dir) =>
+      Multimodal.imagePixelStats(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -558,5 +563,6 @@ object SparkEntry {
     "q72_embedding_keeplist" -> Similarity.embeddingKeepListSql,
     "q73_length_histogram" -> Analytics.lengthHistogramSql(),
     "q74_type_correlation" -> Analytics.typeCorrelationSql(enrichedSql),
+    "q75_image_pixel_stats" -> Multimodal.imagePixelStatsSql,
   )
 }

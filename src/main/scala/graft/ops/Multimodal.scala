@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * partition, so per-batch setup like codec/model initialization is paid
   * once per partition, not per row).
   *
-  * The actual byte→pixels decode is STUBBED (no image/audio codecs in this
-  * environment): [[MediaCodec.decodeStub]] derives deterministic fake
-  * "samples" from the payload bytes. Everything around the stub — schema,
-  * partitioning, batch iteration shape, typed Encoders, metadata handling —
-  * is real and tested, so swapping in a real codec is a one-function change.
+  * The IMAGE path is real: [[MediaCodec]] encodes and decodes PNG via
+  * `javax.imageio` (pure JDK, headless-safe), and [[imagePixelStats]]
+  * derives a corpus of real PNG payloads whose pixels follow a closed-form
+  * formula — so the decode round-trip is oracle-checked end-to-end (DuckDB
+  * computes the same formula directly; a broken decode hash-mismatches).
+  * Audio/video payloads have no JDK codec; their "samples" are the raw
+  * payload bytes, documented as the PCM/frame stand-in.
   *
   * Scale notes: payloads never shuffle (all transforms are narrow,
   * partition-local); features are fixed-width vectors so downstream joins
@@ -50,15 +52,75 @@ object Multimodal {
   val FrameSampleEvery = 4
   val HistogramBins = 16
 
-  /** The stubbed decoder: in production this is the codec call
-    * (JPEG/PNG decode, PCM frames, …). Here it deterministically fakes
-    * "samples" = the raw payload bytes. Marked as the single swap point.
+  /** The codec boundary. Images are REAL: 8-bit grayscale PNG encode and
+    * decode through `javax.imageio` (lossless round-trip, no external
+    * libraries, headless-safe). Audio/video have no JDK codec, so their
+    * sample stream is the raw payload bytes — the documented stand-in for
+    * PCM samples / container frames until a codec library is on the
+    * classpath.
     */
   object MediaCodec {
-    /** STUB — replace with a real codec. Returns the byte stream that a
-      * real decode would turn into pixels/samples.
+    final case class DecodedImage(width: Int, height: Int, pixels: Array[Int])
+
+    /** Encode an 8-bit grayscale image (`pixel(x, y)` in 0..255) as PNG. */
+    def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0, pixel(x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream(width * height / 2 + 64)
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload (PNG/JPEG/BMP/GIF) to row-major
+      * grayscale samples; multi-band images reduce by integer ITU-R 601
+      * luminance. None if the bytes are not a decodable image.
       */
-    def decodeStub(content: Array[Byte]): Array[Byte] = content
+    def decodeImage(content: Array[Byte]): Option[DecodedImage] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) =
+              if (bands == 1) raster.getSample(x, y, 0)
+              else (raster.getSample(x, y, 0) * 299 + raster.getSample(x, y, 1) * 587 +
+                raster.getSample(x, y, 2) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some(DecodedImage(w, h, px))
+      }
+    }
+
+    /** The sample stream feature extraction runs over: decoded pixels for
+      * decodable image payloads, raw payload bytes otherwise.
+      */
+    def samples(kind: String, content: Array[Byte]): Array[Byte] =
+      if (kind == "image")
+        decodeImage(content) match {
+          case Some(d) => d.pixels.map(_.toByte)
+          case None => content
+        }
+      else content
   }
 
   /** Derive a deterministic media table from the documents corpus: payload
@@ -90,7 +152,7 @@ object Multimodal {
       val histBuf = new Array[Long](HistogramBins)
       rows.map { m =>
         java.util.Arrays.fill(histBuf, 0L)
-        val decoded = MediaCodec.decodeStub(m.content)
+        val decoded = MediaCodec.samples(m.kind, m.content)
         var sum = 0L
         var i = 0
         while (i < decoded.length) {
@@ -136,6 +198,74 @@ object Multimodal {
       |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
       |  CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Deterministic image-corpus dimensions and pixel formula, shared by
+    * the Spark encode side and the DuckDB oracle: image docs (doc_id % 3
+    * == 0) get a `(doc_id % 24 + 8) × (doc_id % 16 + 8)` grayscale PNG
+    * whose pixel (x, y) is `(x*31 + y*17 + doc_id*13) % 256`.
+    */
+  private def imgWidth(id: Long): Int = (id % 24 + 8).toInt
+  private def imgHeight(id: Long): Int = (id % 16 + 8).toInt
+  private def imgPixel(id: Long, x: Int, y: Int): Int =
+    ((x * 31L + y * 17L + id * 13L) % 256L).toInt
+
+  /** A media lake with REAL PNG payloads: each image-kind document renders
+    * its formula pixels and encodes through the actual PNG codec. Narrow,
+    * partition-local; stands in for `binaryFile` reads of a real lake.
+    */
+  def imageCorpus(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h) = (imgWidth(id), imgHeight(id))
+          MediaRow(id, "image", "png", w, h,
+            MediaCodec.encodePng(w, h, (x, y) => imgPixel(id, x, y)))
+        }
+      }
+  }
+
+  /** Pixel statistics from DECODED payloads: the width/height/sums come
+    * out of `ImageIO.read`, not the formula — so the oracle (which computes
+    * the formula directly) verifies the encode→decode round-trip
+    * bit-for-bit. Integer sums divide exactly once into the double mean,
+    * so even the float column hash-matches cross-engine.
+    */
+  def imagePixelStats(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    imageCorpus(documents)
+      .map { m =>
+        val d = MediaCodec.decodeImage(m.content).getOrElse(
+          sys.error(s"undecodable PNG for media_id=${m.media_id}"))
+        var sum = 0L
+        var i = 0
+        while (i < d.pixels.length) { sum += d.pixels(i); i += 1 }
+        (m.media_id, d.width, d.height, d.pixels.length.toLong, sum,
+          sum.toDouble / d.pixels.length)
+      }
+      .toDF("media_id", "width", "height", "n_pixels", "sum_pixel", "mean_pixel")
+      .orderBy("media_id")
+  }
+
+  def imagePixelStatsSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(doc_id % 24 + 8 AS INT) AS width,
+      |    CAST(doc_id % 16 + 8 AS INT) AS height
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT media_id, width, height,
+      |    SUM((x.g*31 + y.g*17 + media_id*13) % 256) AS sum_pixel
+      |  FROM dims,
+      |    LATERAL (SELECT unnest(generate_series(0, width - 1)) AS g) x,
+      |    LATERAL (SELECT unnest(generate_series(0, height - 1)) AS g) y
+      |  GROUP BY 1, 2, 3)
+      |SELECT media_id, width, height,
+      |  CAST(width AS BIGINT) * height AS n_pixels,
+      |  CAST(sum_pixel AS BIGINT) AS sum_pixel,
+      |  CAST(sum_pixel AS DOUBLE) / (width * height) AS mean_pixel
+      |FROM px ORDER BY media_id""".stripMargin
 
   /** Resize stub for image rows: scale metadata to fit `maxDim` and stride-
     * subsample the payload accordingly (a real impl would resample pixels;

@@ -37,6 +37,38 @@ class MultimodalSpec extends SparkSpec {
     assert(fs(3L).byte_histogram('z'.toInt * 16 / 256) == 1.0)
   }
 
+  test("PNG encode→decode round-trips exact pixel values (real javax.imageio)") {
+    val px = Array(Array(0, 17, 255), Array(128, 64, 3)) // 3×2, px(y)(x)
+    val bytes = Multimodal.MediaCodec.encodePng(3, 2, (x, y) => px(y)(x))
+    // a real PNG, not a stub: magic bytes \x89PNG
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val d = Multimodal.MediaCodec.decodeImage(bytes).get
+    assert(d.width == 3 && d.height == 2)
+    assert(d.pixels.toSeq == Seq(0, 17, 255, 128, 64, 3)) // row-major
+    // non-image bytes are not decodable
+    assert(Multimodal.MediaCodec.decodeImage("not a png".getBytes).isEmpty)
+  }
+
+  test("imagePixelStats: decoded stats equal the closed-form pixel formula") {
+    val df = docs((0L, "x"), (3L, "y"), (6L, "z"), (1L, "audio-doc"))
+    val got = Multimodal.imagePixelStats(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toList
+    val want = Seq(0L, 3L, 6L).map { id =>
+      val (w, h) = ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
+      val sum = (for (y <- 0 until h; x <- 0 until w)
+        yield (x * 31L + y * 17L + id * 13L) % 256L).sum
+      (id, w, h, w.toLong * h, sum)
+    }
+    assert(got == want) // only doc_id % 3 == 0 rows, dims+sums from decode
+  }
+
+  test("feature extraction decodes real image payloads to pixel samples") {
+    val png = Multimodal.MediaCodec.encodePng(2, 1, (x, _) => if (x == 0) 10 else 20)
+    val row = Multimodal.MediaRow(1L, "image", "png", 2, 1, png)
+    val f = Multimodal.extractFeatures(Seq(row).toDS()).collect()(0)
+    assert(f.n_bytes == 2 && f.mean_byte == 15.0) // pixels, not PNG bytes
+  }
+
   test("resize scales image metadata and strides the payload; non-images untouched") {
     val big = Multimodal.MediaRow(1L, "image", "png", 640, 480, Array.fill(640)(7.toByte))
     val vid = Multimodal.MediaRow(2L, "video", "mp4", 640, 480, Array.fill(640)(7.toByte))
