@@ -12,7 +12,9 @@ import graft.functions.TextFunctions._
   *  - Documents never shuffle whole: the explode→min-agg MinHash signature
   *    is map-side combined, so only (doc_id, 16-byte hash) pairs move.
   *  - Candidate generation is an equi-join on (band_idx, band_key) — a hash
-  *    shuffle on short keys, no O(n²) comparison anywhere.
+  *    shuffle on short keys, no O(n²) comparison anywhere — with a
+  *    per-bucket hub budget ([[BucketBudget]]) bounding even a degenerate
+  *    hot bucket to linear cost.
   *  - Jaccard verification joins shingle *sets* only for the candidate pairs
   *    (tiny compared to the corpus).
   *  - All hashing is md5 (engine-portable); MinHash minimizes over hex
@@ -113,17 +115,48 @@ object NearDup {
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
   }
 
-  /** Candidate pairs: docs sharing any LSH band bucket (doc_a < doc_b). */
+  /** Per-bucket candidate budget: only the `BucketBudget` smallest doc_ids
+    * in an LSH bucket act as pair "hubs". A healthy corpus has bucket
+    * sizes far below the budget, where this is a no-op (every pair with
+    * ≥1 hub endpoint = every pair). A degenerate corpus — thousands of
+    * boilerplate near-identical docs collapsing into one band key — would
+    * make the unbudgeted self-join Σ bucket², quadratic in the hot bucket;
+    * the budget bounds it at Σ bucket·min(bucket, budget), linear in
+    * bucket size. For DEDUP this loses nothing in the hot case that
+    * motivates it (a giant bucket of near-identical docs stays one
+    * connected component through its hubs); it is an explicit recall
+    * budget, mirrored EXACTLY in the oracle SQL (same QUALIFY rank), so
+    * hash-correctness holds on any corpus, hostile ones included.
+    */
+  val BucketBudget = 64
+
+  /** Candidate pairs: docs sharing any LSH band bucket, restricted to
+    * pairs whose smaller endpoint is a bucket hub (doc_a < doc_b).
+    */
   def lshCandidates(documents: DataFrame): DataFrame =
     lshCandidatesFrom(shingled(documents))
 
-  private[ops] def lshCandidatesFrom(sh: DataFrame): DataFrame = {
+  private[ops] def lshCandidatesFrom(
+      sh: DataFrame, bucketBudget: Int = BucketBudget): DataFrame = {
     val bands = lshBands(signaturesFrom(sh))
-    val a = bands.toDF("doc_a", "band_idx", "band_key")
+    // hubs: rank-by-doc_id within bucket, keep ≤ budget. row_number ≤ k
+    // plans as WindowGroupLimit — each shuffle partition retains only k
+    // rows per bucket, so the rank itself is hot-key-safe (spec-pinned).
+    // A pair (a,b), a<b, has a hub endpoint iff its SMALLER endpoint is a
+    // hub (anything below a hub's rank is itself a hub), so hubs ⋈ bands
+    // with doc_a < doc_b enumerates exactly the budgeted pair set.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_key").orderBy("doc_id")
+    val hubs = bands
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= bucketBudget)
+      .select(col("doc_id").as("doc_a"),
+        col("band_idx").as("band_idx_a"), col("band_key").as("band_key_a"))
     val b = bands.toDF("doc_b", "band_idx_b", "band_key_b")
-    a.join(b,
-        a("band_idx") === b("band_idx_b") && a("band_key") === b("band_key_b") &&
-          a("doc_a") < b("doc_b"))
+    hubs.join(b,
+        col("band_idx_a") === col("band_idx_b") &&
+          col("band_key_a") === col("band_key_b") &&
+          col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
 
@@ -158,9 +191,13 @@ object NearDup {
        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
        |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
        |bands AS ($bandSelects),
+       |hubs AS (
+       |  SELECT doc_id, band_idx, band_key FROM bands
+       |  QUALIFY row_number() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id)
+       |    <= $BucketBudget),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM hubs a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT c.doc_a, c.doc_b,

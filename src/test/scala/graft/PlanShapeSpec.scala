@@ -129,6 +129,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("LSH candidate hubs (q24 family) rank-limit map-side (WindowGroupLimit)") {
+    // the per-bucket candidate budget must not sort whole buckets through
+    // the exchange: row_number <= budget plans as WindowGroupLimit, which
+    // is what makes the budget itself hot-key-safe
+    val p = graft.ops.NearDup.lshCandidates(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("trained-IVF search join (q69) is keyed on the learned cell") {
     // the model-assignment crossJoin (corpus × k-row broadcast centroid
     // table) is intentionally a broadcast nested loop — the guard here is

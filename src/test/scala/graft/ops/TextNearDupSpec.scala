@@ -143,6 +143,24 @@ class TextNearDupSpec extends SparkSpec {
     }
   }
 
+  test("hot LSH bucket: candidate budget bounds pairs linearly, dedup still collapses") {
+    // degenerate corpus: 300 identical documents — one LSH bucket per
+    // band. Unbudgeted, the bucket self-join would emit 300·299/2 ≈ 45k
+    // pairs; the hub budget caps it at ~budget·n. The keep-list must
+    // still collapse all 300 into one survivor (the component connects
+    // through the hubs).
+    val n = 300
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = docs((1L to n.toLong).map(i => (i, base)): _*)
+    val cands = NearDup.lshCandidates(df)
+    val cnt = cands.count()
+    assert(cnt <= NearDup.BucketBudget.toLong * n,
+      s"budget leak: $cnt pairs from one hot bucket")
+    assert(cnt >= n - 1, s"too few candidates to connect the bucket: $cnt")
+    val kept = NearDup.dedupKeepList(df).select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(1L))
+  }
+
   test("components close a 1000-link chain in O(log n) rounds, not O(n)") {
     // the adversarial corpus for label propagation: one long path, so the
     // min label is 999 hops from the far end. Large-star halves the
