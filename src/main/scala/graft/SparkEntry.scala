@@ -288,6 +288,10 @@ object SparkEntry {
     // computes the formula directly, so a broken codec hash-mismatches
     "q75_image_pixel_stats" -> ((s, dir) =>
       Multimodal.imagePixelStats(Tables.documents(s, dir))),
+    // trained-quantizer routing as a per-row expression (the streaming
+    // serve path's assignment), pinned against the unrolled-Lloyd's oracle
+    "q76_trained_cells" -> ((s, dir) =>
+      graft.ops.KMeans.trainedCells(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -564,5 +568,6 @@ object SparkEntry {
     "q73_length_histogram" -> Analytics.lengthHistogramSql(),
     "q74_type_correlation" -> Analytics.typeCorrelationSql(enrichedSql),
     "q75_image_pixel_stats" -> Multimodal.imagePixelStatsSql,
+    "q76_trained_cells" -> graft.ops.KMeans.trainedCellsSql(),
   )
 }

@@ -144,6 +144,84 @@ object KMeans {
     out.orderBy("vec_id")
   }
 
+  /** Train and return the raw model: k fixed-point centroids, driver-side
+    * (k×Dim longs — tiny by definition). The broadcastable artifact the
+    * serving paths below route by.
+    */
+  def trainedModel(
+      embeddings: DataFrame, k: Int = K, iters: Int = Iters): Array[(Int, Array[Long])] = {
+    val xq = corpus(embeddings)
+    var cents = seedCentroids(xq, k)
+    for (_ <- 0 until iters)
+      cents = updateCentroids(xq, assign(xq, cents), cents)
+    xq.unpersist()
+    cents
+  }
+
+  /** Nearest-trained-centroid assignment as a PER-ROW expression: the k
+    * candidate distances unroll into a `least(struct(dist, cluster)...)`
+    * over array-literal centroids — no aggregation, no shuffle, codegen
+    * throughout. Exactly the batch argmin's semantics (smallest distance,
+    * ties to the smallest cluster id), but legal inside an append-mode
+    * streaming plan, which is what lets the trained quantizer route
+    * streams. Malformed vectors are filtered, mirroring training.
+    */
+  def assignTrainedCells(
+      vectors: DataFrame, model: Array[(Int, Array[Long])],
+      embCol: String = "embedding"): DataFrame = {
+    val candidates = model.map { case (c, cq) =>
+      val cc = cq.map(v => v * v).sum // ≤ Dim·(1e6)² ≪ 2^63
+      struct(
+        (col("__xx") - lit(2L) * dotLong(col("__xq"), typedLit(cq.toSeq)) + lit(cc)).as("d"),
+        lit(c).as("c"))
+    }
+    vectors
+      .filter(col(embCol).isNotNull && size(col(embCol)) === Dim)
+      .withColumn("__xq", quantize(col(embCol)))
+      .withColumn("__xx", dotLong(col("__xq"), col("__xq")))
+      .withColumn("cell", least(candidates: _*).getField("c"))
+      .drop("__xq", "__xx")
+  }
+
+  /** Per-vector trained cell as a query surface: train on the corpus, then
+    * assign every vector through the expression path — which pins
+    * expression-assign ≡ batch groupBy-argmin ≡ the oracle's unrolled
+    * window-argmin, the equivalence streaming serving relies on.
+    */
+  def trainedCells(
+      embeddings: DataFrame, k: Int = K, iters: Int = Iters): DataFrame =
+    assignTrainedCells(
+      embeddings.select(col("vec_id"), col("embedding")),
+      trainedModel(embeddings, k, iters))
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+
+  def trainedCellsSql(k: Int = K, iters: Int = Iters, dim: Int = Dim): String =
+    s"""WITH ${kmeansCtesSql(k, iters, dim)}
+       |SELECT vec_id, cluster AS cell FROM afinal ORDER BY vec_id""".stripMargin
+
+  /** Streaming ANN serving routed by the TRAINED quantizer: train offline
+    * on the static corpus, cell-index the corpus once, then assign each
+    * incoming probe its nearest trained cell per-row and stream-static
+    * equi-join on the cell — the full train → index → serve loop (q69's
+    * batch search shape, with the probe side unbounded). Append-safe: the
+    * only stateful op is the join against a static side.
+    */
+  def streamingTrainedServe(
+      probes: DataFrame, corpusDf: DataFrame,
+      k: Int = K, iters: Int = Iters): DataFrame = {
+    val model = trainedModel(corpusDf, k, iters)
+    val indexed = assignTrainedCells(
+      corpusDf.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n")),
+      model, embCol = "emb_n")
+    assignTrainedCells(
+      probes.select(col("vec_id").as("probe_id"), col("embedding").as("emb_p")),
+      model, embCol = "emb_p")
+      .join(indexed, "cell")
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.dot(col("emb_p"), col("emb_n")).as("cosine"))
+  }
+
   /** The shared DuckDB CTE chain (xq → c0 → a1/c1 → … → afinal): the same
     * unrolled Lloyd's iterations feed both the model dump (q68) and the
     * trained-IVF search (q69), so the two oracles cannot drift.

@@ -188,6 +188,52 @@ class SimilaritySpec extends SparkSpec {
     assert(probe == 100L && neighbor % 2 == 0 && cosine > 0)
   }
 
+  test("trained-cell expression assignment == batch groupBy argmin assignment") {
+    // two tight clusters in Dim-space; the per-row least(struct) path must
+    // reproduce kmeansAssignments' aggregate argmin exactly
+    val dim = KMeans.Dim
+    def v(seed: Int, bump: Int) = Seq.tabulate(dim)(i =>
+      (if (i % 2 == 0) seed.toFloat else -seed.toFloat) + bump * 0.01f)
+    val df = (0 until 20).map(i => (i.toLong, v(if (i < 10) 1 else 5, i), 0))
+      .toDF("vec_id", "embedding", "label")
+    val viaExpr = KMeans.trainedCells(df, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaAgg = KMeans.kmeansAssignments(df, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaExpr == viaAgg)
+    assert(viaExpr.values.toSet.size == 2) // both clusters populated
+  }
+
+  test("streaming serve routes probes through the trained quantizer (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = KMeans.Dim
+    def v(sign: Float, bump: Int) = Seq.tabulate(dim)(i =>
+      sign * (if (i % 2 == 0) 1.0f else -1.0f) + bump * 0.001f)
+    // corpus: even ids point "+", odd ids point "−"
+    val corpus = (0 until 16).map(i =>
+      (i.toLong, v(if (i % 2 == 0) 1f else -1f, i), 0)).toDF("vec_id", "embedding", "label")
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = KMeans.streamingTrainedServe(
+        mem.toDF().toDF("vec_id", "embedding"), corpus, k = 2, iters = 2)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          results += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+      }
+      .start()
+    try {
+      mem.addData((100L, v(1f, 3))) // a "+"-direction probe
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results.nonEmpty)
+    // every served neighbor comes from the probe's own trained cell — the
+    // "+" cluster (even ids), all with strongly positive cosine
+    assert(results.forall { case (p, n, c) => p == 100L && n % 2 == 0 && c > 0 })
+    assert(results.map(_._2).toSet.size >= 2) // served the cell, not one row
+  }
+
   test("embedding keep-list drops all but the lowest vec_id per near-dup component") {
     val df = emb(
       (1L, Seq(1.0f, 0.0f), 0),

@@ -29,6 +29,49 @@ class SkewSpec extends SparkSpec {
     assert(saltDist.length > 1) // the single key shards across salts
   }
 
+  test("AQE skew-join splits the hot partition at runtime (adaptive half of q41)") {
+    // static salting (saltedAgg / saltedBroadcastJoin) is the planned-ahead
+    // remedy; this pins the adaptive one: plant one key holding ~94% of the
+    // probe side, force a sort-merge join, and assert the EXECUTED adaptive
+    // plan marked the join/shuffle-read as skew-handled — i.e. the hot
+    // partition was split into advisory-sized chunks instead of pinning one
+    // task.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // pad must be referenced downstream (or column pruning drops it from
+      // the shuffle) and incompressible (or lz4 shrinks the hot partition
+      // below threshold): per-row md5 hex does both
+      val left = spark.range(64000).select(
+        when(col("id") < 60000, 0L).otherwise(col("id") % 4000).as("key"),
+        concat(md5(col("id").cast("string")), md5(concat(lit("p"), col("id")))).as("pad"))
+      val right = spark.range(4000).select(col("id").as("key"), (col("id") * 2).as("attr"))
+      val joined = left.join(right, "key").select("key", "pad", "attr")
+      // execute THIS queryExecution (count() would build its own plan and
+      // leave joined's adaptive plan un-finalized)
+      assert(joined.collect().length == 64000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.toLowerCase.contains("skew"), s"no skew handling in final plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salted broadcast join equals plain join") {
     val probe = (1 to 500).map(i => (if (i <= 450) "hot" else s"k$i", i)).toDF("key", "pid")
     val build = Seq(("hot", 1), ("k451", 2)).toDF("key", "attr")
