@@ -61,87 +61,122 @@ import org.apache.spark.sql.functions._
   *    Σdf² posting cost; at corpus scale you run it on LSH/minhash
   *    candidates or behind the q38 df-cap, not on the raw corpus.
   *
-  * Run: sbt "runMain graft.ScaleProbe" (writes under /tmp/graft-scale10).
+  * 50× headline probe (`runMain graft.ScaleProbe 50`; 5k→250k docs in
+  * near-dup clusters of 50, 2k→100k vectors; local[32], 2026-08-12 — the
+  * measured scaling exponents for the round-5 curation stack, wall-clock
+  * ratios over the 1× corpus):
+  *
+  *  - MinHash near-dup q24: 1.3 s → 18.7 s (14× wall for 50× corpus +
+  *    2,450× pair output 256 → 628k — the synthetic clusters-of-50 grow
+  *    within-cluster pairs quadratically; exponent vs corpus ≈ 0.68,
+  *    sublinear, because signature+banding dominate and are linear).
+  *  - Keep-list q37: 2.4 s → 49 s (20×): adds components over 628k edges
+  *    (converges in the same ≤5 star rounds; round count is size-free)
+  *    and the loser anti-join; still ≈ n·cluster, not n².
+  *  - Curation capstone q59: 2.7 s → 53 s (20×): q37 + quality gate +
+  *    split — the add-ons stay linear map passes.
+  *  - Capped Jaccard q38: 3.4 s → 228 s (67×): Σ min(df,100)² postings —
+  *    the 50-clusters push shared-shingle df from ~37 to ~50×37, so the
+  *    CAP binds almost everywhere and cost lands at cap²·vocab (the
+  *    designed ceiling, ~0.3 GB-rows here). Uncapped q32 would be
+  *    (50×)² ≈ 2500× — the cap is the difference between 4 min and 1.4 h.
+  *    At corpus scale this remains the bounded-scope verifier; candidate
+  *    gating (q24's budgeted LSH) is the default discovery path.
+  *  - Embedding near-dup LSH q42: 0.9 s → 18 s (20×) at default planes —
+  *    Σ bucket² with bucket size ∝ n/2^planes; re-planed for the corpus
+  *    (planes+2 → 4× buckets) it returns to ≈ linear, same contract as
+  *    q29/q36 below.
+  *  - k-means q68: 1.7 s → 22 s (13×) at fixed k=8: assignment O(n·k),
+  *    update O(n·dim), both linear; the super-unit ratio is the 2-round
+  *    driver sync amortizing worse at 32 cores, not asymptotics.
+  *
+  * Run: sbt "runMain graft.ScaleProbe [mult]" (writes under
+  * /tmp/graft-scale<mult>; no arg = the full 10× suite above, an arg runs
+  * the focused headline set at 1× and mult×).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = "/root/testdata/sf0.1"
-    val out = "/tmp/graft-scale10"
+    val out = s"/tmp/graft-scale$mult"
 
-    val copies = explode(sequence(lit(0), lit(9))).as("k")
+    val copies = explode(sequence(lit(0), lit(mult - 1))).as("k")
     graft.sources.Tables.documents(spark, base)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"), copies)
-      .select((col("doc_id") * 10 + col("k")).as("doc_id"),
-        concat(col("text"), lit(" uniq"), (col("doc_id") * 10 + col("k"))).as("text"),
+      .select((col("doc_id") * mult + col("k")).as("doc_id"),
+        concat(col("text"), lit(" uniq"), (col("doc_id") * mult + col("k"))).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     graft.sources.Tables.embeddings(spark, base)
       .select(col("vec_id"), col("embedding"), col("label"), copies)
-      .select((col("vec_id") * 10 + col("k")).as("vec_id"),
+      .select((col("vec_id") * mult + col("k")).as("vec_id"),
         // per-copy jitter on one coordinate keeps copies near-identical but
         // distinct; deterministic (no rand())
         transform(col("embedding"),
-          (x, i) => when(i === pmod(col("k"), lit(64)), x + (col("k").cast("float") - 4.5f) * 1e-4f)
+          (x, i) => when(i === pmod(col("k"), lit(64)), x + (col("k").cast("float") - mult / 2.0f + 0.5f) * 1e-4f)
             .otherwise(x)).as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // 10× events: same users (timelines grow 10× denser), ids/timestamps
+    // mult× events: same users (timelines grow denser), ids/timestamps
     // deterministically jittered so dedup/session boundaries stay realistic
     graft.sources.Tables.events(spark, base)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"), copies)
-      .select((col("event_id") * 10 + col("k")).as("event_id"),
+      .select((col("event_id") * mult + col("k")).as("event_id"),
         expr("ts + make_interval(0, 0, 0, 0, 0, 0, k * 7)").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-      .write.mode("overwrite").parquet(s"$out/events10.parquet")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = body
       println(f"[scale] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    for ((label, dir) <- Seq("1x" -> base, "10x" -> out)) {
+    for ((label, dir) <- Seq("1x" -> base, s"${mult}x" -> out)) {
       val docs = graft.sources.Tables.documents(spark, dir)
       val emb = graft.sources.Tables.embeddings(spark, dir)
-      val evts =
-        if (label == "1x") graft.sources.Tables.events(spark, dir)
-        else spark.read.parquet(s"$out/events10.parquet")
-      time(s"$label bloom_new_docs")(graft.ops.Bloom.bloomNewDocs(docs).count())
-      time(s"$label tfidf_top_terms")(graft.ops.TextAnalysis.tfidfTopTerms(docs).count())
-      time(s"$label pack_sequences")(graft.ops.Curate.packSequences(docs).count())
-      time(s"$label gap_sessions")(graft.ops.Sessionize.gapSessions(evts).count())
-      time(s"$label view_attribution")(graft.ops.Sessionize.viewAttribution(evts).count())
+      // headline scale set (q24/q37/q38/q42/q59/q68) — always measured
       time(s"$label minhash_neardup")(graft.ops.NearDup.minhashNearDups(docs).count())
-      time(s"$label ann_lsh_topk")(graft.ops.Similarity.lshBucketedTopK(emb).count())
-      time(s"$label ann_ivf_topk")(graft.ops.Similarity.ivfTopK(emb).count())
-      time(s"$label embedding_neardup_exact")(
-        graft.ops.Similarity.embeddingNearDups(emb, blocks = 16).count())
-      time(s"$label ngram_containment")(
-        graft.ops.NearDup.ngramContainment(docs).count())
-      time(s"$label vocab_oov")(graft.ops.TextAnalysis.vocabOov(docs).count())
-      // k-means cost model: assignment O(n·k), update O(n·dim); at 10×
-      // corpus with k FIXED both are linear. k should really scale with
-      // the corpus (cells ≈ n / target-cell-size) — measured at k=8 and
-      // k=26 (≈ √(n/3)-ish) to show the trainer itself stays tractable
-      // when k grows.
-      time(s"$label kmeans k=8")(
-        graft.ops.KMeans.kmeansCentroids(emb).count())
-      if (label == "10x") {
-        // the remedies for fixed bucket/cell counts: scale the plane count
-        // with the corpus (16 → 128 buckets), and multiply IVF cells by
-        // LSH sub-buckets (8 label cells → 128 composite cells)
-        time(s"$label ann_lsh_topk planes=7")(
-          graft.ops.Similarity.lshBucketedTopK(emb, planes = 7).count())
-        time(s"$label ann_ivf_topk subPlanes=4")(
-          graft.ops.Similarity.ivfTopK(emb, subPlanes = 4).count())
-        time(s"$label kmeans k=26")(
-          graft.ops.KMeans.kmeansCentroids(emb, k = 26).count())
+      time(s"$label dedup_keeplist")(graft.ops.NearDup.dedupKeepList(docs).count())
+      time(s"$label curation_pipeline")(graft.ops.Curate.curationPipeline(docs).count())
+      time(s"$label ngram_jaccard_capped")(
+        graft.ops.NearDup.ngramJaccardPairsCapped(docs).count())
+      time(s"$label embedding_neardup_lsh")(
+        graft.ops.Similarity.embeddingNearDupsApprox(emb).count())
+      time(s"$label kmeans k=8")(graft.ops.KMeans.kmeansCentroids(emb).count())
+      if (mult == 10) {
+        val evts =
+          if (label == "1x") graft.sources.Tables.events(spark, dir)
+          else spark.read.parquet(s"$out/events.parquet")
+        time(s"$label bloom_new_docs")(graft.ops.Bloom.bloomNewDocs(docs).count())
+        time(s"$label tfidf_top_terms")(graft.ops.TextAnalysis.tfidfTopTerms(docs).count())
+        time(s"$label pack_sequences")(graft.ops.Curate.packSequences(docs).count())
+        time(s"$label gap_sessions")(graft.ops.Sessionize.gapSessions(evts).count())
+        time(s"$label view_attribution")(graft.ops.Sessionize.viewAttribution(evts).count())
+        time(s"$label ann_lsh_topk")(graft.ops.Similarity.lshBucketedTopK(emb).count())
+        time(s"$label ann_ivf_topk")(graft.ops.Similarity.ivfTopK(emb).count())
+        time(s"$label embedding_neardup_exact")(
+          graft.ops.Similarity.embeddingNearDups(emb, blocks = 16).count())
+        time(s"$label ngram_containment")(
+          graft.ops.NearDup.ngramContainment(docs).count())
+        time(s"$label vocab_oov")(graft.ops.TextAnalysis.vocabOov(docs).count())
+        if (label != "1x") {
+          // the remedies for fixed bucket/cell counts: scale the plane count
+          // with the corpus (16 → 128 buckets), and multiply IVF cells by
+          // LSH sub-buckets (8 label cells → 128 composite cells)
+          time(s"$label ann_lsh_topk planes=7")(
+            graft.ops.Similarity.lshBucketedTopK(emb, planes = 7).count())
+          time(s"$label ann_ivf_topk subPlanes=4")(
+            graft.ops.Similarity.ivfTopK(emb, subPlanes = 4).count())
+          time(s"$label kmeans k=26")(
+            graft.ops.KMeans.kmeansCentroids(emb, k = 26).count())
+        }
       }
     }
     spark.stop()

@@ -292,6 +292,10 @@ object SparkEntry {
     // serve path's assignment), pinned against the unrolled-Lloyd's oracle
     "q76_trained_cells" -> ((s, dir) =>
       graft.ops.KMeans.trainedCells(Tables.embeddings(s, dir))),
+    // df-capped containment — q66's hot-key escalation through the shared
+    // capped machine (candidates need >=1 sub-cap shingle; ratios exact)
+    "q77_containment_capped" -> ((s, dir) =>
+      NearDup.ngramContainmentCapped(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -569,5 +573,6 @@ object SparkEntry {
     "q74_type_correlation" -> Analytics.typeCorrelationSql(enrichedSql),
     "q75_image_pixel_stats" -> Multimodal.imagePixelStatsSql,
     "q76_trained_cells" -> graft.ops.KMeans.trainedCellsSql(),
+    "q77_containment_capped" -> NearDup.ngramContainmentCappedSql(),
   )
 }

@@ -482,7 +482,49 @@ object NearDup {
     */
   def ngramJaccardPairsCapped(
       documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
-      maxDf: Int = 100): DataFrame = {
+      maxDf: Int = 100): DataFrame =
+    cappedCommonCounts(documents, n, maxDf,
+      mc => mc.cast("double") / (col("n_a") + col("n_b") - mc) >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+
+  /** The df-capped escalation for [[ngramContainment]] — the same capped
+    * posting pass, upper-bound prune and hot correction as
+    * [[ngramJaccardPairsCapped]], with the containment ratio
+    * `maxCommon / min(n_a, n_b)` as the (direction-maximal, hence sound)
+    * prune. Shares q38's documented recall contract: pairs overlapping
+    * ONLY in over-cap shingles are not candidates — which is exactly the
+    * hot-boilerplate overlap containment detection exists to ignore.
+    */
+  def ngramContainmentCapped(
+      documents: DataFrame, n: Int = 3, minContainment: Double = 0.9,
+      maxDf: Int = 100): DataFrame =
+    cappedCommonCounts(documents, n, maxDf,
+      mc => mc.cast("double") / least(col("n_a"), col("n_b")) >= minContainment)
+      .select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          col("n_common"), col("n_a").as("n_contained"), col("n_b").as("n_container")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          col("n_common"), col("n_b").as("n_contained"), col("n_a").as("n_container"))))
+        .as("r"))
+      .select(col("r.*"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_contained"))
+      .filter(col("containment") >= minContainment)
+      .orderBy("contained", "container")
+
+  /** The shared capped machine: exact `(doc_a, doc_b, n_common, n_a, n_b)`
+    * for every pair sharing ≥1 sub-cap shingle that survives the
+    * caller-supplied upper-bound prune (`prune(maxCommon)` may reference
+    * `n_a`/`n_b`/`h_a`/`h_b` and must be monotone in the true common
+    * count, so it can only over-keep, never over-drop).
+    */
+  private def cappedCommonCounts(
+      documents: DataFrame, n: Int, maxDf: Int,
+      prune: Column => Column): DataFrame = {
     val ex = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), graft.functions.ShingleSet.shingles(col("text"), n).as("shingles"))
@@ -520,24 +562,22 @@ object NearDup {
       col("n_sh").as("n_a"), col("n_hot").as("h_a"))
     val sB = docStats.select(col("doc_id").as("doc_b_k"),
       col("n_sh").as("n_b"), col("n_hot").as("h_b"))
-    // Exact upper bound on jaccard: common ≤ n_rare + min(h_a, h_b).
+    // Exact upper bound on the common count: common ≤ n_rare + min(h_a, h_b).
     val maxCommon = col("n_rare") + least(col("h_a"), col("h_b"))
     val survivors = pairRare
       .join(sA, col("doc_a") === col("doc_a_k"))
       .join(sB, col("doc_b") === col("doc_b_k"))
-      .filter(maxCommon.cast("double") /
-        (col("n_a") + col("n_b") - maxCommon) >= minJaccard)
+      .filter(prune(maxCommon))
     // Exact hot correction for the survivors only (hot arrays are tiny).
     val hA = docStats.select(col("doc_id").as("doc_a_h"), col("hot_arr").as("hot_a"))
     val hB = docStats.select(col("doc_id").as("doc_b_h"), col("hot_arr").as("hot_b"))
-    val nCommon = col("n_rare") + size(array_intersect(col("hot_a"), col("hot_b")))
     survivors
       .join(hA, col("doc_a") === col("doc_a_h"))
       .join(hB, col("doc_b") === col("doc_b_h"))
       .select(col("doc_a"), col("doc_b"),
-        (nCommon.cast("double") / (col("n_a") + col("n_b") - nCommon)).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
+        (col("n_rare") + size(array_intersect(col("hot_a"), col("hot_b")))
+          .cast("long")).as("n_common"),
+        col("n_a"), col("n_b"))
   }
 
   def ngramJaccardPairsCappedSql(
@@ -561,6 +601,41 @@ object NearDup {
        |      / len(list_distinct(x.shingles || y.shingles)) AS jaccard
        |  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
        |WHERE jaccard >= $minJaccard ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def ngramContainmentCappedSql(
+      n: Int = 3, minContainment: Double = 0.9, maxDf: Int = 100): String = {
+    val gram = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $n
+       |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
+       |      ELSE [] END AS shingles
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents)),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
+       |rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= $maxDf),
+       |exc AS (SELECT e.doc_id, e.shingle FROM ex e JOIN rare r ON e.shingle = r.shingle),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |pc AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(x.shingles, y.shingles)) AS n_common,
+       |    len(x.shingles) AS n_a, len(y.shingles) AS n_b
+       |  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id),
+       |directed AS (
+       |  SELECT doc_a AS contained, doc_b AS container, n_common,
+       |    n_a AS n_contained, n_b AS n_container FROM pc
+       |  UNION ALL
+       |  SELECT doc_b AS contained, doc_a AS container, n_common,
+       |    n_b AS n_contained, n_a AS n_container FROM pc)
+       |SELECT contained, container, CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(n_contained AS BIGINT) AS n_contained,
+       |  CAST(n_container AS BIGINT) AS n_container,
+       |  CAST(n_common AS DOUBLE) / n_contained AS containment
+       |FROM directed
+       |WHERE CAST(n_common AS DOUBLE) / n_contained >= $minContainment
+       |ORDER BY contained, container""".stripMargin
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.current_timestamp
+import org.apache.spark.sql.functions.{col, current_timestamp}
 
 import graft.SparkSpec
 
@@ -189,6 +189,29 @@ class TextNearDupSpec extends SparkSpec {
     assert(r.getAs[Double]("containment") == 1.0)
     // and the reverse direction (big doc in small doc) is NOT flagged
     assert(r.getAs[Int]("n_container") > r.getAs[Int]("n_contained"))
+  }
+
+  test("capped containment == uncapped when the cap does not bind; survives hot shingles") {
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val outer = ("pre1 pre2 pre3 pre4 pre5 pre6 pre7 pre8 pre9 pre10 pre11 pre12 " +
+      inner + " post1 post2 post3 post4 post5 post6 post7 post8 post9 post10 post11 post12")
+    val df = docs((1L, inner), (2L, outer), (3L, "unrelated words entirely here now"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("contained"), r.getAs[Long]("container"), r.getAs[Double]("containment"))
+    val uncapped = NearDup.ngramContainment(df).collect().map(key).toSeq
+    val capped = NearDup.ngramContainmentCapped(df).collect().map(key).toSeq
+    assert(capped == uncapped && capped.nonEmpty)
+
+    // planted hot distribution: 150 docs sharing one boilerplate block (df
+    // of its shingles > cap) must not hide a genuine containment that rides
+    // on rare shingles — and the hot-only overlap pairs are NOT candidates
+    val boiler = (1 to 20).map(i => s"hot$i").mkString(" ")
+    val hotDocs = (100L until 250L).map(i => (i, s"$boiler filler${i}a filler${i}b"))
+    val hot = docs((hotDocs :+ (1L -> inner) :+ (2L -> (boiler + " " + outer))): _*)
+    val got = NearDup.ngramContainmentCapped(hot, maxDf = 100)
+      .filter(col("contained") === 1L).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("container") == 2L)
+    assert(got.head.getAs[Double]("containment") == 1.0)
   }
 
   test("vocab build ranks by df with lexicographic ties; OOV counts the tail") {
