@@ -62,33 +62,38 @@ import org.apache.spark.sql.functions._
   *    candidates or behind the q38 df-cap, not on the raw corpus.
   *
   * 50× headline probe (`runMain graft.ScaleProbe 50`; 5k→250k docs in
-  * near-dup clusters of 50, 2k→100k vectors; local[32], 2026-08-12 — the
-  * measured scaling exponents for the round-5 curation stack, wall-clock
-  * ratios over the 1× corpus):
+  * near-dup clusters of 50, 2k→100k vectors; local[32], 2026-08-12 —
+  * measured wall-clock ratios for 50× data, i.e. scaling exponents
+  * log(wall ratio)/log(50) for the round-5 curation stack):
   *
-  *  - MinHash near-dup q24: 1.3 s → 18.7 s (14× wall for 50× corpus +
-  *    2,450× pair output 256 → 628k — the synthetic clusters-of-50 grow
-  *    within-cluster pairs quadratically; exponent vs corpus ≈ 0.68,
-  *    sublinear, because signature+banding dominate and are linear).
-  *  - Keep-list q37: 2.4 s → 49 s (20×): adds components over 628k edges
-  *    (converges in the same ≤5 star rounds; round count is size-free)
-  *    and the loser anti-join; still ≈ n·cluster, not n².
-  *  - Curation capstone q59: 2.7 s → 53 s (20×): q37 + quality gate +
-  *    split — the add-ons stay linear map passes.
-  *  - Capped Jaccard q38: 3.4 s → 228 s (67×): Σ min(df,100)² postings —
-  *    the 50-clusters push shared-shingle df from ~37 to ~50×37, so the
-  *    CAP binds almost everywhere and cost lands at cap²·vocab (the
-  *    designed ceiling, ~0.3 GB-rows here). Uncapped q32 would be
-  *    (50×)² ≈ 2500× — the cap is the difference between 4 min and 1.4 h.
-  *    At corpus scale this remains the bounded-scope verifier; candidate
-  *    gating (q24's budgeted LSH) is the default discovery path.
-  *  - Embedding near-dup LSH q42: 0.9 s → 18 s (20×) at default planes —
-  *    Σ bucket² with bucket size ∝ n/2^planes; re-planed for the corpus
-  *    (planes+2 → 4× buckets) it returns to ≈ linear, same contract as
-  *    q29/q36 below.
-  *  - k-means q68: 1.7 s → 22 s (13×) at fixed k=8: assignment O(n·k),
-  *    update O(n·dim), both linear; the super-unit ratio is the 2-round
-  *    driver sync amortizing worse at 32 cores, not asymptotics.
+  *  - MinHash near-dup q24: 3.1 s → 15.8 s (5.1×, exponent ≈ 0.42) while
+  *    the OUTPUT grew 25,800× (256 → 6.6 M pairs — clusters of 50 make
+  *    within-cluster pairs quadratic). Signature kernel + budgeted
+  *    banding are linear and dominate.
+  *  - Keep-list q37: 3.4 s → 34.4 s (10×, exp ≈ 0.59): adds star-rounds
+  *    components over 6.6 M edges (round COUNT is size-free) + the loser
+  *    anti-join.
+  *  - Curation capstone q59: 2.7 s → 26.8 s (10×): q37 + quality gate +
+  *    split; the add-ons stay linear map passes.
+  *  - Capped Jaccard q38: 4.3 s → 13.9 s (3.2×, exp ≈ 0.30): the
+  *    50-clusters push shared-shingle df past the cap, so the capped
+  *    posting join saturates at its designed Σ min(df,100)² ceiling —
+  *    SUBLINEAR in corpus size exactly when the uncapped form (Σdf²,
+  *    here 2500×) would explode.
+  *  - Embedding near-dup LSH q42: 1.2 s → 60.5 s at planes FIXED at 4 —
+  *    the documented Σ bucket² failure mode (bucket size ∝ n/16);
+  *    re-planed for the corpus (planes=9 → 512 buckets): 6.7 s (≈ 5.6×,
+  *    linear-ish) with 2.5 M of the 2.68 M pairs still found. The
+  *    `planes ∝ log n` dial is the contract, same as q29/q36.
+  *  - k-means q68: 2.4 s → 3.8 s (1.6×) at fixed k=8: assignment O(n·k),
+  *    update O(n·dim), both linear and far from dominating.
+  *
+  * This probe also CAUGHT a plan bug (round 5): the embedding ops'
+  * per-row compute ran against broadcast sides with no exchange before
+  * it, so a single-split corpus scan serialized Σ bucket² on ONE core
+  * (one 15-minute task). All Similarity entry points now repartition by
+  * vec_id before per-row heavy work — the same guard shingled()/corpus()
+  * always had.
   *
   * Run: sbt "runMain graft.ScaleProbe [mult]" (writes under
   * /tmp/graft-scale<mult>; no arg = the full 10× suite above, an arg runs
@@ -106,13 +111,17 @@ object ScaleProbe {
     val out = s"/tmp/graft-scale$mult"
 
     val copies = explode(sequence(lit(0), lit(mult - 1))).as("k")
+    // the base tables are single-split; repartition the scaled copies so
+    // the written corpus has realistic multi-file layout
     graft.sources.Tables.documents(spark, base)
+      .repartition(32)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"), copies)
       .select((col("doc_id") * mult + col("k")).as("doc_id"),
         concat(col("text"), lit(" uniq"), (col("doc_id") * mult + col("k"))).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     graft.sources.Tables.embeddings(spark, base)
+      .repartition(32)
       .select(col("vec_id"), col("embedding"), col("label"), copies)
       .select((col("vec_id") * mult + col("k")).as("vec_id"),
         // per-copy jitter on one coordinate keeps copies near-identical but
@@ -149,6 +158,11 @@ object ScaleProbe {
         graft.ops.NearDup.ngramJaccardPairsCapped(docs).count())
       time(s"$label embedding_neardup_lsh")(
         graft.ops.Similarity.embeddingNearDupsApprox(emb).count())
+      if (label != "1x")
+        // the planes-scale-with-corpus contract: buckets ∝ n keeps the
+        // Σ bucket² candidate volume linear in corpus size
+        time(s"$label embedding_neardup_lsh planes=9")(
+          graft.ops.Similarity.embeddingNearDupsApprox(emb, planes = 9).count())
       time(s"$label kmeans k=8")(graft.ops.KMeans.kmeansCentroids(emb).count())
       if (mult == 10) {
         val evts =

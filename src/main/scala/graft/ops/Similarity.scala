@@ -120,9 +120,13 @@ object Similarity {
   def embeddingNearDupsApprox(
       embeddings: DataFrame, maxFlips: Int = 1, planes: Int = Planes): DataFrame = {
     // cache: probing and home sides both read the bucketed relation;
-    // without it the corpus scan + plane dots run twice
-    val withB = embeddings.select(col("vec_id"), col("embedding"),
-      bucketCol(col("embedding"), planes).as("bucket"))
+    // without it the corpus scan + plane dots run twice. Repartition
+    // FIRST: if the home side auto-broadcasts, the probing side's
+    // Σ bucket² cosine work has no exchange before it and would serialize
+    // on a single-split corpus scan (measured: one 15-min task at 50×)
+    val withB = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        bucketCol(col("embedding"), planes).as("bucket"))
       .cache()
     // Probe keys: the bucket itself + every ≤maxFlips bit-flip of it.
     val probeKeys: Seq[Column] = {
@@ -185,7 +189,10 @@ object Similarity {
     val queries = embeddings
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
-    val scored = embeddings
+    // repartition FIRST: the n×q dot products run against a broadcast
+    // side, so there is no exchange before them — a compact corpus
+    // arriving as one parquet split would compute them all on one core
+    val scored = embeddings.repartition(col("vec_id"))
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dot(col("query_emb"), col("embedding")).as("cosine"))
@@ -266,9 +273,12 @@ object Similarity {
     */
   def lshBucketedTopK(embeddings: DataFrame, k: Int = 3, planes: Int = Planes): DataFrame = {
     // cache: both sides of the same-bucket self-join read the bucketed
-    // relation; without it the corpus scan + plane dots run twice
-    val withB = embeddings.select(col("vec_id"), col("embedding"),
-      bucketCol(col("embedding"), planes).as("bucket"))
+    // relation; without it the corpus scan + plane dots run twice.
+    // Repartition first — see embeddingNearDupsApprox (broadcast side ⇒
+    // no pre-compute exchange ⇒ single-split corpus serializes)
+    val withB = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        bucketCol(col("embedding"), planes).as("bucket"))
       .cache()
     val a = withB.select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),
       col("bucket").as("bucket_a"))
@@ -325,8 +335,12 @@ object Similarity {
     * 2^subPlanes without retraining centroids).
     */
   def ivfCellsRanked(embeddings: DataFrame, maxRank: Int, subPlanes: Int = 0): DataFrame = {
-    val q = embeddings.select(col("vec_id"), col("embedding"),
-      quantized(col("embedding")).as("qv"))
+    // repartition first: the n×k assignment dots run against the broadcast
+    // centroid table — no exchange before them, so a single-split corpus
+    // scan would serialize the assignment on one core
+    val q = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        quantized(col("embedding")).as("qv"))
     val dotd = (graft.functions.LongArrayDot.dotLong(col("qv"), col("cs"))
       .cast("double") / col("n"))
     val w = Window.partitionBy(col("vec_id")).orderBy(dotd.desc, col("clabel"))
@@ -432,10 +446,9 @@ object Similarity {
   /** The embedding-side dedup KEEP-LIST — the semantic twin of
     * [[NearDup.dedupKeepList]]: connected components over cosine-threshold
     * near-dup pairs, lowest vec_id survives per component. Reuses the same
-    * min-label-propagation machinery (one accumulator-counted job per
-    * round, localCheckpoint'ed), so the whole dedup-family matrix
-    * (exact / MinHash / SimHash / n-gram / embedding) now ends in the same
-    * curation endpoint.
+    * large-star/small-star machinery (O(log n) localCheckpoint'ed rounds),
+    * so the whole dedup-family matrix (exact / MinHash / SimHash / n-gram /
+    * embedding) now ends in the same curation endpoint.
     */
   def embeddingKeepList(embeddings: DataFrame): DataFrame = {
     val pairs = embeddingNearDups(embeddings)
