@@ -296,6 +296,10 @@ object SparkEntry {
     // capped machine (candidates need >=1 sub-cap shingle; ratios exact)
     "q77_containment_capped" -> ((s, dir) =>
       NearDup.ngramContainmentCapped(Tables.documents(s, dir))),
+    // the scale path for the embedding keep-list: components over LSH
+    // multi-probe candidates instead of the exact all-pairs relation
+    "q78_embedding_keeplist_lsh" -> ((s, dir) =>
+      Similarity.embeddingKeepListApprox(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -574,5 +578,6 @@ object SparkEntry {
     "q75_image_pixel_stats" -> Multimodal.imagePixelStatsSql,
     "q76_trained_cells" -> graft.ops.KMeans.trainedCellsSql(),
     "q77_containment_capped" -> NearDup.ngramContainmentCappedSql(),
+    "q78_embedding_keeplist_lsh" -> Similarity.embeddingKeepListApproxSql(),
   )
 }

@@ -450,9 +450,21 @@ object Similarity {
     * so the whole dedup-family matrix (exact / MinHash / SimHash / n-gram /
     * embedding) now ends in the same curation endpoint.
     */
-  def embeddingKeepList(embeddings: DataFrame): DataFrame = {
-    val pairs = embeddingNearDups(embeddings)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+  def embeddingKeepList(embeddings: DataFrame): DataFrame =
+    keepListFromPairs(embeddings, embeddingNearDups(embeddings))
+
+  /** The corpus-scale keep-list: components over the LSH multi-probe
+    * candidate pairs ([[embeddingNearDupsApprox]]) instead of the exact
+    * all-pairs relation — the same explicit recall contract as q42, ending
+    * in the same curation endpoint. With this, every dedup family's
+    * keep-list has both an exact verifier and a scale path.
+    */
+  def embeddingKeepListApprox(
+      embeddings: DataFrame, maxFlips: Int = 1, planes: Int = Planes): DataFrame =
+    keepListFromPairs(embeddings, embeddingNearDupsApprox(embeddings, maxFlips, planes))
+
+  private def keepListFromPairs(embeddings: DataFrame, pairDf: DataFrame): DataFrame = {
+    val pairs = pairDf.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val losers = NearDup.components(pairs)
       .filter(col("doc_id") =!= col("label"))
       .select(col("doc_id").as("loser_id"))
@@ -460,6 +472,24 @@ object Similarity {
       .join(losers, col("vec_id") === col("loser_id"), "left_anti")
       .select("vec_id", "label")
       .orderBy("vec_id")
+  }
+
+  def embeddingKeepListApproxSql(maxFlips: Int = 1): String = {
+    val pairsSql = embeddingNearDupsApproxSql(maxFlips)
+      .replace("ORDER BY vec_a, vec_b", "")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+       |          UNION SELECT vec_b, vec_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |lab AS (SELECT src AS vec_id, least(src, min(dst)) AS lab
+       |        FROM reach GROUP BY src)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |LEFT JOIN lab l ON e.vec_id = l.vec_id
+       |WHERE l.vec_id IS NULL OR l.lab = l.vec_id
+       |ORDER BY e.vec_id""".stripMargin
   }
 
   def embeddingKeepListSql: String = {
