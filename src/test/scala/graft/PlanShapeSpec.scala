@@ -139,6 +139,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("capped containment (q77) intersects via the posting equi-join, no cartesian") {
+    val p = plan("q77_containment_capped")
+    assert(p.contains("Exchange hashpartitioning(shingle"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("LSH keep-list (q78) builds candidates through equi-joins only") {
+    val p = plan("q78_embedding_keeplist_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("trained-cell assignment (q76) is aggregation- and window-free") {
+    // the serving property: nearest-centroid via least(struct) is a pure
+    // per-row projection — no argmin aggregate, no rank window — which is
+    // what makes the same expression legal in an append-mode stream
+    val p = plan("q76_trained_cells")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"), p)
+  }
+
   test("trained-IVF search join (q69) is keyed on the learned cell") {
     // the model-assignment crossJoin (corpus × k-row broadcast centroid
     // table) is intentionally a broadcast nested loop — the guard here is
