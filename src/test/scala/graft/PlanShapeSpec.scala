@@ -139,6 +139,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("broadcast-fed ANN compute (q27) exchanges BEFORE the per-row dots") {
+    // the round-5 scale-probe catch: per-row heavy compute feeding a
+    // broadcast join inherits scan partitioning unless explicitly
+    // repartitioned — a single-split corpus would serialize on one core.
+    // Pin the exchange below the broadcast join's probe side.
+    val p = plan("q27_ann_bruteforce")
+    assert(p.contains("Exchange hashpartitioning(vec_id"), p)
+  }
+
   test("capped containment (q77) intersects via the posting equi-join, no cartesian") {
     val p = plan("q77_containment_capped")
     assert(p.contains("Exchange hashpartitioning(shingle"), p)
