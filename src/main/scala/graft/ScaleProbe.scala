@@ -11,55 +11,63 @@ import org.apache.spark.sql.functions._
   * jitter), then times the scale-path queries at 1× and 10× so the
   * claimed complexity is observed, not argued:
   *
-  * Measured (local[32], 2026-08-12; 5k→50k docs / 2k→20k vectors):
+  * Measured (local[32], 2026-08-12, POST round-5 — native MinHashSig
+  * kernel, LSH hub budget, star components, and the broadcast-side
+  * repartition guards all included; 5k→50k docs / 2k→20k vectors):
   *
-  *  - MinHash near-dup (q24 shape): 4.5 s → 10.6 s (2.4× wall) while the
+  *  - MinHash near-dup (q24 shape): 3.4 s → 4.4 s (1.3× wall) while the
   *    OUTPUT grew 256 → 247,888 pairs — candidate generation scales with
-  *    corpus + matches, never n².
-  *  - LSH bucketed ANN (q29): 1.8 s → 30–36 s with planes FIXED at 4 —
-  *    the documented failure mode (16 buckets → bucket size ×10 →
-  *    Σ bucket² ×100). With planes scaled to the corpus (7 → 128
-  *    buckets): 7.0 s. The `planes` parameter is the contract.
-  *  - IVF ANN (q36): 3.3 s → 43–60 s — same cause (cells = 8 corpus
-  *    labels). Composite cells (q46: label × 2^subPlanes LSH sub-buckets,
-  *    subPlanes=4 → 128 cells) recover it to 5.7 s without retraining
-  *    centroids; at true scale you ALSO retrain the coarse quantizer with
-  *    k ∝ corpus/target-cell-size.
-  *  - Exact embedding near-dup (q26): 1.6 s → 131.6 s ≈ the predicted
-  *    ~100× O(n²) compute — but it DEGRADES BY BALANCED WORK across the
-  *    block grid (completes, no hot partition), which is all an exact
-  *    all-pairs can promise.
+  *    corpus + matches, never n². (Pre-round-5 this was 4.5 → 10.6 s;
+  *    the one-pass signature kernel removed most of the growth.)
+  *  - Keep-list / capstone (q37/q59): 3.8 s → ~6.9 s — star-rounds
+  *    components over 248k edges; round count is size-free.
+  *  - LSH bucketed ANN (q29): 1.4 s → 2.6 s at planes FIXED at 4; 1.3 s
+  *    re-planed (7 → 128 buckets). At 10× the Σ bucket² term is still
+  *    small beside the linear bucketing pass — the 50× probe below is
+  *    where fixed planes visibly break (60.5 s) — but `planes ∝ log n`
+  *    remains the contract. (The pre-round-5 30–36 s here was the
+  *    broadcast-side serialization bug, not bucket arithmetic.)
+  *  - IVF ANN (q36): 1.8 s → 34.5 s with cells FIXED (8 corpus labels →
+  *    10× vectors PER CELL → Σ cell² candidates ×100) — the genuine
+  *    fixed-cell failure mode. Composite cells (q46: label × 2^subPlanes
+  *    LSH sub-buckets, subPlanes=4 → 128 cells) recover it to 3.9 s
+  *    without retraining centroids; at true scale you ALSO retrain the
+  *    coarse quantizer with k ∝ corpus/target-cell-size.
+  *  - Exact embedding near-dup (q26): 1.4 s → 6.2 s for ~100× the pair
+  *    compute — O(n²) work, but spread evenly across the block grid and
+  *    through the native quantized-dot kernel; it completes with no hot
+  *    partition, which is all an exact all-pairs can promise.
+  *  - Capped Jaccard (q38): 3.6 s → 18.3 s — clusters of 10 push shared
+  *    df to ~10×, the cap binds, and cost approaches its Σ min(df,100)²
+  *    ceiling instead of Σdf² (which would be ×100).
   *
   * Round-3 curation ops (same harness; 10× events = 1 M rows, same users):
   *
-  *  - Bloom gate (q47): 1.7 s → 0.5 s — the filter is FIXED-SIZE by
+  *  - Bloom gate (q47): 0.4 s → 0.5 s — the filter is FIXED-SIZE by
   *    construction (≤ M/63 words regardless of history), so 10× history
   *    costs one linear build pass and probing is flat. The only op here
   *    whose state does not grow with the corpus at all.
-  *  - TF-IDF (q50): 3.3 s → 2.6 s — vocab-bounded df table; (doc, term)
+  *  - TF-IDF (q50): 2.3 s → 2.5 s — vocab-bounded df table; (doc, term)
   *    shuffle grows linearly but is far from dominating at this size.
-  *  - Sequence packing (q58): 1.4 s → 1.9 s — two-phase prefix sum stays
+  *  - Sequence packing (q58): 0.7 s → 0.8 s — two-phase prefix sum stays
   *    parallel (the naive global-window form would serialize on 1 task).
-  *  - Gap sessions (q48): 1.0 s → 1.0 s for 10× events; sessions MERGE
+  *  - Gap sessions (q48): 0.7 s → 0.9 s for 10× events; sessions MERGE
   *    under 10× timeline density (95,465 → 95,330) — evidence the gap
   *    semantics respond to density, unlike fixed 30-min buckets.
-  *  - As-of attribution (q49): 0.3 s → 0.3 s for 10× output (200,840
+  *  - As-of attribution (q49): 0.2 s → 0.2 s for 10× output (200,840
   *    attributed purchases) — one key shuffle, linear scan.
-  *
-  * Round-3 session-2 ops (same harness):
-  *
-  *  - Vocab + OOV (q65): 0.2 s → 1.3 s — df build and broadcast-probe are
+  *  - Vocab + OOV (q65): 0.2 s → 0.2 s — df build and broadcast-probe are
   *    linear; the vocabulary stays fixed-size (top-V) by construction.
-  *  - k-means (q68): 2.2 s → 4.9 s at k=8 for 10× vectors (assignment is
-  *    O(n·k), update O(n·dim) — both linear in n); raising k to 26 on the
-  *    10× corpus costs 2.6 s/iter-pair — the trainer tolerates the
-  *    k ∝ corpus growth the IVF cell-count contract requires.
-  *  - n-gram containment (q66): 2.2 s → 57 s, but OUTPUT grew 975×
+  *  - k-means (q68): 2.5 s → 2.7 s at k=8 for 10× vectors (assignment is
+  *    O(n·k), update O(n·dim) — both linear in n); k=26 on the 10×
+  *    corpus costs 3.1 s — the trainer tolerates the k ∝ corpus growth
+  *    the IVF cell-count contract requires.
+  *  - n-gram containment (q66): 1.6 s → 34.6 s, but OUTPUT grew 975×
   *    (505 → 492,510 directed pairs — the synthetic 10× corpus is
   *    near-dup clusters of 10, so within-cluster pairs grow
   *    quadratically). Like q32 it is the EXACT verification tool with
-  *    Σdf² posting cost; at corpus scale you run it on LSH/minhash
-  *    candidates or behind the q38 df-cap, not on the raw corpus.
+  *    Σdf² posting cost; at corpus scale you run the q77 df-capped form
+  *    or gate on LSH/minhash candidates, not the raw corpus.
   *
   * 50× headline probe (`runMain graft.ScaleProbe 50`; 5k→250k docs in
   * near-dup clusters of 50, 2k→100k vectors; local[32], 2026-08-12 —
