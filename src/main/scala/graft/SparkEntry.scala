@@ -300,6 +300,10 @@ object SparkEntry {
     // multi-probe candidates instead of the exact all-pairs relation
     "q78_embedding_keeplist_lsh" -> ((s, dir) =>
       Similarity.embeddingKeepListApprox(Tables.embeddings(s, dir))),
+    // REAL audio decode: WAV payloads (JDK codec) from a closed-form PCM
+    // formula, stats from the decoded samples vs the formula in DuckDB
+    "q79_audio_sample_stats" -> ((s, dir) =>
+      Multimodal.audioSampleStats(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -579,5 +583,6 @@ object SparkEntry {
     "q76_trained_cells" -> graft.ops.KMeans.trainedCellsSql(),
     "q77_containment_capped" -> NearDup.ngramContainmentCappedSql(),
     "q78_embedding_keeplist_lsh" -> Similarity.embeddingKeepListApproxSql(),
+    "q79_audio_sample_stats" -> Multimodal.audioSampleStatsSql,
   )
 }

@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * partition, so per-batch setup like codec/model initialization is paid
   * once per partition, not per row).
   *
-  * The IMAGE path is real: [[MediaCodec]] encodes and decodes PNG via
-  * `javax.imageio` (pure JDK, headless-safe), and [[imagePixelStats]]
-  * derives a corpus of real PNG payloads whose pixels follow a closed-form
-  * formula — so the decode round-trip is oracle-checked end-to-end (DuckDB
-  * computes the same formula directly; a broken decode hash-mismatches).
-  * Audio/video payloads have no JDK codec; their "samples" are the raw
-  * payload bytes, documented as the PCM/frame stand-in.
+  * The IMAGE and AUDIO paths are real: [[MediaCodec]] encodes/decodes PNG
+  * via `javax.imageio` and WAV (16-bit PCM in a RIFF container) via
+  * `javax.sound.sampled` — both pure JDK, headless-safe. [[imagePixelStats]]
+  * and [[audioSampleStats]] derive corpora of real PNG/WAV payloads whose
+  * pixels/samples follow closed-form formulas, so each decode round-trip is
+  * oracle-checked end-to-end (DuckDB computes the formula directly; a
+  * broken codec hash-mismatches). Video has no JDK demuxer; its "samples"
+  * are the raw payload bytes, documented as the frame stand-in.
   *
   * Scale notes: payloads never shuffle (all transforms are narrow,
   * partition-local); features are fixed-width vectors so downstream joins
@@ -52,12 +53,12 @@ object Multimodal {
   val FrameSampleEvery = 4
   val HistogramBins = 16
 
-  /** The codec boundary. Images are REAL: 8-bit grayscale PNG encode and
-    * decode through `javax.imageio` (lossless round-trip, no external
-    * libraries, headless-safe). Audio/video have no JDK codec, so their
-    * sample stream is the raw payload bytes — the documented stand-in for
-    * PCM samples / container frames until a codec library is on the
-    * classpath.
+  /** The codec boundary. Images and audio are REAL: 8-bit grayscale PNG
+    * through `javax.imageio`, 16-bit PCM WAV through `javax.sound.sampled`
+    * (both lossless round-trips, no external libraries, headless-safe).
+    * Video has no JDK demuxer, so its sample stream is the raw payload
+    * bytes — the documented stand-in for container frames until a codec
+    * library is on the classpath.
     */
   object MediaCodec {
     final case class DecodedImage(width: Int, height: Int, pixels: Array[Int])
@@ -111,16 +112,72 @@ object Multimodal {
       }
     }
 
-    /** The sample stream feature extraction runs over: decoded pixels for
-      * decodable image payloads, raw payload bytes otherwise.
+    /** Encode 16-bit signed PCM mono as a real WAV container through
+      * `javax.sound.sampled` (RIFF/fmt/data chunks written by the JDK).
+      */
+    def encodeWav(pcm: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+      val bytes = new Array[Byte](pcm.length * 2)
+      var i = 0
+      while (i < pcm.length) { // little-endian, the canonical WAV layout
+        bytes(2 * i) = (pcm(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
+      val out = new java.io.ByteArrayOutputStream(bytes.length + 64)
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a WAV payload to its 16-bit PCM samples; None if the bytes
+      * are not a parseable audio container.
+      */
+    def decodeWav(content: Array[Byte]): Option[Array[Short]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val pcm = new Array[Short](n)
+          var i = 0
+          val le = !f.isBigEndian
+          while (i < n) {
+            val (lo, hi) = if (le) (raw(2 * i), raw(2 * i + 1)) else (raw(2 * i + 1), raw(2 * i))
+            pcm(i) = (((hi & 0xff) << 8) | (lo & 0xff)).toShort
+            i += 1
+          }
+          Some(pcm)
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+    /** The sample stream feature extraction runs over: decoded pixels /
+      * PCM bytes for decodable image/audio payloads, raw payload bytes
+      * otherwise (video keeps the documented raw-byte stand-in — the JDK
+      * ships no container demuxer).
       */
     def samples(kind: String, content: Array[Byte]): Array[Byte] =
-      if (kind == "image")
-        decodeImage(content) match {
-          case Some(d) => d.pixels.map(_.toByte)
-          case None => content
-        }
-      else content
+      kind match {
+        case "image" =>
+          decodeImage(content) match {
+            case Some(d) => d.pixels.map(_.toByte)
+            case None => content
+          }
+        case "audio" =>
+          decodeWav(content) match {
+            case Some(pcm) => pcm.map(s => (s >> 8).toByte) // high byte per sample
+            case None => content
+          }
+        case _ => content
+      }
   }
 
   /** Derive a deterministic media table from the documents corpus: payload
@@ -266,6 +323,73 @@ object Multimodal {
       |  CAST(sum_pixel AS BIGINT) AS sum_pixel,
       |  CAST(sum_pixel AS DOUBLE) / (width * height) AS mean_pixel
       |FROM px ORDER BY media_id""".stripMargin
+
+  /** Deterministic audio-corpus shape shared by the Spark encode side and
+    * the DuckDB oracle: audio docs (doc_id % 3 == 1) get `doc_id % 400 +
+    * 100` PCM samples, sample i = `((i*73 + doc_id*131) % 65536) - 32768`.
+    */
+  private def audioLen(id: Long): Int = (id % 400 + 100).toInt
+  private def audioSample(id: Long, i: Int): Short =
+    (((i * 73L + id * 131L) % 65536L) - 32768L).toShort
+
+  /** A media lake with REAL WAV payloads (RIFF container written by the
+    * JDK's audio codec) for the audio-kind documents.
+    */
+  def audioCorpus(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = audioLen(id)
+          val pcm = Array.tabulate(n)(i => audioSample(id, i))
+          MediaRow(id, "audio", "wav", n, 1, MediaCodec.encodeWav(pcm))
+        }
+      }
+  }
+
+  /** PCM statistics from DECODED payloads — the audio twin of
+    * [[imagePixelStats]]: counts/sums come out of the real WAV decode, the
+    * oracle computes the sample formula directly, so the encode→decode
+    * round-trip (including container framing) is hash-verified.
+    */
+  def audioSampleStats(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    audioCorpus(documents)
+      .map { m =>
+        val pcm = MediaCodec.decodeWav(m.content).getOrElse(
+          sys.error(s"undecodable WAV for media_id=${m.media_id}"))
+        var sum = 0L
+        var peak = 0
+        var i = 0
+        while (i < pcm.length) {
+          sum += pcm(i)
+          val a = math.abs(pcm(i).toInt)
+          if (a > peak) peak = a
+          i += 1
+        }
+        (m.media_id, pcm.length.toLong, sum, sum.toDouble / pcm.length, peak)
+      }
+      .toDF("media_id", "n_samples", "sum_sample", "mean_sample", "peak")
+      .orderBy("media_id")
+  }
+
+  def audioSampleStatsSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, CAST(doc_id % 400 + 100 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |sm AS (
+      |  SELECT media_id, n,
+      |    SUM((i.g*73 + media_id*131) % 65536 - 32768) AS sum_sample,
+      |    MAX(abs((i.g*73 + media_id*131) % 65536 - 32768)) AS peak
+      |  FROM dims,
+      |    LATERAL (SELECT unnest(generate_series(0, n - 1)) AS g) i
+      |  GROUP BY 1, 2)
+      |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(sum_sample AS BIGINT) AS sum_sample,
+      |  CAST(sum_sample AS DOUBLE) / n AS mean_sample,
+      |  CAST(peak AS INT) AS peak
+      |FROM sm ORDER BY media_id""".stripMargin
 
   /** Resize stub for image rows: scale metadata to fit `maxDim` and stride-
     * subsample the payload accordingly (a real impl would resample pixels;

@@ -69,6 +69,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes == 2 && f.mean_byte == 15.0) // pixels, not PNG bytes
   }
 
+  test("WAV encode→decode round-trips exact PCM samples (real javax.sound)") {
+    val pcm = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = Multimodal.MediaCodec.encodeWav(pcm)
+    // a real RIFF/WAVE container, not a stub
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val decoded = Multimodal.MediaCodec.decodeWav(bytes).get
+    assert(decoded.toSeq == pcm.toSeq)
+    assert(Multimodal.MediaCodec.decodeWav("not audio".getBytes).isEmpty)
+  }
+
+  test("audioSampleStats: decoded stats equal the closed-form PCM formula") {
+    val df = docs((1L, "x"), (4L, "y"), (0L, "image-doc"))
+    val got = Multimodal.audioSampleStats(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))).toList
+    val want = Seq(1L, 4L).map { id =>
+      val n = (id % 400 + 100).toInt
+      val samples = (0 until n).map(i => ((i * 73L + id * 131L) % 65536L - 32768L).toInt)
+      (id, n.toLong, samples.map(_.toLong).sum, samples.map(math.abs).max)
+    }
+    assert(got == want) // only doc_id % 3 == 1 rows; counts/sums from decode
+  }
+
   test("resize scales image metadata and strides the payload; non-images untouched") {
     val big = Multimodal.MediaRow(1L, "image", "png", 640, 480, Array.fill(640)(7.toByte))
     val vid = Multimodal.MediaRow(2L, "video", "mp4", 640, 480, Array.fill(640)(7.toByte))
