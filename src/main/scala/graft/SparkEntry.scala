@@ -304,6 +304,10 @@ object SparkEntry {
     // formula, stats from the decoded samples vs the formula in DuckDB
     "q79_audio_sample_stats" -> ((s, dir) =>
       Multimodal.audioSampleStats(Tables.documents(s, dir))),
+    // corpus mixing to pinned target language proportions: keep-all for
+    // the binding language, hash-downsample the over-represented rest
+    "q80_language_mixture" -> ((s, dir) =>
+      Curate.languageMixture(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -584,5 +588,6 @@ object SparkEntry {
     "q77_containment_capped" -> NearDup.ngramContainmentCappedSql(),
     "q78_embedding_keeplist_lsh" -> Similarity.embeddingKeepListApproxSql(),
     "q79_audio_sample_stats" -> Multimodal.audioSampleStatsSql,
+    "q80_language_mixture" -> Curate.languageMixtureSql(),
   )
 }

@@ -114,6 +114,72 @@ object Curate {
        |  FROM ($qualityScoreSql))
        |ORDER BY doc_id""".stripMargin
 
+  /** Target mixture proportions for [[languageMixture]] — pinned (like the
+    * pivot values): data-dependent weights would make the op's semantics
+    * drift with the corpus.
+    */
+  val MixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** Corpus mixing to target proportions (the Pile/Dolma-style mixture
+    * step): given desired output shares w_l per language, the largest
+    * feasible corpus keeps every document of the binding (scarcest
+    * relative to its target) language and hash-downsamples the rest —
+    * T = min_l(n_l / w_l), keep_prob_l = w_l·T / n_l. Languages without a
+    * target weight are dropped (weight 0).
+    *
+    * Deterministic end to end: counts are exact integers, the probability
+    * arithmetic is a FIXED sequence of IEEE ops (mirrored operation-for-
+    * operation in the oracle, so both engines round identically), and the
+    * draw is the q57 hash draw — reproducible across engines, runs and
+    * corpus growth. Scale shape: one count aggregation (map-combined), a
+    * 5-row broadcast of probabilities, then a shuffle-free filter.
+    */
+  def languageMixture(
+      documents: DataFrame,
+      weights: Seq[(String, Double)] = MixWeights): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val spark = documents.sparkSession
+    val wDf = spark.createDataFrame(weights).toDF("lang", "w")
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .join(bcast(wDf), "lang")
+      .withColumn("ratio", col("n_lang") / col("w"))
+    val tMin = counts.agg(min("ratio").as("t"))
+    val probs = counts.crossJoin(bcast(tMin))
+      .withColumn("keep_prob", col("w") * col("t") / col("n_lang"))
+      .select("lang", "keep_prob")
+    documents
+      .join(bcast(probs), "lang")
+      .withColumn("draw",
+        conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 5),
+          16, 10).cast("long").cast("double") / lit(1048576.0))
+      .filter(col("draw") < col("keep_prob"))
+      .select("doc_id", "lang", "source", "n_chars", "keep_prob", "draw")
+      .orderBy("doc_id")
+  }
+
+  def languageMixtureSql(weights: Seq[(String, Double)] = MixWeights): String = {
+    // CAST to DOUBLE: a bare 0.30 literal is DECIMAL in DuckDB, and decimal
+    // division rounds differently than the IEEE double math Spark does
+    val values = weights.map { case (l, w) =>
+      s"('$l', CAST($w AS DOUBLE))"
+    }.mkString(", ")
+    s"""WITH w(lang, w) AS (VALUES $values),
+       |counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+       |cw AS (SELECT c.lang, c.n_lang, w.w,
+       |         CAST(c.n_lang AS DOUBLE) / w.w AS ratio
+       |       FROM counts c JOIN w ON c.lang = w.lang),
+       |t AS (SELECT MIN(ratio) AS t FROM cw),
+       |probs AS (SELECT lang, w * t.t / n_lang AS keep_prob FROM cw, t)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars, p.keep_prob,
+       |  ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT
+       |    / 1048576.0 AS draw
+       |FROM documents d JOIN probs p ON d.lang = p.lang
+       |WHERE ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT
+       |    / 1048576.0 < p.keep_prob
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Token-budget sequence packing: assign documents (in doc_id order) to
     * consecutive bins of `binTokens` tokens — the batching/packing step
     * that turns a curated corpus into fixed-budget training chunks. A

@@ -164,6 +164,29 @@ class CurationOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------------------ tfidf
 
+  test("language mixture: binding language keeps all docs, others downsample to target") {
+    // 200 en / 20 de with targets en .30 / de .20: de is binding
+    // (20/.2 = 100 < 200/.3), so T = 100 → keep_prob(de) = 1.0,
+    // keep_prob(en) = .3·100/200 = 0.15
+    val df = ((1L to 200L).map(i => (i, s"text $i", "en", "s", 10L)) ++
+      (201L to 220L).map(i => (i, s"text $i", "de", "s", 10L)) ++
+      Seq((221L, "dropped", "xx", "s", 10L))) // no target weight → dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curate.languageMixture(df).collect()
+    val byLang = got.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(byLang.getOrElse("de", 0) == 20, s"binding lang must keep all: $byLang")
+    assert(!byLang.contains("xx"))
+    val enProb = got.filter(_.getAs[String]("lang") == "en")
+      .map(_.getAs[Double]("keep_prob")).distinct
+    assert(enProb.length == 1 && math.abs(enProb.head - 0.15) < 1e-12)
+    // hash-sampling at p=0.15 over 200 docs: expect ~30, allow wide margin
+    val enKept = byLang.getOrElse("en", 0)
+    assert(enKept > 10 && enKept < 60, s"en kept $enKept of 200 at p=0.15")
+    // reproducible: same corpus → identical sample
+    assert(Curate.languageMixture(df).collect().map(_.getLong(0)).toSeq ==
+      got.map(_.getLong(0)).toSeq)
+  }
+
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "alpha alpha common"),
