@@ -308,6 +308,10 @@ object SparkEntry {
     // the binding language, hash-downsample the over-represented rest
     "q80_language_mixture" -> ((s, dir) =>
       Curate.languageMixture(Tables.documents(s, dir))),
+    // benchmark decontamination: 8-gram collisions between the eval slice
+    // and training docs — broadcast probe, no corpus self-join
+    "q81_decontamination" -> ((s, dir) =>
+      TextAnalysis.decontaminate(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -589,5 +593,6 @@ object SparkEntry {
     "q78_embedding_keeplist_lsh" -> Similarity.embeddingKeepListApproxSql(),
     "q79_audio_sample_stats" -> Multimodal.audioSampleStatsSql,
     "q80_language_mixture" -> Curate.languageMixtureSql(),
+    "q81_decontamination" -> TextAnalysis.decontaminateSql(),
   )
 }

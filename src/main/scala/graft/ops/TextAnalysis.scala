@@ -389,4 +389,46 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Benchmark decontamination (the GPT-3/PaLM-report n-gram collision
+    * check): flag every training document sharing at least one `n`-gram
+    * with the evaluation set, with its overlap count. The eval set here is
+    * the `doc_id % 10 == 0` slice of the corpus (stand-in for a benchmark
+    * table); real use passes the eval corpus as the filter source.
+    *
+    * Scale shape: eval sets are SMALL by definition, so the distinct
+    * benchmark-gram relation broadcasts and the check is a map-side probe
+    * of the training posting stream — one count aggregation, no corpus
+    * self-join. 8-grams (the published decontamination widths are 8–13)
+    * keep the gram space discriminative; the same
+    * [[graft.functions.ShingleSet]] kernel builds both sides.
+    */
+  def decontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
+    val sh = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.ShingleSet.shingles(col("text"), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val bench = sh.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("grams")).as("g")).distinct()
+    val train = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    train.join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlapping"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateSql(n: Int = 8): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}),
+       |      i -> list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' '))) AS grams
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents)
+       |  WHERE len(toks) >= $n),
+       |bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 10 = 0),
+       |train AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 10 <> 0)
+       |SELECT t.doc_id, COUNT(*) AS n_overlapping
+       |FROM train t JOIN bench b ON t.g = b.g
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 }

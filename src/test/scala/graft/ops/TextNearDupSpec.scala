@@ -214,6 +214,20 @@ class TextNearDupSpec extends SparkSpec {
     assert(got.head.getAs[Double]("containment") == 1.0)
   }
 
+  test("decontamination flags training docs sharing an 8-gram with the eval slice") {
+    val phrase = (1 to 8).map(i => s"leak$i").mkString(" ")
+    val df = docs(
+      (10L, s"eval doc containing $phrase exactly once"), // doc_id%10==0 → eval
+      (1L, s"training doc with $phrase inside it"),        // contaminated
+      (2L, "clean training doc with its own words only"),
+      (3L, s"another hit $phrase plus $phrase again"))     // distinct grams count once
+    val got = TextAnalysis.decontaminate(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(1L) && got.contains(3L) && !got.contains(2L))
+    assert(!got.contains(10L)) // the eval doc itself is not reported
+    assert(got(1L) >= 1L && got(3L) >= 1L)
+  }
+
   test("vocab build ranks by df with lexicographic ties; OOV counts the tail") {
     // grams: "a b" df=3, "b c" df=2, "c d" df=1, "x y" df=1 → V=2 vocab
     // = {"a b", "b c"}; doc 4 too short for a bigram → zero counts, kept
