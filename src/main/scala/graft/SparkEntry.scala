@@ -312,6 +312,10 @@ object SparkEntry {
     // and training docs — broadcast probe, no corpus self-join
     "q81_decontamination" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    // winnowing fingerprints: windowed-minima k-gram selection (MOSS) —
+    // the robust-fingerprint index for overlap candidate generation
+    "q82_winnowing_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -594,5 +598,6 @@ object SparkEntry {
     "q79_audio_sample_stats" -> Multimodal.audioSampleStatsSql,
     "q80_language_mixture" -> Curate.languageMixtureSql(),
     "q81_decontamination" -> TextAnalysis.decontaminateSql(),
+    "q82_winnowing_fingerprints" -> TextAnalysis.winnowingFingerprintsSql(),
   )
 }

@@ -390,6 +390,67 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * MOSS robust fingerprint): slide a window of w consecutive k-gram
+    * hashes over each document and select every window's minimum; the
+    * fingerprint set is the union of those minima. Ties break to the
+    * smallest position via a position-suffixed sort key, so selection is
+    * fully deterministic, and the selected position is recovered FROM the
+    * winning key (min is computed once per window start, not once per
+    * candidate). Guarantees: ≥1 fingerprint in every w consecutive gram
+    * positions (each full window selects its min), expected density 2/(w+1),
+    * and any shared token run of ≥ k+w−1 tokens shares ≥1 fingerprint —
+    * the candidate-generation property overlap detection builds on.
+    * Trailing windows truncate (suffix minima) — harmless extras, mirrored
+    * in the oracle.
+    *
+    * Scale shape: ONE hash shuffle on doc_id shared by the explode and
+    * the window (the repartition doubles as the window partitioning);
+    * per-row work is k-gram hashing; output ≈ 2/(w+1) of the gram stream.
+    */
+  def winnowingFingerprints(
+      documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(k))))))
+          .as(Seq("pos", "h")))
+    val key = concat(col("h"), lpad(col("pos").cast("string"), 10, "0"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("wmin", min(key).over(win))
+      .select(col("doc_id"),
+        substring(col("wmin"), 33, 10).cast("int").as("pos"),
+        substring(col("wmin"), 1, 32).as("fp"))
+      .distinct()
+      .orderBy("doc_id", "pos")
+  }
+
+  def winnowingFingerprintsSql(k: Int = 5, w: Int = 4): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i.i - 1 AS INT) AS pos,
+       |    md5(list_aggregate(toks[i.i:i.i+${k - 1}], 'string_agg', ' ')) AS h
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${k - 1})) AS i) i
+       |  WHERE len(toks) >= $k),
+       |m AS (
+       |  SELECT doc_id,
+       |    MIN(h || lpad(CAST(pos AS VARCHAR), 10, '0')) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
+       |  FROM g)
+       |SELECT DISTINCT doc_id, CAST(substr(wmin, 33, 10) AS INT) AS pos,
+       |  substr(wmin, 1, 32) AS fp
+       |FROM m ORDER BY doc_id, pos""".stripMargin
+
   /** Benchmark decontamination (the GPT-3/PaLM-report n-gram collision
     * check): flag every training document sharing at least one `n`-gram
     * with the evaluation set, with its overlap count. The eval set here is

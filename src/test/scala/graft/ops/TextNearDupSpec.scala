@@ -214,6 +214,51 @@ class TextNearDupSpec extends SparkSpec {
     assert(got.head.getAs[Double]("containment") == 1.0)
   }
 
+  test("winnowing == brute-force windowed-minima reference; density + overlap guarantees") {
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 30).map { i =>
+      (i.toLong, (0 until (5 + rnd.nextInt(60))).map(_ => s"w${rnd.nextInt(40)}").mkString(" "))
+    }
+    // plant a shared run of k+w-1 = 8 tokens in docs 100 and 101
+    val shared = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val df = docs((texts ++ Seq(
+      (100L, s"prefix one two $shared tail tail2"),
+      (101L, s"other intro words $shared different ending here"))): _*)
+    val (k, w) = (5, 4)
+    val got = TextAnalysis.winnowingFingerprints(df, k, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // brute-force reference
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (texts ++ Seq(
+      (100L, s"prefix one two $shared tail tail2"),
+      (101L, s"other intro words $shared different ending here"))).flatMap { case (id, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) Seq.empty
+      else {
+        val hs = (0 to toks.length - k).map(i => md5hex(toks.slice(i, i + k).mkString(" ")))
+        val keys = hs.zipWithIndex.map { case (h, i) => (h + f"$i%010d", i, h) }
+        // union of per-window minima, incl. truncated trailing frames
+        keys.indices.map { s =>
+          keys.slice(s, math.min(s + w, keys.length)).minBy(_._1)
+        }.distinct.map { case (_, i, h) => (id, i, h) }
+      }
+    }
+    assert(got.toSet == want.toSet && got.nonEmpty)
+    // density: every w consecutive gram positions contain >=1 fingerprint
+    val byDoc = got.groupBy(_._1)
+    for ((id, t) <- texts; toks = t.trim.split("\\s+").filter(_.nonEmpty)
+         if toks.length >= k + w - 1) {
+      val sel = byDoc.getOrElse(id, Array.empty[(Long, Int, String)]).map(_._2).toSet
+      for (start <- 0 to toks.length - k - (w - 1))
+        assert((start until start + w).exists(sel), s"doc $id window at $start empty")
+    }
+    // shared-substring guarantee: the planted 8-token run shares >=1 fingerprint
+    val fps100 = byDoc(100L).map(_._3).toSet
+    val fps101 = byDoc(101L).map(_._3).toSet
+    assert((fps100 & fps101).nonEmpty, "planted shared run produced no common fingerprint")
+  }
+
   test("decontamination flags training docs sharing an 8-gram with the eval slice") {
     val phrase = (1 to 8).map(i => s"leak$i").mkString(" ")
     val df = docs(
