@@ -316,6 +316,10 @@ object SparkEntry {
     // the robust-fingerprint index for overlap candidate generation
     "q82_winnowing_fingerprints" -> ((s, dir) =>
       TextAnalysis.winnowingFingerprints(Tables.documents(s, dir))),
+    // the MOSS detection step: pairs ranked by shared (df-capped)
+    // winnowed fingerprints — the posting join over the sparsified index
+    "q83_winnowing_overlap" -> ((s, dir) =>
+      TextAnalysis.winnowingOverlap(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -599,5 +603,6 @@ object SparkEntry {
     "q80_language_mixture" -> Curate.languageMixtureSql(),
     "q81_decontamination" -> TextAnalysis.decontaminateSql(),
     "q82_winnowing_fingerprints" -> TextAnalysis.winnowingFingerprintsSql(),
+    "q83_winnowing_overlap" -> TextAnalysis.winnowingOverlapSql(),
   )
 }

@@ -451,6 +451,46 @@ object TextAnalysis {
        |  substr(wmin, 1, 32) AS fp
        |FROM m ORDER BY doc_id, pos""".stripMargin
 
+  /** Overlap candidates from the winnowed index (the MOSS detection step):
+    * pairs of documents ranked by how many fingerprints they share. This
+    * is the q32 posting-join shape run over the ~2/(w+1)-sparsified
+    * fingerprint stream — which is exactly winnowing's value at scale: the
+    * index (and the Σdf² join exposure) shrinks by the window factor while
+    * keeping the shared-run guarantee. A df cap on fingerprints (same
+    * rationale as q38's: a fingerprint appearing in more than `maxDf` docs
+    * is boilerplate, not signal) bounds the hot-key worst case.
+    */
+  def winnowingOverlap(
+      documents: DataFrame, k: Int = 5, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    val fps = winnowingFingerprints(documents, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    // broadcast the HOT set, not the rare one: ≤ postings/maxDf
+    // fingerprints can exceed the cap (small by construction), while the
+    // rare vocabulary grows with the corpus (q38's reasoning)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    pruned.toDF("fp", "doc_a")
+      .join(pruned.toDF("fp_b", "doc_b"),
+        col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def winnowingOverlapSql(
+      k: Int = 5, w: Int = 4, minShared: Int = 2, maxDf: Int = 100): String =
+    s"""WITH wfp AS (${winnowingFingerprintsSql(k, w).replace("ORDER BY doc_id, pos", "")}),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= $maxDf),
+       |pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fps
+       |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Benchmark decontamination (the GPT-3/PaLM-report n-gram collision
     * check): flag every training document sharing at least one `n`-gram
     * with the evaluation set, with its overlap count. The eval set here is

@@ -259,6 +259,18 @@ class TextNearDupSpec extends SparkSpec {
     assert((fps100 & fps101).nonEmpty, "planted shared run produced no common fingerprint")
   }
 
+  test("winnowing overlap surfaces near-dup pairs, not unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = docs(
+      (1L, base),
+      (2L, base + " tail1 tail2"),          // near-dup of 1 → many shared fps
+      (3L, (100 to 140).map(i => s"z$i").mkString(" "))) // unrelated
+    val got = TextAnalysis.winnowingOverlap(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) >= 2)
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("decontamination flags training docs sharing an 8-gram with the eval slice") {
     val phrase = (1 to 8).map(i => s"leak$i").mkString(" ")
     val df = docs(
