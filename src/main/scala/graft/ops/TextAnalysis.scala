@@ -409,7 +409,14 @@ object TextAnalysis {
     * per-row work is k-gram hashing; output ≈ 2/(w+1) of the gram stream.
     */
   def winnowingFingerprints(
-      documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+      documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    winnowedCore(documents, k, w).orderBy("doc_id", "pos")
+
+  /** The unsorted fingerprint relation — [[winnowingOverlap]] composes
+    * this directly so the q82 presentation sort doesn't ride inside the
+    * posting join.
+    */
+  private def winnowedCore(documents: DataFrame, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = documents
       .repartition(col("doc_id"))
@@ -429,7 +436,6 @@ object TextAnalysis {
         substring(col("wmin"), 33, 10).cast("int").as("pos"),
         substring(col("wmin"), 1, 32).as("fp"))
       .distinct()
-      .orderBy("doc_id", "pos")
   }
 
   def winnowingFingerprintsSql(k: Int = 5, w: Int = 4): String =
@@ -463,7 +469,7 @@ object TextAnalysis {
   def winnowingOverlap(
       documents: DataFrame, k: Int = 5, w: Int = 4,
       minShared: Int = 2, maxDf: Int = 100): DataFrame = {
-    val fps = winnowingFingerprints(documents, k, w)
+    val fps = winnowedCore(documents, k, w)
       .select(col("doc_id"), col("fp")).distinct()
     // broadcast the HOT set, not the rare one: ≤ postings/maxDf
     // fingerprints can exceed the cap (small by construction), while the

@@ -159,6 +159,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("winnowing overlap (q83) joins postings on fp with a broadcast hot-prune") {
+    val p = plan("q83_winnowing_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p) // the df-cap prune is an anti join
+  }
+
   test("trained-cell assignment (q76) is aggregation- and window-free") {
     // the serving property: nearest-centroid via least(struct) is a pure
     // per-row projection — no argmin aggregate, no rank window — which is
