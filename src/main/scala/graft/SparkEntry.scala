@@ -320,6 +320,10 @@ object SparkEntry {
     // winnowed fingerprints — the posting join over the sparsified index
     "q83_winnowing_overlap" -> ((s, dir) =>
       TextAnalysis.winnowingOverlap(Tables.documents(s, dir))),
+    // dataset-card fertility table: per-language token/char/subtoken
+    // volumes with hash-exact float ratios (exact int sums / one division)
+    "q84_language_profile" -> ((s, dir) =>
+      TextAnalysis.languageProfile(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -604,5 +608,6 @@ object SparkEntry {
     "q81_decontamination" -> TextAnalysis.decontaminateSql(),
     "q82_winnowing_fingerprints" -> TextAnalysis.winnowingFingerprintsSql(),
     "q83_winnowing_overlap" -> TextAnalysis.winnowingOverlapSql(),
+    "q84_language_profile" -> TextAnalysis.languageProfileSql,
   )
 }

@@ -457,6 +457,50 @@ object TextAnalysis {
        |  substr(wmin, 1, 32) AS fp
        |FROM m ORDER BY doc_id, pos""".stripMargin
 
+  /** Per-language corpus profile — the tokenizer-fertility table a
+    * dataset card carries (docs, token volume, chars-per-token ratio,
+    * subtoken inflation, source breadth per language). All means divide
+    * exact integer sums once in double, so even the float columns are
+    * hash-exact cross-engine. One map-combined aggregation pass over the
+    * native TextStats kernel.
+    */
+  def languageProfile(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("_ts", statsCol())
+      .withColumn("n_sub",
+        regexp_count(lower(col("text")), lit(BpeishPattern)).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_ts.n_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        sum("n_sub").as("total_subtokens"),
+        countDistinct("source").as("n_sources"))
+      .withColumn("mean_doc_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("chars_per_token",
+        col("total_chars").cast("double") / col("total_tokens"))
+      .withColumn("subtoken_fertility",
+        col("total_subtokens").cast("double") / col("total_tokens"))
+      .orderBy("lang")
+
+  def languageProfileSql: String =
+    s"""SELECT lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(len(regexp_extract_all(lower(text), '$BpeishPattern'))) AS BIGINT)
+       |    AS total_subtokens,
+       |  COUNT(DISTINCT source) AS n_sources,
+       |  CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS mean_doc_tokens,
+       |  CAST(SUM(n_chars) AS DOUBLE) / SUM(len(toks)) AS chars_per_token,
+       |  CAST(SUM(len(regexp_extract_all(lower(text), '$BpeishPattern'))) AS DOUBLE)
+       |    / SUM(len(toks)) AS subtoken_fertility
+       |FROM (SELECT lang, source, n_chars, text,
+       |        regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
+       |      FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Overlap candidates from the winnowed index (the MOSS detection step):
     * pairs of documents ranked by how many fingerprints they share. This
     * is the q32 posting-join shape run over the ~2/(w+1)-sparsified

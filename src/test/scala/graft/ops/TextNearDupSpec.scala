@@ -259,6 +259,20 @@ class TextNearDupSpec extends SparkSpec {
     assert((fps100 & fps101).nonEmpty, "planted shared run produced no common fingerprint")
   }
 
+  test("language profile aggregates exact token/char volumes per language") {
+    val df = Seq(
+      (1L, "one two three", "en", "a", 13L),
+      (2L, "four five", "en", "b", 9L),
+      (3L, "eins zwei", "de", "a", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.languageProfile(df).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_sources"), r.getAs[Double]("mean_doc_tokens")))).toMap
+    assert(got("en") == ((2L, 5L, 2L, 2.5)))
+    assert(got("de") == ((1L, 2L, 1L, 2.0)))
+  }
+
   test("winnowing overlap surfaces near-dup pairs, not unrelated docs") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val df = docs(
