@@ -410,11 +410,13 @@ object TextAnalysis {
     */
   def winnowingFingerprints(
       documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
-    winnowedCore(documents, k, w).orderBy("doc_id", "pos")
+    winnowedCore(documents, k, w).distinct().orderBy("doc_id", "pos")
 
-  /** The unsorted fingerprint relation — [[winnowingOverlap]] composes
-    * this directly so the q82 presentation sort doesn't ride inside the
-    * posting join.
+  /** The raw per-window-minima stream (duplicates across overlapping
+    * windows NOT yet removed) — each consumer applies exactly the distinct
+    * it needs: q82 dedupes (doc_id, pos, fp) for the index, q83 dedupes
+    * straight to (doc_id, fp), so the composition pays ONE exchange
+    * instead of two and no presentation sort.
     */
   private def winnowedCore(documents: DataFrame, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -435,7 +437,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         substring(col("wmin"), 33, 10).cast("int").as("pos"),
         substring(col("wmin"), 1, 32).as("fp"))
-      .distinct()
   }
 
   def winnowingFingerprintsSql(k: Int = 5, w: Int = 4): String =
