@@ -145,14 +145,17 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // mult× events: same users (timelines grow denser), ids/timestamps
-    // deterministically jittered so dedup/session boundaries stay realistic
-    graft.sources.Tables.events(spark, base)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"), col("props"), copies)
-      .select((col("event_id") * mult + col("k")).as("event_id"),
-        expr("ts + make_interval(0, 0, 0, 0, 0, 0, k * 7)").as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // deterministically jittered so dedup/session boundaries stay
+    // realistic. Only the full 10× suite reads them — skip the (large)
+    // write otherwise.
+    if (mult == 10)
+      graft.sources.Tables.events(spark, base)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"), copies)
+        .select((col("event_id") * mult + col("k")).as("event_id"),
+          expr("ts + make_interval(0, 0, 0, 0, 0, 0, k * 7)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()

@@ -97,7 +97,10 @@ object MinHashSig {
     val md = mdLocal.get()
     var i = 0
     while (i < n) {
-      val bytes = shingles.getUTF8String(i).getBytes
+      val elem = shingles.getUTF8String(i)
+      if (elem == null) { i += 1 } // skip, matching min()'s null-skip
+      else {
+      val bytes = elem.getBytes
       md.reset()
       md.update(bytes)
       val d1 = md.digest()
@@ -115,6 +118,7 @@ object MinHashSig {
         s += 1
       }
       i += 1
+      }
     }
     val out = new Array[Any](NumHashes)
     var k = 0

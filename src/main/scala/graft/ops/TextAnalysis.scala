@@ -420,10 +420,15 @@ object TextAnalysis {
     */
   private def winnowedCore(documents: DataFrame, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // empty tokens filtered to mirror the oracle's list_filter: raw
+    // split() emits "" for leading/trailing non-space whitespace (\x0B
+    // etc.) that trim() — spaces only — does not strip. The adversarial
+    // fuzz corpus (tools/fuzzgen.py, vtab texts) pins this.
     val grams = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        filter(graft.functions.TextFunctions.tokens(col("text")),
+          t => length(t) > 0).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - k),
@@ -514,8 +519,13 @@ object TextAnalysis {
   def winnowingOverlap(
       documents: DataFrame, k: Int = 5, w: Int = 4,
       minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    // cache: the fingerprint pipeline (tokenize + per-gram md5 + window
+    // minima) feeds the hot-df aggregate AND both sides of the posting
+    // self-join — without it the expensive pass runs up to three times
+    // (same reasoning as minhashNearDups' sh.cache())
     val fps = winnowedCore(documents, k, w)
       .select(col("doc_id"), col("fp")).distinct()
+      .cache()
     // broadcast the HOT set, not the rare one: ≤ postings/maxDf
     // fingerprints can exceed the cap (small by construction), while the
     // rare vocabulary grows with the corpus (q38's reasoning)
@@ -556,11 +566,14 @@ object TextAnalysis {
     * [[graft.functions.ShingleSet]] kernel builds both sides.
     */
   def decontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
+    // cache: the shingle pass feeds both the bench and train branches —
+    // without it each branch re-scans and re-shingles the full corpus
     val sh = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         graft.functions.ShingleSet.shingles(col("text"), n).as("grams"))
       .filter(size(col("grams")) > 0)
+      .cache()
     val bench = sh.filter(col("doc_id") % 10 === 0)
       .select(explode(col("grams")).as("g")).distinct()
     val train = sh.filter(col("doc_id") % 10 =!= 0)

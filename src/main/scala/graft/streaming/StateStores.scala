@@ -21,6 +21,12 @@ object StateStores {
   private val ChangelogKey =
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 
+  /** Every conf key [[useRocksDB]]/[[useDefault]] touch — callers that
+    * save/restore session state (specs on a shared session) must cover
+    * all of them, not just the provider.
+    */
+  val managedConfKeys: Seq[String] = Seq(ProviderConfKey, ChangelogKey)
+
   /** Route new streaming queries' state through RocksDB. Changelog
     * checkpointing (default on) uploads per-batch deltas instead of full
     * SST snapshots — the difference between O(state) and O(changed-keys)

@@ -59,6 +59,19 @@ class NativeKernelsSpec extends SparkSpec {
     assert(native.toSeq == declarative.toSeq)
   }
 
+  test("MinHashSig skips null array elements like min() does") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val withNull = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(UTF8String.fromString("a b c"), null, UTF8String.fromString("b c d")))
+    val clean = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(UTF8String.fromString("a b c"), UTF8String.fromString("b c d")))
+    val a = MinHashSig.compute(withNull).toArray[UTF8String](
+      org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    val b = MinHashSig.compute(clean).toArray[UTF8String](
+      org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("MinHashSig interpreted eval == codegen result") {
     val shingles = Seq("a b c", "b c d", "c d e")
     val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(

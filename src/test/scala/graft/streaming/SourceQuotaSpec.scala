@@ -24,7 +24,7 @@ class SourceQuotaSpec extends SparkSpec {
   test("per-source quota admits `quota` docs across runs, emits rejects") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val savedProvider = spark.conf.getOption(StateStores.ProviderConfKey)
+    val savedConfs = StateStores.managedConfKeys.map(k => k -> spark.conf.getOption(k))
     StateStores.useRocksDB(spark) // transformWithState requires RocksDB
     val ckpt = java.nio.file.Files.createTempDirectory("quota-ckpt").toString
     val outDir = java.nio.file.Files.createTempDirectory("quota-out").toString
@@ -62,9 +62,10 @@ class SourceQuotaSpec extends SparkSpec {
       assert(Seq(a4, a5).count(r => !r._3 && r._2 == 3L) == 1)
       assert(rows(6L)._1 == "b" && rows(6L)._3) // b has budget left
     } finally {
-      savedProvider match {
-        case Some(v) => spark.conf.set(StateStores.ProviderConfKey, v)
-        case None => StateStores.useDefault(spark)
+      // restore EVERY conf useRocksDB touched (provider + changelog)
+      savedConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }

@@ -15,7 +15,7 @@ class StateStoreSpec extends SparkSpec {
   test("streaming dedup state survives restart under the RocksDB state store") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val savedProvider = spark.conf.getOption(StateStores.ProviderConfKey)
+    val savedConfs = StateStores.managedConfKeys.map(k => k -> spark.conf.getOption(k))
     StateStores.useRocksDB(spark)
     val ckpt = java.nio.file.Files.createTempDirectory("rocksdb-ckpt").toString
     // memory sink does not support checkpoint recovery — use a file sink
@@ -48,9 +48,11 @@ class StateStoreSpec extends SparkSpec {
         assert(out.toSeq.sorted == Seq(1L, 2L, 3L), s"state lost across restart: ${out.toSeq.sorted}")
       } finally q2.stop()
     } finally {
-      savedProvider match {
-        case Some(v) => spark.conf.set(StateStores.ProviderConfKey, v)
-        case None => StateStores.useDefault(spark)
+      // restore EVERY conf useRocksDB touched (provider + changelog), or
+      // later suites on the shared session inherit leaked settings
+      savedConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }
