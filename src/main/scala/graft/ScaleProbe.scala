@@ -95,10 +95,11 @@ import org.apache.spark.sql.functions._
   *    `planes ∝ log n` dial is the contract, same as q29/q36.
   *  - k-means q68: 2.4 s → 3.8 s (1.6×) at fixed k=8: assignment O(n·k),
   *    update O(n·dim), both linear and far from dominating.
-  *  - Winnowing overlap q83: 5.6 s → 22.4 s (4×, exp ≈ 0.35) while the
+  *  - Winnowing overlap q83: 3.0 s → 13.2 s (4.4×, exp ≈ 0.38) while the
   *    pair OUTPUT grew 25,880× (256 → 6.6 M) — the fingerprint index is
-  *    linear in the corpus and the df-capped posting join stays bounded,
-  *    so cost tracks matches, not corpus².
+  *    linear in the corpus (and cached across its three consumers) and
+  *    the df-capped posting join stays bounded, so cost tracks matches,
+  *    not corpus².
   *
   * This probe also CAUGHT a plan bug (round 5): the embedding ops'
   * per-row compute ran against broadcast sides with no exchange before
