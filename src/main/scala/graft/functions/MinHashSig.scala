@@ -43,13 +43,17 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  // null also for a non-null array with no usable (non-null) elements —
+  // the declarative min() it mirrors yields NULL slices there
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     MinHashSig.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashSig.compute($c);")
+      s"""${ev.value} = graft.functions.MinHashSig.compute($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -120,6 +124,10 @@ object MinHashSig {
       i += 1
       }
     }
+    // empty / all-null input: min() over no rows is NULL, not a sentinel
+    // signature — an Int.MaxValue formatting would make every degenerate
+    // doc collide into one fake LSH cluster
+    if (minima(0) == Int.MaxValue) return null
     val out = new Array[Any](NumHashes)
     var k = 0
     while (k < NumHashes) {

@@ -70,6 +70,13 @@ class NativeKernelsSpec extends SparkSpec {
     val b = MinHashSig.compute(clean).toArray[UTF8String](
       org.apache.spark.sql.types.StringType).map(_.toString).toSeq
     assert(a == b)
+    // no usable elements → NULL (min over no rows), never a sentinel
+    // signature that would collide degenerate docs into one LSH cluster
+    val allNull = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[UTF8String](null, null))
+    assert(MinHashSig.compute(allNull) == null)
+    assert(MinHashSig.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[UTF8String])) == null)
   }
 
   test("MinHashSig interpreted eval == codegen result") {

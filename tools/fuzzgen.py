@@ -10,11 +10,14 @@ texts, duplicate keys, boundary timestamps — then the normal flow applies:
     python3 tools/compare.py /tmp/graft-fuzz /tmp/verify_fuzz
 
 Anything the clean driver data never exercises (null-text token stats,
-unicode lowercasing, empty-string tokens, ties everywhere) gets a
-cross-engine check here. Excluded on purpose: NaN/Inf doubles (both
-engines order NaN last in ORDER BY but aggregate paths differ; the driver
-corpus has none) and null join keys in TPC-H tables (equi-joins drop them
-identically, so they only reduce coverage).
+unicode lowercasing, empty-string tokens, tie-heavy groups, equal
+timestamps, zero and exactly-duplicated vectors) gets a cross-engine
+check here. Nulls live in the events/documents/customer columns the
+reference pipeline validates; TPC-H measure columns stay non-null.
+Excluded on purpose: NaN/Inf doubles (both engines order NaN last in
+ORDER BY but aggregate paths differ; the driver corpus has none) and
+null join keys in TPC-H tables (equi-joins drop them identically, so
+they only reduce coverage).
 """
 import sys
 import random
@@ -25,6 +28,11 @@ out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-fuzz"
 seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1337
 rnd = random.Random(seed)
 import os
+if out.startswith("/root/testdata"):
+    sys.exit(f"refusing to overwrite the driver corpus at {out}")
+if os.path.isdir(out) and any(f.endswith(".parquet") for f in os.listdir(out)):
+    sys.exit(f"refusing to overwrite existing parquet tables in {out} — "
+             "pass a fresh output dir")
 os.makedirs(out, exist_ok=True)
 
 
@@ -135,8 +143,10 @@ write("events",
                  ("value", pa.float64()), ("props", pa.string())]),
       {"event_id": event_ids,
        # sub-millisecond nanos exercise the nanos→micros truncation;
-       # identical ts pairs exercise ordering tie-breaks
-       "ts": [BASE_NS + (i // 2) * 61_000_000_000 + (i % 3) * 123_456_789
+       # i%3∈{0,1} within one i//2 group share the EXACT same ts, so
+       # ordering/window tie-breaks on equal timestamps are really hit
+       "ts": [BASE_NS + (i // 2) * 61_000_000_000 +
+              (123_456_789 if i % 3 == 2 else 0)
               for i in range(N_EV)],
        "user_id": [rnd.randrange(1, 60) if i % 5 else None for i in range(N_EV)],
        "event_type": [rnd.choice(["view", "click", "purchase", "signup", "error",
@@ -192,8 +202,11 @@ embs = []
 for i in range(N_VEC):
     if i % 50 == 0:
         embs.append([0.0] * DIM)                   # zero vector (norm edge)
-    elif i % 50 == 1 and i > 1:
-        embs.append(list(embs[-1]))                # exact duplicate vector
+    elif i % 50 == 2 and i > 2:
+        # exact duplicate of the PREVIOUS NORMAL vector (i%50==1), not the
+        # zero vector — cosine==1.0 pairs must reach the near-dup/keep-list
+        # paths that norm guards would otherwise exclude
+        embs.append(list(embs[-1]))
     else:
         embs.append([round(rnd.uniform(-1, 1), 6) for _ in range(DIM)])
 write("embeddings",
