@@ -172,6 +172,17 @@ object ScaleProbe {
       time(s"$label curation_pipeline")(graft.ops.Curate.curationPipeline(docs).count())
       time(s"$label ngram_jaccard_capped")(
         graft.ops.NearDup.ngramJaccardPairsCapped(docs).count())
+      // the prefix-filtered EXACT forms (round 6) — headline because their
+      // former Σdf² posting join was the last unguarded quadratic; these
+      // must now track candidate volume, not corpus². Measured at the
+      // near-dup thresholds (t=0.8 like q24's verify; containment keeps
+      // its 0.9 default): prefix length ≈ (1−t)·|doc|, so probing the
+      // t=0.5 relatedness-join regime on a 50-cluster corpus would just
+      // re-measure the (quadratic) true output size
+      time(s"$label ngram_jaccard_exact t=0.8")(
+        graft.ops.NearDup.ngramJaccardPairs(docs, minJaccard = 0.8).count())
+      time(s"$label ngram_containment_exact")(
+        graft.ops.NearDup.ngramContainment(docs).count())
       time(s"$label embedding_neardup_lsh")(
         graft.ops.Similarity.embeddingNearDupsApprox(emb).count())
       if (label != "1x")

@@ -270,10 +270,11 @@ object SparkEntry {
     "q71_attribution_outer" -> ((s, dir) =>
       graft.streaming.Joins.attributionOuter(ev(s, dir), ev(s, dir))
         .orderBy(col("view_id"), col("purchase_id").asc_nulls_last)),
-    // the embedding-side dedup keep-list: components over cosine near-dup
-    // pairs — completes the dedup-family × keep-list matrix next to q37
+    // the embedding-side dedup keep-list over EXACT cosine pairs — the
+    // oracle-checked verifier end of the matrix next to q37 (the library
+    // default and q78 route through the LSH candidates; exact is opt-in)
     "q72_embedding_keeplist" -> ((s, dir) =>
-      Similarity.embeddingKeepList(Tables.embeddings(s, dir))),
+      Similarity.embeddingKeepList(Tables.embeddings(s, dir), exact = true)),
     // discretization: fixed-width integer-division binning (engine-exact
     // boundaries, one map-combinable groupBy)
     "q73_length_histogram" -> ((s, dir) =>
@@ -324,6 +325,12 @@ object SparkEntry {
     // volumes with hash-exact float ratios (exact int sums / one division)
     "q84_language_profile" -> ((s, dir) =>
       TextAnalysis.languageProfile(Tables.documents(s, dir))),
+    // REAL video decode: Y4M payloads (text header + FRAME-framed luma
+    // planes, parsed by the pure-JDK demuxer) from a closed-form formula;
+    // per-sampled-frame pixel stats vs the formula in DuckDB — completes
+    // the decoded-media trio next to q75/q79
+    "q85_video_frame_stats" -> ((s, dir) =>
+      Multimodal.videoFrameStats(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -609,5 +616,6 @@ object SparkEntry {
     "q82_winnowing_fingerprints" -> TextAnalysis.winnowingFingerprintsSql(),
     "q83_winnowing_overlap" -> TextAnalysis.winnowingOverlapSql(),
     "q84_language_profile" -> TextAnalysis.languageProfileSql,
+    "q85_video_frame_stats" -> Multimodal.videoFrameStatsSql,
   )
 }

@@ -26,6 +26,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Cache convention (central note — ops reference it): operators
+      // cache() relations their own plan reads 2-3× (shingle sets, ranked
+      // postings, fingerprint indexes) and deliberately do NOT unpersist —
+      // the returned DataFrame is lazy, so the builder cannot know when
+      // the caller's action has run. The session owner frees them between
+      // independent workloads, which is exactly what this does per query.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -17,7 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
   * slice(split(trim(lower(text)), "\\s+"), i, n))))` exactly — whitespace
   * is the regex `\s` class `[ \t\n\f\r]`, identical in Java regex and
-  * RE2 (DuckDB), so the oracle SQL is unchanged.
+  * RE2 (DuckDB), so the oracle SQL is unchanged. (Oracles and every
+  * Spark consumer use the SET — counts, minima, posting explodes —
+  * so output ORDER is free; the kernel emits canonical UTF8String
+  * binary order, which [[SortedIntersectCount]]'s merge requires.)
   *
   * Why native: that declarative pipeline is four higher-order functions,
   * all interpreted (lambdas don't codegen) and each materializing an
@@ -88,10 +91,19 @@ object ShingleSet {
       seen.add(sb.toString)
       j += 1
     }
-    val out = new Array[Any](seen.size)
+    val out = new Array[AnyRef](seen.size)
     val it = seen.iterator()
     var p = 0
     while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
-    new GenericArrayData(out)
+    // canonical form: UTF8String binary order. Every consumer is
+    // order-free (MinHash minima, posting explodes, intersect/union
+    // SIZES — and the oracles only ever compare counts, via
+    // order-insensitive list_intersect/list_distinct), while
+    // SortedIntersectCount REQUIRES this order for its merge-count.
+    java.util.Arrays.sort(out, new java.util.Comparator[AnyRef] {
+      override def compare(x: AnyRef, y: AnyRef): Int =
+        x.asInstanceOf[UTF8String].compareTo(y.asInstanceOf[UTF8String])
+    })
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 }

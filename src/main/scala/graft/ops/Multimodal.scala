@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   * partition, so per-batch setup like codec/model initialization is paid
   * once per partition, not per row).
   *
-  * The IMAGE and AUDIO paths are real: [[MediaCodec]] encodes/decodes PNG
-  * via `javax.imageio` and WAV (16-bit PCM in a RIFF container) via
-  * `javax.sound.sampled` — both pure JDK, headless-safe. [[imagePixelStats]]
-  * and [[audioSampleStats]] derive corpora of real PNG/WAV payloads whose
-  * pixels/samples follow closed-form formulas, so each decode round-trip is
-  * oracle-checked end-to-end (DuckDB computes the formula directly; a
-  * broken codec hash-mismatches). Video has no JDK demuxer; its "samples"
-  * are the raw payload bytes, documented as the frame stand-in.
+  * ALL THREE modality paths are real: [[MediaCodec]] encodes/decodes PNG
+  * via `javax.imageio`, WAV (16-bit PCM in a RIFF container) via
+  * `javax.sound.sampled`, and Y4M video (the mjpegtools YUV4MPEG2 raw
+  * interchange format: text stream header + FRAME-framed planes) with a
+  * hand-written pure-JDK parser. [[imagePixelStats]], [[audioSampleStats]]
+  * and [[videoFrameStats]] derive corpora of real PNG/WAV/Y4M payloads
+  * whose pixels/samples follow closed-form formulas, so each decode
+  * round-trip is oracle-checked end-to-end (DuckDB computes the formula
+  * directly; a broken codec hash-mismatches).
   *
   * Scale notes: payloads never shuffle (all transforms are narrow,
   * partition-local); features are fixed-width vectors so downstream joins
@@ -53,12 +54,12 @@ object Multimodal {
   val FrameSampleEvery = 4
   val HistogramBins = 16
 
-  /** The codec boundary. Images and audio are REAL: 8-bit grayscale PNG
-    * through `javax.imageio`, 16-bit PCM WAV through `javax.sound.sampled`
-    * (both lossless round-trips, no external libraries, headless-safe).
-    * Video has no JDK demuxer, so its sample stream is the raw payload
-    * bytes — the documented stand-in for container frames until a codec
-    * library is on the classpath.
+  /** The codec boundary — all pure JDK, headless-safe, lossless
+    * round-trips: 8-bit grayscale PNG through `javax.imageio`, 16-bit PCM
+    * WAV through `javax.sound.sampled`, and Y4M (YUV4MPEG2) video through
+    * the hand-written parser below (the format is a plain-text stream
+    * header plus `FRAME`-delimited raw planes — built for tool
+    * interchange, parseable without a codec library).
     */
   object MediaCodec {
     final case class DecodedImage(width: Int, height: Int, pixels: Array[Int])
@@ -159,21 +160,104 @@ object Multimodal {
         case _: java.io.IOException => None
       }
 
-    /** The sample stream feature extraction runs over: decoded pixels /
-      * PCM bytes for decodable image/audio payloads, raw payload bytes
-      * otherwise (video keeps the documented raw-byte stand-in — the JDK
-      * ships no container demuxer).
+    final case class DecodedVideo(
+        width: Int, height: Int, frames: Array[Array[Byte]])
+
+    /** Encode grayscale frames as Y4M (YUV4MPEG2 — the mjpegtools raw
+      * interchange format: a plain-text stream header, then `FRAME\n` +
+      * raw planes per frame; `Cmono` = Y plane only, which is exactly a
+      * grayscale frame sequence). Pure byte assembly — no codec library.
       */
-    def samples(kind: String, content: Array[Byte]): Array[Byte] =
-      kind match {
-        case "image" =>
+    def encodeY4m(
+        width: Int, height: Int, nFrames: Int,
+        pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(nFrames * width * height + 64)
+      out.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 Cmono\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      var f = 0
+      while (f < nFrames) {
+        out.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { out.write(pixel(f, x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        f += 1
+      }
+      out.toByteArray
+    }
+
+    /** Parse a Y4M payload to per-frame Y (luma) planes. Handles `Cmono`
+      * (Y only) and the `C420*` family (Y + half-resolution Cb/Cr, which
+      * are skipped — grayscale analysis wants luma); other colourspaces
+      * and malformed streams return None. Frame headers may carry
+      * parameters (`FRAME Ixxx\n`), per the spec.
+      */
+    def decodeY4m(content: Array[Byte]): Option[DecodedVideo] = {
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i < content.length && content(i) != '\n') i += 1
+        i
+      }
+      val hEnd = lineEnd(0)
+      if (hEnd >= content.length) return None
+      val header = new String(content, 0, hEnd, java.nio.charset.StandardCharsets.US_ASCII)
+      val parts = header.split(' ')
+      if (parts.isEmpty || parts(0) != "YUV4MPEG2") return None
+      var w = -1; var h = -1; var cs = "420jpeg" // C absent defaults to 4:2:0
+      parts.drop(1).foreach { p =>
+        if (p.nonEmpty) p.charAt(0) match {
+          case 'W' => w = p.drop(1).toIntOption.getOrElse(-1)
+          case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
+          case 'C' => cs = p.drop(1)
+          case _ => () // F/I/A/X parameters don't affect plane layout
+        }
+      }
+      if (w <= 0 || h <= 0) return None
+      val chromaBytes =
+        if (cs == "mono") 0
+        else if (cs.startsWith("420")) {
+          if (w % 2 != 0 || h % 2 != 0) return None
+          2 * ((w / 2) * (h / 2))
+        } else return None
+      val frames = Array.newBuilder[Array[Byte]]
+      var i = hEnd + 1
+      while (i < content.length) {
+        val fEnd = lineEnd(i)
+        if (fEnd >= content.length) return None
+        val marker = new String(content, i, fEnd - i, java.nio.charset.StandardCharsets.US_ASCII)
+        if (marker != "FRAME" && !marker.startsWith("FRAME ")) return None
+        val dataStart = fEnd + 1
+        if (dataStart + w * h + chromaBytes > content.length) return None
+        frames += java.util.Arrays.copyOfRange(content, dataStart, dataStart + w * h)
+        i = dataStart + w * h + chromaBytes
+      }
+      Some(DecodedVideo(w, h, frames.result()))
+    }
+
+    /** The sample stream feature extraction runs over. Decoding is GATED
+      * on the row's declared format (not just content sniffing): payloads
+      * only reach a codec when the schema says they are that container, so
+      * a text-derived payload that happens to parse as something can never
+      * silently divert the stats (ADVICE r5). Unknown formats and failed
+      * decodes fall back to raw payload bytes.
+      */
+    def samples(kind: String, format: String, content: Array[Byte]): Array[Byte] =
+      (kind, format) match {
+        case ("image", "png") =>
           decodeImage(content) match {
             case Some(d) => d.pixels.map(_.toByte)
             case None => content
           }
-        case "audio" =>
+        case ("audio", "wav") =>
           decodeWav(content) match {
             case Some(pcm) => pcm.map(s => (s >> 8).toByte) // high byte per sample
+            case None => content
+          }
+        case ("video", "y4m") =>
+          decodeY4m(content) match {
+            case Some(v) => v.frames.flatten
             case None => content
           }
         case _ => content
@@ -209,7 +293,7 @@ object Multimodal {
       val histBuf = new Array[Long](HistogramBins)
       rows.map { m =>
         java.util.Arrays.fill(histBuf, 0L)
-        val decoded = MediaCodec.samples(m.kind, m.content)
+        val decoded = MediaCodec.samples(m.kind, m.format, m.content)
         var sum = 0L
         var i = 0
         while (i < decoded.length) {
@@ -390,6 +474,81 @@ object Multimodal {
       |  CAST(sum_sample AS DOUBLE) / n AS mean_sample,
       |  CAST(peak AS INT) AS peak
       |FROM sm ORDER BY media_id""".stripMargin
+
+  /** Deterministic video-corpus shape shared by the Spark encode side and
+    * the DuckDB oracle: video docs (doc_id % 3 == 2) get a Y4M stream of
+    * `doc_id % 6 + 2` frames at `(doc_id % 16 + 8) × (doc_id % 12 + 8)`,
+    * luma(f, x, y) = `(x*31 + y*17 + f*29 + doc_id*13) % 256`.
+    */
+  private def vidWidth(id: Long): Int = (id % 16 + 8).toInt
+  private def vidHeight(id: Long): Int = (id % 12 + 8).toInt
+  private def vidFrames(id: Long): Int = (id % 6 + 2).toInt
+  private def vidPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((x * 31L + y * 17L + f * 29L + id * 13L) % 256L).toInt
+
+  /** A media lake with REAL Y4M payloads (stream header + FRAME-framed
+    * luma planes) for the video-kind documents — the video twin of
+    * [[imageCorpus]]/[[audioCorpus]].
+    */
+  def videoCorpus(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, n) = (vidWidth(id), vidHeight(id), vidFrames(id))
+          MediaRow(id, "video", "y4m", w, h,
+            MediaCodec.encodeY4m(w, h, n, (f, x, y) => vidPixel(id, f, x, y)))
+        }
+      }
+  }
+
+  /** Frame sampling over DECODED video: every [[FrameSampleEvery]]-th
+    * frame of each Y4M payload is pulled from the demuxed frame array and
+    * reduced to pixel statistics. Counts/sums come out of the real
+    * header+frame parse, the oracle computes the luma formula directly —
+    * so the container round-trip (header fields, frame markers, plane
+    * offsets) is hash-verified like q75/q79. Sampling touches only the
+    * selected planes; payloads stay partition-local and never shuffle.
+    */
+  def videoFrameStats(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    videoCorpus(documents)
+      .flatMap { m =>
+        val v = MediaCodec.decodeY4m(m.content).getOrElse(
+          sys.error(s"undecodable Y4M for media_id=${m.media_id}"))
+        (0 until v.frames.length by FrameSampleEvery).map { f =>
+          val plane = v.frames(f)
+          var sum = 0L
+          var i = 0
+          while (i < plane.length) { sum += plane(i) & 0xff; i += 1 }
+          (m.media_id, f, v.width, v.height, sum,
+            sum.toDouble / plane.length)
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "sum_pixel", "mean_pixel")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  def videoFrameStatsSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(doc_id % 16 + 8 AS INT) AS width,
+       |    CAST(doc_id % 12 + 8 AS INT) AS height,
+       |    CAST(doc_id % 6 + 2 AS INT) AS n_frames
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |px AS (
+       |  SELECT media_id, CAST(f.g AS INT) AS frame_idx, width, height,
+       |    SUM((x.g*31 + y.g*17 + f.g*29 + media_id*13) % 256) AS sum_pixel
+       |  FROM dims,
+       |    LATERAL (SELECT unnest(generate_series(0, n_frames - 1, $FrameSampleEvery)) AS g) f,
+       |    LATERAL (SELECT unnest(generate_series(0, width - 1)) AS g) x,
+       |    LATERAL (SELECT unnest(generate_series(0, height - 1)) AS g) y
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT media_id, frame_idx, width, height,
+       |  CAST(sum_pixel AS BIGINT) AS sum_pixel,
+       |  CAST(sum_pixel AS DOUBLE) / (width * height) AS mean_pixel
+       |FROM px ORDER BY media_id, frame_idx""".stripMargin
 
   /** Resize stub for image rows: scale metadata to fit `maxDim` and stride-
     * subsample the payload accordingly (a real impl would resample pixels;

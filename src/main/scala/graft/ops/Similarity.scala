@@ -450,8 +450,16 @@ object Similarity {
     * so the whole dedup-family matrix (exact / MinHash / SimHash / n-gram /
     * embedding) now ends in the same curation endpoint.
     */
-  def embeddingKeepList(embeddings: DataFrame): DataFrame =
-    keepListFromPairs(embeddings, embeddingNearDups(embeddings))
+  /** Embedding-side dedup keep-list. The library DEFAULT routes through
+    * the LSH multi-probe candidates ([[embeddingKeepListApprox]]) — the
+    * shape that survives corpus scale; `exact = true` opts into the
+    * all-pairs verifier ([[embeddingNearDups]], O(n²) compute) for
+    * bounded-corpus refinement or recall audits. q72 registers the exact
+    * form (it IS the oracle-checked verifier); q78 is the default path.
+    */
+  def embeddingKeepList(embeddings: DataFrame, exact: Boolean = false): DataFrame =
+    if (exact) keepListFromPairs(embeddings, embeddingNearDups(embeddings))
+    else embeddingKeepListApprox(embeddings)
 
   /** The corpus-scale keep-list: components over the LSH multi-probe
     * candidate pairs ([[embeddingNearDupsApprox]]) instead of the exact

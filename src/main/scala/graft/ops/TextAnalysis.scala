@@ -522,7 +522,9 @@ object TextAnalysis {
     // cache: the fingerprint pipeline (tokenize + per-gram md5 + window
     // minima) feeds the hot-df aggregate AND both sides of the posting
     // self-join — without it the expensive pass runs up to three times
-    // (same reasoning as minhashNearDups' sh.cache())
+    // (same reasoning as minhashNearDups' sh.cache()). Lifetime: session-
+    // scoped by convention — the lazily-returned plan can't unpersist
+    // behind itself; owners clearCache() between workloads (see Verify)
     val fps = winnowedCore(documents, k, w)
       .select(col("doc_id"), col("fp")).distinct()
       .cache()

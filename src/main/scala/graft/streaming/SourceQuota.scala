@@ -42,12 +42,22 @@ object SourceQuota {
     override def handleInputRows(
         source: String, rows: Iterator[(String, Long)],
         timerValues: TimerValues): Iterator[QuotaDecision] = {
+      // The decisions must materialize while the state handle is bound to
+      // THIS key (a lazily-consumed iterator would touch state after the
+      // operator rebinds to the next key), so the per-(key, batch) output
+      // buffers here: one 4-field decision per input row, bounded by the
+      // hottest source's share of a micro-batch — the admission-control
+      // knob for that is the trigger size (maxFilesPerTrigger), not this
+      // operator. State writes: ONE RocksDB put per key per batch (below),
+      // not one per row.
       var n = if (admitted.exists()) admitted.get() else 0L
+      val n0 = n
       val out = rows.map { case (_, docId) =>
         val admit = n < quota
-        if (admit) { n += 1; admitted.update(n) }
+        if (admit) n += 1
         QuotaDecision(docId, source, n, admit)
-      }.toSeq // drain while the state handle is bound to this key
+      }.toSeq // eager: state context + the single update happen now
+      if (n != n0) admitted.update(n)
       out.iterator
     }
   }

@@ -110,4 +110,60 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_len")).toSeq == Seq(256, 1100 - 4 * 256))
     assert(frames.map(_.getAs[Int]("byte_offset")).toSeq == Seq(0, 1024))
   }
+
+  test("Y4M encode→decode round-trips exact frame planes (hand-written demuxer)") {
+    val enc = Multimodal.MediaCodec.encodeY4m(6, 4, 3, (f, x, y) => (f * 50 + x * 7 + y * 3) % 256)
+    val v = Multimodal.MediaCodec.decodeY4m(enc).get
+    assert(v.width == 6 && v.height == 4 && v.frames.length == 3)
+    for (f <- 0 until 3; y <- 0 until 4; x <- 0 until 6)
+      assert((v.frames(f)(y * 6 + x) & 0xff) == (f * 50 + x * 7 + y * 3) % 256)
+  }
+
+  test("Y4M demuxer skips C420 chroma planes and carries FRAME parameters") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("YUV4MPEG2 W4 H2 F30:1 C420jpeg\n".getBytes(ascii))
+    out.write("FRAME Ixyz\n".getBytes(ascii)) // frame params are legal
+    out.write(Array.tabulate[Byte](8)(_.toByte)) // Y plane 4×2
+    out.write(Array.fill[Byte](4)(99.toByte)) // Cb (2×1) + Cr (2×1)
+    val v = Multimodal.MediaCodec.decodeY4m(out.toByteArray).get
+    assert(v.width == 4 && v.height == 2 && v.frames.length == 1)
+    assert(v.frames(0).toSeq == (0 until 8).map(_.toByte))
+  }
+
+  test("Y4M demuxer rejects malformed streams instead of misparsing") {
+    val bad = Seq(
+      "not-y4m at all".getBytes,
+      "YUV4MPEG2 W0 H4 Cmono\nFRAME\n".getBytes, // bad width
+      "YUV4MPEG2 W4 H2 Cmono\nNOPE\n12345678".getBytes, // bad frame marker
+      "YUV4MPEG2 W4 H2 Cmono\nFRAME\nxy".getBytes, // truncated plane
+      "YUV4MPEG2 W4 H2 C444\nFRAME\n".getBytes) // unsupported colourspace
+    bad.foreach(b => assert(Multimodal.MediaCodec.decodeY4m(b).isEmpty))
+  }
+
+  test("videoFrameStats: decoded stats equal the closed-form luma formula") {
+    val df = docs((2L, "a"), (5L, "b"), (1L, "audio-doc"))
+    val got = Multimodal.videoFrameStats(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toList
+    val want = (for {
+      id <- Seq(2L, 5L)
+      (w, h, n) = ((id % 16 + 8).toInt, (id % 12 + 8).toInt, (id % 6 + 2).toInt)
+      f <- 0 until n by Multimodal.FrameSampleEvery
+    } yield {
+      val sum = (for (y <- 0 until h; x <- 0 until w)
+        yield (x * 31L + y * 17L + f * 29L + id * 13L) % 256L).sum
+      (id, f, w, h, sum)
+    }).toList
+    assert(got == want) // only doc_id % 3 == 2 rows; sums from the real decode
+  }
+
+  test("samples() gates decode on declared format: text bytes stay raw for mp4") {
+    // a payload that IS a decodable container must still be treated as raw
+    // bytes when the row's declared format says otherwise
+    val y4m = Multimodal.MediaCodec.encodeY4m(4, 2, 1, (_, x, y) => x + y)
+    assert(Multimodal.MediaCodec.samples("video", "mp4", y4m).toSeq == y4m.toSeq)
+    assert(Multimodal.MediaCodec.samples("video", "y4m", y4m).length == 8)
+    val png = Multimodal.MediaCodec.encodePng(3, 3, (x, y) => x * y)
+    assert(Multimodal.MediaCodec.samples("image", "jpg", png).toSeq == png.toSeq)
+  }
 }

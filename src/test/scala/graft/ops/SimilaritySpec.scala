@@ -240,9 +240,18 @@ class SimilaritySpec extends SparkSpec {
       (2L, Seq(1.0f, 0.0f), 0),  // dup of 1
       (5L, Seq(0.99f, 0.01f), 0), // near-dup of 1/2 → same component
       (9L, Seq(0.0f, 1.0f), 1))  // orthogonal, survives alone
-    val kept = Similarity.embeddingKeepList(df)
+    val kept = Similarity.embeddingKeepList(df, exact = true)
       .collect().map(_.getAs[Long]("vec_id")).toSeq
     assert(kept == Seq(1L, 9L))
+  }
+
+  test("embedding keep-list DEFAULT routes through the LSH candidate path") {
+    val df = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dflt = Similarity.embeddingKeepList(df)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val approx = Similarity.embeddingKeepListApprox(df)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(dflt == approx)
   }
 
   // --- k-means trainer ------------------------------------------------

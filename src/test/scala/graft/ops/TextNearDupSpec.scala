@@ -174,6 +174,39 @@ class TextNearDupSpec extends SparkSpec {
     assert(rounds <= 16, s"expected O(log n) rounds, took $rounds")
   }
 
+  test("hub budget recall contract: a 10k-doc degenerate bucket keeps ONE " +
+    "component (keep-list = unbudgeted), while PAIR recall is traded") {
+    // 10,000 IDENTICAL docs = one LSH bucket per band, 157× the budget of
+    // 64 — the exact degenerate case the budget exists for. The unbudgeted
+    // keep-list is known analytically (one component → min doc_id
+    // survives); computing it would need 50M pairs, which is the point.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val giant = (1L to 10000L).map(i => (i, base))
+    val solo = Seq((20001L, "an entirely different document about spark physical plans"),
+      (20002L, "yet another unrelated text on winnowing fingerprints"))
+    val kept = NearDup.dedupKeepList(docs(giant ++ solo: _*))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 20001L, 20002L),
+      s"budgeted keep-list must equal the unbudgeted one: ${kept.take(10).toSeq}")
+
+    // the trade is PAIRS: with budget 64, a pair whose SMALLER endpoint
+    // ranks past the budget is dropped from the candidate set even though
+    // both docs remain hub-connected (components unaffected)
+    val hundred = docs((1L to 100L).map(i => (i, base)): _*)
+    val sh = NearDup.shingled(hundred)
+    val cands = NearDup.lshCandidatesFrom(sh)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!cands.contains((65L, 66L)), "smaller endpoint past budget must be dropped")
+    assert(cands.contains((64L, 66L)), "hub endpoint pairs must survive")
+    // and the budget-pressure diagnostic reports exactly that bucket with
+    // the closed-form dropped-pair count: 100·99/2 − (64·100 − 64·65/2)
+    val pressure = NearDup.lshBudgetPressure(hundred).collect()
+    assert(pressure.length == NearDup.Bands) // one over-budget bucket per band
+    assert(pressure.forall(_.getAs[Long]("bucket_size") == 100L))
+    assert(pressure.forall(_.getAs[Long]("dropped_pairs") ==
+      100L * 99 / 2 - (64L * 100 - 64L * 65 / 2)))
+  }
+
   test("containment flags a doc embedded in a larger one where Jaccard stays low") {
     // doc 1 = 6 tokens → 4 3-gram shingles, ALL present inside doc 2's 30
     // tokens (28 shingles): containment(1→2) = 1.0, Jaccard = 4/28 ≈ 0.14

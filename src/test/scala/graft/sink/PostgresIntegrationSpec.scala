@@ -162,4 +162,38 @@ class PostgresIntegrationSpec extends AnyFunSuite {
       } finally cleanup(conn, id)
     }
   }
+
+  test("D5/S6: JdbcUpsertSink — a REPLAYED batch is a no-op (live DB)") {
+    withDb { conn =>
+      val spark = graft.SparkSpec.session
+      import spark.implicits._
+      val sink = new JdbcUpsertSink(cfg)
+      val id = System.nanoTime()
+      try {
+        val df = Seq((id, java.sql.Timestamp.valueOf("2024-01-10 10:00:00"),
+            7L, "view", 5.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        sink.append(df, "ecommerce_events")
+        // the foreachBatch retry contract: the SAME batch arrives again —
+        // a plain append dies on the PK; the upsert absorbs it
+        sink.append(df, "ecommerce_events")
+        // and a replayed batch that grew (retry after partial upstream
+        // progress) inserts ONLY the new row
+        val grown = df.union(
+          Seq((id + 1, java.sql.Timestamp.valueOf("2024-01-10 10:00:01"),
+            8L, "purchase", 6.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        sink.append(grown, "ecommerce_events")
+        val st = conn.createStatement()
+        val rs = st.executeQuery(
+          s"SELECT event_id, count(*) FROM ecommerce_events " +
+            s"WHERE event_id IN ($id, ${id + 1}) GROUP BY 1 ORDER BY 1")
+        assert(rs.next() && rs.getLong(1) == id && rs.getLong(2) == 1L)
+        assert(rs.next() && rs.getLong(1) == id + 1 && rs.getLong(2) == 1L)
+        assert(!rs.next())
+        st.execute(s"DELETE FROM ecommerce_events WHERE event_id = ${id + 1}")
+        st.close()
+      } finally cleanup(conn, id)
+    }
+  }
 }

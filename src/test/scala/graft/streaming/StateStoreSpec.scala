@@ -37,6 +37,14 @@ class StateStoreSpec extends SparkSpec {
         val custom = q1.lastProgress.stateOperators.head.customMetrics.keySet.asScala
         assert(custom.exists(_.toLowerCase.contains("rocksdb")), custom.mkString(", "))
         assert(spark.read.parquet(outDir).count() == 2)
+        // changelog checkpointing is ON (useRocksDB's default): the store
+        // must upload per-batch .changelog deltas, not only full snapshots
+        // — the O(changed-keys) incremental story, asserted on disk
+        val changelogs = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(ckpt, "state"))
+          .iterator().asScala
+          .count(_.toString.endsWith(".changelog"))
+        assert(changelogs > 0, s"no .changelog files under $ckpt/state")
       } finally q1.stop()
 
       // restart from the same checkpoint: event 2 must still be in state
