@@ -62,44 +62,50 @@ import org.apache.spark.sql.functions._
   *    O(n·k), update O(n·dim) — both linear in n); k=26 on the 10×
   *    corpus costs 3.1 s — the trainer tolerates the k ∝ corpus growth
   *    the IVF cell-count contract requires.
-  *  - n-gram containment (q66): 1.6 s → 34.6 s, but OUTPUT grew 975×
-  *    (505 → 492,510 directed pairs — the synthetic 10× corpus is
-  *    near-dup clusters of 10, so within-cluster pairs grow
-  *    quadratically). Like q32 it is the EXACT verification tool with
-  *    Σdf² posting cost; at corpus scale you run the q77 df-capped form
-  *    or gate on LSH/minhash candidates, not the raw corpus.
+  *  - n-gram containment (q66): round-3 measured 1.6 s → 34.6 s on the
+  *    then-Σdf² posting join while OUTPUT grew 975× (505 → 492,510
+  *    directed pairs). Round 6 replaced that machine with directed
+  *    prefix filtering — see the 50× section below, where the old form
+  *    could not run at all.
   *
   * 50× headline probe (`runMain graft.ScaleProbe 50`; 5k→250k docs in
-  * near-dup clusters of 50, 2k→100k vectors; local[32], 2026-08-12 —
-  * measured wall-clock ratios for 50× data, i.e. scaling exponents
-  * log(wall ratio)/log(50) for the round-5 curation stack):
+  * near-dup clusters of 50, 2k→100k vectors; local[32]). Round-6 run
+  * (2026-08-13, SPARK_DRIVER_MEM=48g — the 50× verify stages want more
+  * than the 8g default; absolute numbers are noisier than round 5's and
+  * the documented 42–115 s host swings apply — compare SHAPES):
   *
-  *  - MinHash near-dup q24: 3.1 s → 15.8 s (5.1×, exponent ≈ 0.42) while
-  *    the OUTPUT grew 25,800× (256 → 6.6 M pairs — clusters of 50 make
-  *    within-cluster pairs quadratic). Signature kernel + budgeted
-  *    banding are linear and dominate.
-  *  - Keep-list q37: 3.4 s → 34.4 s (10×, exp ≈ 0.59): adds star-rounds
-  *    components over 6.6 M edges (round COUNT is size-free) + the loser
-  *    anti-join.
-  *  - Curation capstone q59: 2.7 s → 26.8 s (10×): q37 + quality gate +
-  *    split; the add-ons stay linear map passes.
-  *  - Capped Jaccard q38: 4.3 s → 13.9 s (3.2×, exp ≈ 0.30): the
-  *    50-clusters push shared-shingle df past the cap, so the capped
-  *    posting join saturates at its designed Σ min(df,100)² ceiling —
-  *    SUBLINEAR in corpus size exactly when the uncapped form (Σdf²,
-  *    here 2500×) would explode.
-  *  - Embedding near-dup LSH q42: 1.2 s → 60.5 s at planes FIXED at 4 —
-  *    the documented Σ bucket² failure mode (bucket size ∝ n/16);
-  *    re-planed for the corpus (planes=9 → 512 buckets): 6.7 s (≈ 5.6×,
-  *    linear-ish) with 2.5 M of the 2.68 M pairs still found. The
+  *  - Exact n-gram Jaccard q32 (NEW — prefix-filtered): 1.9 s →
+  *    124 s at t=0.8 for 6,715,000 verified pairs, output up 26,000×.
+  *    The former Σdf² posting join was the last unguarded quadratic;
+  *    prefix filtering makes cost track CANDIDATES ≈ matches. Note
+  *    6.72 M exact pairs vs minhash's 6.60 M at the same threshold —
+  *    the exact form doubles as the recall oracle for LSH banding
+  *    (~117 k pairs the bands miss). Threshold is the cost dial
+  *    (prefix ≈ (1−t)·|doc|): a t=0.5 run on this 50-cluster corpus
+  *    hits candidate volume ≈ the (quadratic) true output and exhausted
+  *    80 GB of spill — measured, documented in the op's scaladoc.
+  *  - Exact containment q66 (NEW — prefix-filtered, directed): 1.7 s →
+  *    377 s for 13,302,550 directed pairs (output up 26,000×; the
+  *    container side joins ALL its postings by necessity, so the
+  *    constant is higher than q32's — still candidate-bound, where the
+  *    round-3 measurement exploded at 10× already).
+  *  - MinHash near-dup q24: 6.6 M pairs in 115.6 s this run (16.1 s in
+  *    the same-day 8g run — the heap/host swing, not a plan change;
+  *    plan shapes are spec-pinned).
+  *  - Keep-list q37: 29.0 s; curation capstone q59: 36.1 s — star-rounds
+  *    components over 6.6 M edges, round count size-free.
+  *  - Capped Jaccard q38: 21.9 s — saturates at the designed
+  *    Σ min(df,100)² ceiling (the recall-trading alternative when even
+  *    exact-prefix volume is too much).
+  *  - Embedding near-dup LSH q42: 191 s at planes FIXED at 4 (the
+  *    documented Σ bucket² failure mode) vs 38.9 s re-planed
+  *    (planes=9 → 512 buckets) with 2.50 M of 2.68 M pairs found — the
   *    `planes ∝ log n` dial is the contract, same as q29/q36.
-  *  - k-means q68: 2.4 s → 3.8 s (1.6×) at fixed k=8: assignment O(n·k),
-  *    update O(n·dim), both linear and far from dominating.
-  *  - Winnowing overlap q83: 3.0 s → 13.2 s (4.4×, exp ≈ 0.38) while the
-  *    pair OUTPUT grew 25,880× (256 → 6.6 M) — the fingerprint index is
-  *    linear in the corpus (and cached across its three consumers) and
-  *    the df-capped posting join stays bounded, so cost tracks matches,
-  *    not corpus².
+  *  - k-means q68: 9.1 s at fixed k=8 — linear, far from dominating.
+  *  - Winnowing overlap q83: 17.4 s for 6,625,518 pairs (output up
+  *    25,900×) — index linear, df-capped posting join bounded; the
+  *    floor here is materializing the 6.6 M-pair output itself, so
+  *    further tuning buys little.
   *
   * This probe also CAUGHT a plan bug (round 5): the embedding ops'
   * per-row compute ran against broadcast sides with no exchange before

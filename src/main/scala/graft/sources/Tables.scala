@@ -22,9 +22,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // driver testdata: nanos-as-long → truncate; derived dirs (SfScale)
+    // carry a real µs TIMESTAMP already — identical instants either way
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -14,14 +14,23 @@ import pandas as pd
 import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# --skip q26,q32: exclude oracles whose DuckDB form is all-pairs/quadratic
+# and intractable at scaled volumes (the SPARK side still runs them; only
+# the cross-engine check is skipped, and each skip prints visibly)
+skip = set()
+if len(sys.argv) > 4 and sys.argv[3] == "--skip":
+    skip = {s for s in sys.argv[4].split(",") if s}
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f  # SfScale dirs vs driver files
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
 for name in sorted(oracle):
+    if any(name.startswith(p) for p in skip):
+        print(f"SKIP {name}: oracle excluded by --skip"); continue
     sql = oracle[name]
     try:
         got = con.execute(f"SELECT * FROM parquet_scan('{outdir}/{name}/*.parquet')").df()
