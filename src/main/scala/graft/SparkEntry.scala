@@ -335,7 +335,11 @@ object SparkEntry {
 
   private val caseSql = Validate.validationCaseSql
   private val anchor = s"TIMESTAMP '${Enrich.AnchorTs}'"
-  private def dsum(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(22,6))) AS DOUBLE)"
+  // decimal→double via VARCHAR: correctly-rounded strtod, matching Spark's
+  // BigDecimal.doubleValue — DuckDB's direct cast is 1 ulp off past ~17
+  // significant digits (see Deterministic.dsumSql)
+  private def dsum(e: String) =
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(22,6))) AS VARCHAR) AS DOUBLE)"
   private def davg(e: String) = s"(${dsum(e)} / COUNT($e))"
   // enrichment SQL fragments shared by several oracles
   // TRY_CAST: Spark's get_json_object yields NULL on malformed JSON;

@@ -29,9 +29,19 @@ object Deterministic {
   /** Order-independent average (sum-of-decimals / non-null count). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
-  /** SQL fragments mirroring the above for DuckDB oracles. */
+  /** SQL fragments mirroring the above for DuckDB oracles.
+    *
+    * The final decimal→double goes through VARCHAR: DuckDB's direct
+    * DECIMAL→DOUBLE divides the (float-rounded) unscaled value by 10^scale
+    * — TWO roundings, observably 1 ulp off once the sum passes ~17
+    * significant digits (first seen at sf1 volume: q16 sum_charge).
+    * VARCHAR→DOUBLE is a correctly-rounded strtod, which is also exactly
+    * what Spark's BigDecimal.doubleValue produces — one rounding, same
+    * result, at every magnitude. Below 17 digits the detour is a no-op,
+    * so small-SF hashes are unchanged.
+    */
   def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(22,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(22,6))) AS VARCHAR) AS DOUBLE)"
   def davgSql(expr: String): String =
     s"(${dsumSql(expr)} / COUNT($expr))"
 }

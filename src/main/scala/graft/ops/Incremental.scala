@@ -84,7 +84,7 @@ object Incremental {
   def incrementalHourlySql(enrichedSql: String): String =
     s"""SELECT date_trunc('hour', ts) AS event_hour_ts, event_type,
        |  COUNT(*) AS event_count,
-       |  CAST(SUM(CAST(total_amount AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+       |  CAST(CAST(SUM(CAST(total_amount AS DECIMAL(22,6))) AS VARCHAR) AS DOUBLE) AS revenue,
        |  COUNT(user_id) AS n_user_rows
        |FROM ($enrichedSql)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

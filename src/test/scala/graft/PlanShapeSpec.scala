@@ -183,4 +183,26 @@ class PlanShapeSpec extends SparkSpec {
       .exists(p.contains), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("exact jaccard (q32) joins PREFIX-PRUNED postings: rank filters over " +
+    "per-doc windows feed the shingle self-join") {
+    val p = plan("q32_ngram_jaccard")
+    // both self-join inputs must be Filter(pos <= n_sh - FLOOR(t*n_sh) + 1)
+    // over Window(row_number by (df, shingle)) — the prefix relation. The
+    // FLOOR bound carries q32's t=0.5 literal, so a refactor that silently
+    // drops the pruning (reverting to the full Sdf^2 posting join) fails here
+    assert(countOf(p, "FLOOR((0.5") >= 2, p)
+    assert(countOf(p, "row_number()") >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("exact containment (q66) prefix-prunes via the directed rank bound") {
+    val p = plan("q66_ngram_containment")
+    // the t=0.9 prefix bound must be present (0 = the Sdf^2 regression);
+    // string-counting can't pin "contained side only" because the cached
+    // ranked relation renders its lineage under both join sides — the
+    // directed soundness itself is value-pinned by the fuzz corpora
+    assert(countOf(p, "FLOOR((0.9") >= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -38,6 +38,32 @@ class NativeKernelsSpec extends SparkSpec {
     assert(native.toSeq == declarative.toSeq)
   }
 
+  test("SortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    val arr = Gen.listOf(word).map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(arr, arr), 300)
+    val df = pairs.toDF("a", "b")
+      // ShingleSet output order is UTF8String binary; alphanumeric ASCII
+      // sorts identically under String and UTF8String, so .sorted above
+      // satisfies the kernel's precondition
+    val native = df.select(
+      SortedIntersectCount.sortedIntersectCount(col("a"), col("b")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    val builtin = df.select(size(array_intersect(col("a"), col("b"))).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(native == builtin)
+  }
+
+  test("SortedIntersectCount: empty arrays count 0; null input yields NULL") {
+    val df = Seq(
+      (Seq("a", "b"), Some(Seq.empty[String])),
+      (Seq.empty[String], Some(Seq.empty[String])),
+      (Seq("a", "b"), None)).toDF("a", "b")
+    val got = df.select(
+      SortedIntersectCount.sortedIntersectCount(col("a"), col("b")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+    assert(got == Seq(Some(0), Some(0), None))
+  }
+
   test("MinHashSig.compute == declarative explode+min(substring(md5)) pipeline") {
     val texts = samples(spacedText, 200).filter(_.trim.split("\\s+").count(_.nonEmpty) >= 3)
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
