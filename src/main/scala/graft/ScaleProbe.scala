@@ -197,6 +197,15 @@ object ScaleProbe {
         time(s"$label embedding_neardup_lsh planes=9")(
           graft.ops.Similarity.embeddingNearDupsApprox(emb, planes = 9).count())
       time(s"$label kmeans k=8")(graft.ops.KMeans.kmeansCentroids(emb).count())
+      // SemDeDup (q86): at fixed k the in-cell pair volume is Σ cell² —
+      // quadratic per cell — so the probe measures BOTH the fixed-k
+      // failure shape and the k ∝ corpus remedy (cells ≈ n / target size,
+      // the same contract as IVF cell count / LSH plane count)
+      time(s"$label semantic_dedup k=8")(
+        graft.ops.KMeans.semanticDedup(emb).count())
+      if (label != "1x")
+        time(s"$label semantic_dedup k=64")(
+          graft.ops.KMeans.semanticDedup(emb, k = 64).count())
       time(s"$label winnowing_overlap")(
         graft.ops.TextAnalysis.winnowingOverlap(docs).count())
       if (mult == 10) {

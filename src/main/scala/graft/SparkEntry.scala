@@ -331,6 +331,15 @@ object SparkEntry {
     // the decoded-media trio next to q75/q79
     "q85_video_frame_stats" -> ((s, dir) =>
       Multimodal.videoFrameStats(Tables.documents(s, dir))),
+    // SemDeDup (Abbas et al. 2023): k-means cells bound the similarity
+    // join (Σ cell² not n²); within a cell, duplicates (quantized cosine
+    // ≥ τ) keep only the member farthest from its prototype
+    "q86_semantic_dedup" -> ((s, dir) =>
+      graft.ops.KMeans.semanticDedup(Tables.embeddings(s, dir))),
+    // prototype-distance pruning (Sorscher et al. 2022): per trained cell
+    // keep the perCell hardest examples — rank lowers to WindowGroupLimit
+    "q87_prototype_prune" -> ((s, dir) =>
+      graft.ops.KMeans.prototypePrune(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -621,5 +630,7 @@ object SparkEntry {
     "q83_winnowing_overlap" -> TextAnalysis.winnowingOverlapSql(),
     "q84_language_profile" -> TextAnalysis.languageProfileSql,
     "q85_video_frame_stats" -> Multimodal.videoFrameStatsSql,
+    "q86_semantic_dedup" -> graft.ops.KMeans.semanticDedupSql(),
+    "q87_prototype_prune" -> graft.ops.KMeans.prototypePruneSql(),
   )
 }

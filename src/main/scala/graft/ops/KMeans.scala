@@ -185,7 +185,7 @@ object KMeans {
     */
   def assignTrainedCells(
       vectors: DataFrame, model: Array[(Int, Array[Long])],
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding", withDist: Boolean = false): DataFrame = {
     val candidates = model.map { case (c, cq) =>
       val cc = cq.map(v => v * v).sum // ≤ Dim·(1e6)² ≪ 2^63
       struct(
@@ -196,12 +196,21 @@ object KMeans {
     // everything to its only cell
     val best =
       if (candidates.length == 1) candidates(0) else least(candidates: _*)
-    vectors
+    // materialize the argmin struct ONCE behind a projection boundary —
+    // CollapseProject keeps a multiply-referenced non-cheap alias, so the
+    // k-wide least(...) is not duplicated when both fields are read
+    val assigned = vectors
       .filter(col(embCol).isNotNull && size(col(embCol)) === Dim)
       .withColumn("__xq", quantize(col(embCol)))
       .withColumn("__xx", dotLong(col("__xq"), col("__xq")))
-      .withColumn("cell", best.getField("c"))
-      .drop("__xq", "__xx")
+      .withColumn("__best", best)
+      .withColumn("cell", col("__best").getField("c"))
+    // cent_dist = |x−c|² in exact fixed-point longs — the "distance to
+    // prototype" the SemDeDup / prototype-pruning curation ops rank by
+    val withD =
+      if (withDist) assigned.withColumn("cent_dist", col("__best").getField("d"))
+      else assigned
+    withD.drop("__xq", "__xx", "__best")
   }
 
   /** Per-vector trained cell as a query surface: train on the corpus, then
@@ -220,6 +229,110 @@ object KMeans {
   def trainedCellsSql(k: Int = K, iters: Int = Iters, dim: Int = Dim): String =
     s"""WITH ${kmeansCtesSql(k, iters, dim)}
        |SELECT vec_id, cluster AS cell FROM afinal ORDER BY vec_id""".stripMargin
+
+  /** Semantic deduplication over the trained cells — the SemDeDup recipe
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540, public literature): cluster
+    * the embedding corpus with k-means, then WITHIN each cell drop every
+    * vector that has a semantic duplicate (quantized cosine ≥ tau) of
+    * higher keep-priority, where priority is distance-to-centroid
+    * descending (the paper's diversity rule: among duplicates, keep the
+    * example FARTHEST from its prototype), ties to the lowest vec_id.
+    *
+    * Scale shape: the similarity join is an EQUI-join on the learned cell —
+    * Σ cell² compute instead of the corpus-global O(n²) (the whole point of
+    * clustering first), with the model riding along as a broadcast k×Dim
+    * relation. Exactness within the cell partition is what the paper
+    * computes; every quantity (cell, cent_dist, cosine) is fixed-point
+    * exact, so the keep-list is engine-reproducible bit-for-bit.
+    */
+  def semanticDedup(
+      embeddings: DataFrame, k: Int = K, iters: Int = Iters,
+      tau: Double = Similarity.CosineThreshold): DataFrame = {
+    val model = trainedModel(embeddings, k, iters)
+    // eager-materialize (id, emb, cell, dist): three consumers below (two
+    // join sides + the surviving anti-join) read blocks, not the pipeline
+    val cells = assignTrainedCells(
+        embeddings.select(col("vec_id"), col("embedding")), model,
+        withDist = true)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("cent_dist"))
+      .localCheckpoint()
+    val a = cells.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("cell"), col("cent_dist").as("dist_a"))
+    val b = cells.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("cell"), col("cent_dist").as("dist_b"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b") &&
+        Similarity.dot(col("emb_a"), col("emb_b")) >= tau &&
+        (col("dist_b") > col("dist_a") ||
+          (col("dist_b") === col("dist_a") && col("id_b") < col("id_a"))))
+      .select(col("id_a")).distinct()
+    cells.join(dominated, col("vec_id") === col("id_a"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("cent_dist"))
+      .orderBy("vec_id")
+  }
+
+  def semanticDedupSql(
+      k: Int = K, iters: Int = Iters, dim: Int = Dim,
+      tau: Double = Similarity.CosineThreshold): String =
+    s"""WITH ${kmeansCtesSql(k, iters, dim)},
+       |ad AS (
+       |  SELECT a.vec_id, a.cluster AS cell,
+       |    CAST(list_sum(list_transform(generate_series(1, $dim),
+       |      i -> (x.xq[i]-c.cq[i])*(x.xq[i]-c.cq[i]))) AS BIGINT) AS cent_dist
+       |  FROM afinal a JOIN xq x USING (vec_id)
+       |  JOIN c$iters c ON a.cluster = c.cluster)
+       |SELECT d.vec_id, d.cell, d.cent_dist FROM ad d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM ad o
+       |  JOIN embeddings ea ON ea.vec_id = d.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = o.vec_id
+       |  WHERE o.cell = d.cell AND o.vec_id <> d.vec_id
+       |    AND ${Similarity.dotSql("ea.embedding", "eb.embedding")} >= $tau
+       |    AND (o.cent_dist > d.cent_dist OR
+       |         (o.cent_dist = d.cent_dist AND o.vec_id < d.vec_id)))
+       |ORDER BY vec_id""".stripMargin
+
+  /** Prototype-distance data pruning: per trained cell, keep the
+    * `perCell` vectors FARTHEST from their centroid (hard/diverse
+    * examples), rank ties to the lowest vec_id. The "SSL prototypes"
+    * pruning metric of Sorscher et al., "Beyond neural scaling laws"
+    * (NeurIPS 2022, public literature), as a relational op.
+    *
+    * Plan shape: one hash-partition on cell, rank via row_number — the
+    * rank ≤ perCell filter lowers to WindowGroupLimit, so each partition
+    * keeps a bounded heap instead of a full sort at scale.
+    */
+  def prototypePrune(
+      embeddings: DataFrame, k: Int = K, iters: Int = Iters,
+      perCell: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = assignTrainedCells(
+      embeddings.select(col("vec_id"), col("embedding")),
+      trainedModel(embeddings, k, iters), withDist = true)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cent_dist").desc, col("vec_id"))
+    cells.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCell)
+      .select(col("vec_id"), col("cell"), col("cent_dist"), col("rank"))
+      .orderBy("cell", "rank")
+  }
+
+  def prototypePruneSql(
+      k: Int = K, iters: Int = Iters, dim: Int = Dim,
+      perCell: Int = 50): String =
+    s"""WITH ${kmeansCtesSql(k, iters, dim)},
+       |ad AS (
+       |  SELECT a.vec_id, a.cluster AS cell,
+       |    CAST(list_sum(list_transform(generate_series(1, $dim),
+       |      i -> (x.xq[i]-c.cq[i])*(x.xq[i]-c.cq[i]))) AS BIGINT) AS cent_dist
+       |  FROM afinal a JOIN xq x USING (vec_id)
+       |  JOIN c$iters c ON a.cluster = c.cluster)
+       |SELECT vec_id, cell, cent_dist, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY cell ORDER BY cent_dist DESC, vec_id) AS rn
+       |  FROM ad)
+       |WHERE rn <= $perCell ORDER BY cell, rank""".stripMargin
 
   /** Streaming ANN serving routed by the TRAINED quantizer: train offline
     * on the static corpus, cell-index the corpus once, then assign each

@@ -205,4 +205,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "FLOOR((0.9") >= 1, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("semantic dedup (q86) bounds the similarity join to the learned cell") {
+    // the SemDeDup scale property: the pairwise-cosine join is an
+    // EQUI-join keyed on the trained cell (S cell^2 compute), never a
+    // corpus-global nested loop; the survivor filter is a hash ANTI join
+    val p = plan("q86_semantic_dedup")
+    assert(Seq("SortMergeJoin [cell", "ShuffledHashJoin [cell", "BroadcastHashJoin [cell")
+      .exists(p.contains), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("prototype prune (q87) rank-limits map-side (WindowGroupLimit)") {
+    // rank <= perCell lowers to WindowGroupLimit: each cell keeps a
+    // bounded per-partition heap instead of fully sorting its members
+    val p = plan("q87_prototype_prune")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

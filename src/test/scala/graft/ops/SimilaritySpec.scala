@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -316,5 +317,51 @@ class SimilaritySpec extends SparkSpec {
     // for groups of size ≥ 4
     val perQuery = out.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
     assert(perQuery.values.forall(_ == 3))
+  }
+
+  test("semantic dedup keeps, per duplicate group, the vector farthest from its prototype") {
+    val (df, groupOf) = plantedCorpus
+    // tau=0 within planted groups: every same-cell pair is a "duplicate"
+    // (all cosines ≥ 0 here), so exactly ONE survivor per cell — the one
+    // with the max cent_dist, ties to the lowest vec_id
+    val kept = KMeans.semanticDedup(df, k = 3, iters = 2, tau = 0.0).collect()
+    assert(kept.length == 3)
+    // survivors must come from three distinct cells and each must have the
+    // maximal cent_dist in its cell (verified against the full assignment)
+    val all = KMeans.assignTrainedCells(
+        df.select(col("vec_id"), col("embedding")),
+        KMeans.trainedModel(df, k = 3, iters = 2), withDist = true)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Long]("cent_dist")))
+    val expect = all.groupBy(_._2).map { case (_, rows) =>
+      rows.minBy(r => (-r._3, r._1))._1
+    }.toSet
+    assert(kept.map(_.getAs[Long]("vec_id")).toSet == expect)
+    assert(kept.map(_.getAs[Int]("cell")).toSet.size == 3)
+  }
+
+  test("semantic dedup at an unreachable threshold keeps everything") {
+    val (df, _) = plantedCorpus
+    val kept = KMeans.semanticDedup(df, k = 3, iters = 2, tau = 2.0)
+    assert(kept.count() == 30)
+  }
+
+  test("prototype prune keeps the perCell farthest-from-centroid vectors per cell") {
+    val (df, _) = plantedCorpus
+    val out = KMeans.prototypePrune(df, k = 3, iters = 2, perCell = 4).collect()
+    // 3 cells × 4 kept
+    assert(out.length == 12)
+    val byCell = out.groupBy(_.getAs[Int]("cell"))
+    assert(byCell.keySet.size == 3)
+    byCell.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4))
+      // ranks descend by cent_dist (ties ascending by vec_id)
+      val ordered = rows.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("cent_dist"), r.getAs[Long]("vec_id"))).toSeq
+      assert(ordered.sliding(2).forall {
+        case Seq((d1, v1), (d2, v2)) => d1 > d2 || (d1 == d2 && v1 < v2)
+        case _ => true
+      })
+    }
   }
 }
