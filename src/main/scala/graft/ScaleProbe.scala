@@ -208,6 +208,14 @@ object ScaleProbe {
           graft.ops.KMeans.semanticDedup(emb, k = 64).count())
       time(s"$label winnowing_overlap")(
         graft.ops.TextAnalysis.winnowingOverlap(docs).count())
+      // round-6 linear text ops: duplicated-span coverage (gram-hash agg +
+      // linear join + per-doc interval merge) and the bigram LM score
+      // (two vocab-sized aggs + linear stream joins) — both must grow
+      // ~with the corpus, never with pairs
+      time(s"$label duplicated_spans")(
+        graft.ops.TextAnalysis.duplicatedSpans(docs).count())
+      time(s"$label lm_quality")(
+        graft.ops.TextAnalysis.lmQualityScore(docs).count())
       if (mult == 10) {
         val evts =
           if (label == "1x") graft.sources.Tables.events(spark, dir)

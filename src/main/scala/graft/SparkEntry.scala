@@ -340,6 +340,21 @@ object SparkEntry {
     // keep the perCell hardest examples — rank lowers to WindowGroupLimit
     "q87_prototype_prune" -> ((s, dir) =>
       graft.ops.KMeans.prototypePrune(Tables.embeddings(s, dir))),
+    // exact duplicated-substring coverage (Lee et al. 2021): per-doc union
+    // length of corpus-duplicated l-token windows — one gram-hash agg, one
+    // linear join, per-doc interval merge; no pair enumeration
+    "q88_duplicated_spans" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpans(Tables.documents(s, dir))),
+    // CCNet-style corpus-trained bigram LM filter scored as mean inverse
+    // probability (transcendental-free: exact int divisions + an ordered
+    // fold, bit-reproducible cross-engine where ln/exp are not)
+    "q89_lm_quality" -> ((s, dir) =>
+      TextAnalysis.lmQualityScore(Tables.documents(s, dir))),
+    // DSIR-style importance scoring (linearized, transcendental-free):
+    // hashed-unigram distributions for a target slice vs the pool, per-doc
+    // target-likeness score + deterministic selection cut
+    "q90_dsir_importance" -> ((s, dir) =>
+      Curate.dsirImportance(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -632,5 +647,8 @@ object SparkEntry {
     "q85_video_frame_stats" -> Multimodal.videoFrameStatsSql,
     "q86_semantic_dedup" -> graft.ops.KMeans.semanticDedupSql(),
     "q87_prototype_prune" -> graft.ops.KMeans.prototypePruneSql(),
+    "q88_duplicated_spans" -> TextAnalysis.duplicatedSpansSql(),
+    "q89_lm_quality" -> TextAnalysis.lmQualityScoreSql,
+    "q90_dsir_importance" -> Curate.dsirImportanceSql(),
   )
 }

@@ -360,4 +360,103 @@ object Curate {
        |  FROM documents)
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * featurize every document into `buckets` hashed unigram buckets,
+    * estimate add-one-smoothed bucket distributions for the TARGET slice
+    * (here `source = targetSource`, the stand-in for the small curated
+    * corpus) and for the rest of the pool, then score each document by
+    * how target-like its feature counts are.
+    *
+    * Two deliberate deviations from the paper, both documented:
+    * the score is the LINEARIZED log-ratio — Σ_f tf(d,f)·(p_t(f) −
+    * p_s(f)) instead of Σ tf·ln(p_t/p_s) — because ln is not
+    * IEEE-exactness-guaranteed cross-engine (see [[TextAnalysis
+    * .lmQualityScore]]; same measured 1-ulp JVM-vs-DuckDB divergence),
+    * and both rank identically as p_t/p_s → 1; and selection is the
+    * deterministic `importance > 0` cut (more target-like than pool-like)
+    * rather than Gumbel resampling, so the oracle can replay it exactly.
+    * Every arithmetic step is one exact int→double conversion, one
+    * division, or an f-ordered fold — bit-reproducible by construction.
+    *
+    * Scale shape: the feature stream is linear in corpus tokens; both
+    * distributions come from ONE map-combined aggregation over it
+    * (`buckets` result rows — broadcast to the per-doc join); per-doc
+    * tf is a (doc_id, f) aggregation; the fold is per-row work. The two
+    * scalar totals collect one row (same as q50's corpus count). Nothing
+    * shuffles more than the token stream, nothing is quadratic.
+    */
+  def dsirImportance(
+      documents: DataFrame, buckets: Int = 256,
+      targetSource: String = "src0"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val base = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        filter(tokens(coalesce(col("text"), lit(""))),
+          t => length(t) > 0).as("toks"))
+    val feats = base
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("w"))
+      .withColumn("f",
+        conv(substring(md5(col("w")), 1, 5), 16, 10).cast("long") % buckets)
+    val isTarget = col("source") === targetSource
+    // one pass over the feature stream yields BOTH distributions
+    val counts = feats.groupBy("f").agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("cs")).cache()
+    val Array(tTot, sTot) = counts
+      .agg(sum("ct"), sum("cs")).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val tf = feats.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
+    val terms = tf.join(broadcast(counts), Seq("f"))
+      .withColumn("term",
+        col("tf").cast("double") *
+          ((col("ct") + 1L).cast("double") / (tTot + buckets) -
+           (col("cs") + 1L).cast("double") / (sTot + buckets)))
+    val perDoc = terms.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("f"), col("term"))))
+        .as("ts"))
+      .select(col("doc_id"),
+        aggregate(col("ts"), lit(0.0d),
+          (acc, x) => acc + x.getField("term")).as("importance"))
+    base.select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("importance"), lit(0.0d)).as("importance"),
+        (coalesce(col("importance"), lit(0.0d)) > 0).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  def dsirImportanceSql(
+      buckets: Int = 256, targetSource: String = "src0"): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    list_filter(regexp_split_to_array(trim(lower(COALESCE(text, ''))), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(u.w), 1, 5))::BIGINT % $buckets AS f
+       |  FROM t, LATERAL (SELECT unnest(toks) AS w) u),
+       |c AS (
+       |  SELECT f,
+       |    SUM(CASE WHEN source = '$targetSource' THEN 1 ELSE 0 END) AS ct,
+       |    SUM(CASE WHEN source = '$targetSource' THEN 0 ELSE 1 END) AS cs
+       |  FROM w GROUP BY f),
+       |tot AS (SELECT SUM(ct) AS t_tot, SUM(cs) AS s_tot FROM c),
+       |tf AS (SELECT doc_id, f, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |term AS (
+       |  SELECT tf.doc_id, tf.f,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      (CAST(c.ct + 1 AS DOUBLE) / (tot.t_tot + $buckets) -
+       |       CAST(c.cs + 1 AS DOUBLE) / (tot.s_tot + $buckets)) AS term
+       |  FROM tf JOIN c USING (f) CROSS JOIN tot),
+       |pd AS (
+       |  SELECT doc_id,
+       |    list_reduce(list(term ORDER BY f), (a, b) -> a + b) AS importance
+       |  FROM term GROUP BY doc_id)
+       |SELECT t.doc_id, t.source,
+       |  COALESCE(pd.importance, 0.0) AS importance,
+       |  COALESCE(pd.importance, 0.0) > 0 AS selected
+       |FROM t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""".stripMargin
 }

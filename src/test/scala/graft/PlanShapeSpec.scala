@@ -223,4 +223,23 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q87_prototype_prune")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("duplicated spans (q88) marks duplicates via equi-joins only — " +
+    "never a pair-enumerating join") {
+    // the Lee-et-al. dedup measure must stay linear: the gram stream is
+    // aggregated (map-side partial) and re-joined on the gram hash, and
+    // the final doc join is keyed — any nested loop or cartesian here
+    // would mean the op degenerated to pair enumeration
+    val p = plan("q88_duplicated_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // map-side partial aggregation on the gram hash before its exchange
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("bigram LM score (q89) joins the count relations by key, no " +
+    "nested loop; count aggs partial map-side") {
+    val p = plan("q89_lm_quality")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }

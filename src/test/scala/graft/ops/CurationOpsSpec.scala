@@ -418,4 +418,34 @@ class CurationOpsSpec extends SparkSpec {
     def toMap2: Map[String, (Long, Long, Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
   }
+
+  test("DSIR importance: target-vocabulary docs score positive, pool-only " +
+    "docs negative, empty docs zero and unselected") {
+    // target (src0) speaks {tx}; the pool (srcP) speaks {py}; doc 5 mixes.
+    // With disjoint vocabularies the sign of the score is decided by
+    // whichever distribution a doc's tokens come from, whatever the
+    // hashed-bucket assignment — only equal-frequency symmetry could tie,
+    // and the corpus here is asymmetric on purpose.
+    val df = Seq(
+      (1L, "t1 t2 t3 t1", "en", "src0", 10L),
+      (2L, "t1 t3 t2 t2", "en", "src0", 10L),
+      (3L, "p1 p2 p3 p4", "en", "srcP", 10L),
+      (4L, "p1 p2 p2 p5", "en", "srcP", 10L),
+      (5L, "t1 t1 t1 p1", "en", "srcP", 10L),
+      (6L, "", "en", "srcP", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curate.dsirImportance(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(1L)._1 > 0 && got(1L)._2)
+    assert(got(2L)._1 > 0 && got(2L)._2)
+    assert(got(3L)._1 < 0 && !got(3L)._2)
+    assert(got(4L)._1 < 0 && !got(4L)._2)
+    // doc 5 nets NEGATIVE despite 3 target-vocab tokens: t1 is common in
+    // BOTH distributions (3/8 target vs 3/12 pool), so its smoothed
+    // probabilities nearly cancel, while p1 is pool-exclusive — the score
+    // is driven by distribution-exclusive features, not raw token counts
+    assert(got(5L)._1 < 0 && !got(5L)._2, s"mixed doc: ${got(5L)}")
+    assert(got(6L) == ((0.0, false)))
+  }
 }

@@ -388,4 +388,58 @@ class TextNearDupSpec extends SparkSpec {
     assert(got((1L, 2L)) == expect((1L, 2L)))
     assert(got((1L, 2L)) == 4.0 / 6.0)
   }
+
+  test("duplicated spans: cross-doc window shared verbatim covers both docs; " +
+    "overlapping windows merge; unique docs report zero") {
+    // docs 1 and 2 share tokens 1..9 ("s1..s9"): with l=8, duplicated
+    // window starts are positions 0 and 1 in BOTH docs (9 shared tokens →
+    // two overlapping 8-windows), merging to one span covering 9 tokens.
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ")
+    val df = docs(
+      (1L, s"$shared alpha beta"),
+      (2L, s"$shared gamma delta"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (4L, "short text"))
+    val got = TextAnalysis.duplicatedSpans(df, l = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((11L, 9L, 1L, 9.0 / 11)))
+    assert(got(2L) == ((11L, 9L, 1L, 9.0 / 11)))
+    assert(got(3L) == ((10L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((2L, 0L, 0L, 0.0))) // below l → no windows, still a row
+  }
+
+  test("duplicated spans: a WITHIN-doc repeat is a duplicate (self-match), " +
+    "and disjoint repeats yield separate spans") {
+    // "r1..r8" appears twice inside doc 1, separated by 8 unique tokens:
+    // both occurrences' windows are duplicated → two merged spans, 16
+    // covered tokens of 24.
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val mid = (1 to 8).map(i => s"m$i").mkString(" ")
+    val df = docs((1L, s"$run $mid $run"), (2L, "plain unrelated filler"))
+    val got = TextAnalysis.duplicatedSpans(df, l = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((24L, 16L, 2L)))
+    assert(got(2L) == ((3L, 0L, 0L)))
+  }
+
+  test("bigram LM score: hand-computed add-one inverse probabilities, " +
+    "position-ordered fold") {
+    // corpus: doc1 = "a b a b", doc2 = "a b c", doc3 = "solo".
+    // V = 4 (a, b, c, solo). unigrams: a=3, b=3, c=1, solo=1.
+    // bigrams: (a,b)=3, (b,a)=1, (b,c)=1.
+    // inv_p(a,b) = (3+4)/(3+1) = 1.75; inv_p(b,a) = (3+4)/(1+1) = 3.5;
+    // inv_p(b,c) = (3+4)/(1+1) = 3.5.
+    // doc1 terms [1.75, 3.5, 1.75] → fold 7.0, mean 7.0/3;
+    // doc2 [1.75, 3.5] → 5.25, mean 2.625.
+    val df = docs((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+    val got = TextAnalysis.lmQualityScore(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, 7.0 / 3)))
+    assert(got(2L) == ((2L, 2.625)))
+    // "solo" has no bigram: no row, by contract (callers left-join)
+    assert(!got.contains(3L))
+  }
 }
