@@ -216,6 +216,11 @@ object ScaleProbe {
         graft.ops.TextAnalysis.duplicatedSpans(docs).count())
       time(s"$label lm_quality")(
         graft.ops.TextAnalysis.lmQualityScore(docs).count())
+      // PQ: training is k-means per subspace (linear), encode is per-row
+      // expressions, ADC shuffles (queries × M) lookup rows per vector —
+      // all linear in the corpus for a bounded query batch
+      time(s"$label pq_adc_topk")(
+        graft.ops.PQ.pqAdcTopK(emb).count())
       if (mult == 10) {
         val evts =
           if (label == "1x") graft.sources.Tables.events(spark, dir)

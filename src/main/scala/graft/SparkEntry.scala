@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Bloom, Curate, Dedup, Enrich, Multimodal, NearDup, Quality, Redact, Sessionize, Similarity, TextAnalysis, Validate}
+import graft.ops.{Analytics, Bloom, Curate, Dedup, Enrich, Multimodal, NearDup, PQ, Quality, Redact, Sessionize, Similarity, TextAnalysis, Validate}
 import graft.schema.Registry
 import graft.sources.Tables
 
@@ -355,6 +355,19 @@ object SparkEntry {
     // target-likeness score + deterministic selection cut
     "q90_dsir_importance" -> ((s, dir) =>
       Curate.dsirImportance(Tables.documents(s, dir))),
+    // product quantization (Jégou et al. 2011): per-subspace fixed-point
+    // codebooks — the learned compression model, hash-checked like q68
+    "q91_pq_codebooks" -> ((s, dir) =>
+      PQ.pqCodebooks(Tables.embeddings(s, dir))),
+    // ADC top-k over the PQ-encoded corpus: broadcast query LUTs, one
+    // bounded lookup-sum shuffle — the billion-scale search recipe
+    "q92_pq_adc_topk" -> ((s, dir) =>
+      PQ.pqAdcTopK(Tables.embeddings(s, dir))),
+    // BPE tokenizer training (Sennrich et al. 2016): the learned merge
+    // table — one corpus pass to the word vocab, then vocab-sized
+    // iterations; the merges themselves are hash-checked cross-engine
+    "q93_bpe_merges" -> ((s, dir) =>
+      graft.ops.BPE.bpeMerges(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -650,5 +663,8 @@ object SparkEntry {
     "q88_duplicated_spans" -> TextAnalysis.duplicatedSpansSql(),
     "q89_lm_quality" -> TextAnalysis.lmQualityScoreSql,
     "q90_dsir_importance" -> Curate.dsirImportanceSql(),
+    "q91_pq_codebooks" -> PQ.pqCodebooksSql(),
+    "q92_pq_adc_topk" -> PQ.pqAdcTopKSql(),
+    "q93_bpe_merges" -> graft.ops.BPE.bpeMergesSql(),
   )
 }

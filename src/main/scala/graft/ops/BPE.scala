@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training (Sennrich, Haddow, Birch 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units",
+  * arXiv:1508.07909 — the GPT/Llama-family tokenizer recipe): start from
+  * characters, repeatedly count adjacent symbol pairs over the
+  * frequency-weighted word vocabulary, merge the most frequent pair
+  * everywhere (greedy leftmost, non-overlapping), and record the merge.
+  * The learned MERGE TABLE is the model a tokenizer ships; it is what the
+  * oracle hash-checks — cross-engine-identical merges, not just "some
+  * merges happened".
+  *
+  * Determinism: pair counts are exact integer sums; the winning pair
+  * breaks ties by (pair_count DESC, p1 ASC, p2 ASC) over ASCII-only
+  * symbols (binary collation agrees across engines); merge application is
+  * a sequential left fold per word (Spark `aggregate` HOF ≡ DuckDB
+  * `list_reduce` over wrapped symbols), which IS the greedy
+  * leftmost-non-overlap scan: after a merge the new tail symbol is the
+  * merged token, which can never equal the pair's left element again.
+  * Words are restricted to `^[a-z0-9]+$` so character segmentation never
+  * meets the UTF-16-vs-codepoint substring divergence.
+  *
+  * Scale shape — the industrial distributed-BPE layout: ONE pass over the
+  * corpus builds the frequency-weighted word vocabulary (a hash
+  * aggregation; the 100-TB token stream is never revisited), and every
+  * iteration after that runs on vocab-sized relations: pair counting is a
+  * map-combined aggregation over per-word symbol zips, the argmax
+  * collects ONE row (the learned parameter — the same driver sync as
+  * Lloyd's), and merge application is a per-row fold. Iteration cost is
+  * independent of corpus size.
+  */
+object BPE {
+  val Merges = 6
+
+  private def wordChars(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
+
+  /** Frequency-weighted word vocabulary with initial character symbols. */
+  private def vocab(documents: DataFrame): DataFrame =
+    documents
+      .repartition(col("doc_id"))
+      .select(explode(filter(
+        graft.functions.TextFunctions.tokens(col("text")),
+        t => t.rlike("^[a-z0-9]+$"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", wordChars(col("word")))
+
+  private def pairCounts(v: DataFrame): DataFrame =
+    // single-symbol words first: Spark's sequence(1, 0) counts DOWN
+    v.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("p1"),
+          element_at(col("syms"), i + 1).as("p2")))).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum("freq").as("pair_count"))
+
+  /** Greedy leftmost non-overlapping application of one merge. */
+  private def applyMerge(syms: Column, p1: String, p2: String): Column =
+    aggregate(syms, typedLit(Seq.empty[String]), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === p1 && x === p2,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `merges` BPE merges; returns the learned merge table
+    * (step, p1, p2, pair_count), one row per performed merge.
+    */
+  def bpeMerges(documents: DataFrame, merges: Int = Merges): DataFrame = {
+    val spark = documents.sparkSession
+    var v = vocab(documents).cache()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = pairCounts(v)
+        .orderBy(col("pair_count").desc, col("p1"), col("p2"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // single-symbol vocab: no pairs left
+      else {
+        val (p1, p2, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        learned += ((step, p1, p2, n))
+        val next = v.withColumn("syms", applyMerge(col("syms"), p1, p2))
+          .localCheckpoint() // truncate the per-iteration fold lineage
+        v.unpersist()
+        v = next
+      }
+      step += 1
+    }
+    v.unpersist()
+    spark.createDataFrame(learned.toSeq)
+      .toDF("step", "p1", "p2", "pair_count")
+      .orderBy("step")
+  }
+
+  def bpeMergesSql(merges: Int = Merges): String = {
+    def applySql(b: String) =
+      s"""list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+         |  CASE WHEN len(acc) > 0 AND acc[-1] = $b.p1 AND x[1] = $b.p2
+         |       THEN list_concat(acc[1:len(acc)-1], [$b.p1 || $b.p2])
+         |       ELSE list_concat(acc, x) END)""".stripMargin
+    def pairsSql(v: String) =
+      s"""SELECT p.pp[1] AS p1, p.pp[2] AS p2,
+         |  CAST(SUM(freq) AS BIGINT) AS pair_count
+         |FROM $v, LATERAL (
+         |  SELECT unnest(list_transform(generate_series(1, len(syms)-1),
+         |    i -> [syms[i], syms[i+1]])) AS pp) p
+         |WHERE len(syms) >= 2 GROUP BY 1, 2""".stripMargin
+    val iters = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      // LEFT JOIN keeps the vocabulary alive when no pairs remain (the
+      // merge lambda sees NULL p1/p2 → always ELSE → identity), matching
+      // the engine's early-exhaustion no-op
+      s"""p$i AS (${pairsSql(prev)}),
+         |b$i AS (SELECT p1, p2, pair_count FROM p$i
+         |        ORDER BY pair_count DESC, p1, p2 LIMIT 1),
+         |w$i AS (SELECT word, freq, ${applySql(s"b$i")} AS syms
+         |        FROM $prev LEFT JOIN b$i ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to merges)
+      .map(i => s"SELECT $i AS step, p1, p2, pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT word, COUNT(*) AS freq,
+       |    list_transform(generate_series(1, len(word)),
+       |      i -> word[i:i]) AS syms
+       |  FROM (
+       |    SELECT w.w AS word
+       |    FROM (SELECT list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+       |            t -> regexp_matches(t, '^[a-z0-9]+$$')) AS toks
+       |          FROM documents) t,
+       |    LATERAL (SELECT unnest(toks) AS w) w)
+       |  GROUP BY word),
+       |$iters
+       |SELECT CAST(step AS INTEGER) AS step, p1, p2, pair_count
+       |FROM ($unions) ORDER BY step""".stripMargin
+  }
+}

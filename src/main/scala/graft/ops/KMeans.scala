@@ -41,16 +41,17 @@ object KMeans {
   val Iters = 2
 
   /** floor(x·1e6) per element — the QuantizedDot fixed-point convention. */
-  private def quantize(emb: org.apache.spark.sql.Column) =
+  private[ops] def quantize(emb: org.apache.spark.sql.Column) =
     transform(emb, x => floor(x.cast("double") * 1e6).cast("long"))
 
   /** Quantized corpus: (vec_id, xq, x·x), malformed vectors dropped up
     * front (a NULL distance would otherwise win Spark's nulls-first argmin
-    * while losing DuckDB's nulls-last one).
+    * while losing DuckDB's nulls-last one). `dim` ≠ [[Dim]] when training
+    * a PQ subspace on pre-sliced vectors ([[PQ]]).
     */
-  private def corpus(embeddings: DataFrame): DataFrame =
+  private def corpus(embeddings: DataFrame, dim: Int = Dim): DataFrame =
     embeddings
-      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
       .repartition(col("vec_id")) // single-split parquet → spread the work
       .select(col("vec_id"), quantize(col("embedding")).as("xq"))
       .withColumn("xx", dotLong(col("xq"), col("xq")))
@@ -82,7 +83,7 @@ object KMeans {
   /** One Lloyd's update; clusters with no members keep `prev`'s centroid. */
   private def updateCentroids(
       xq: DataFrame, assigned: DataFrame,
-      prev: Array[(Int, Array[Long])]): Array[(Int, Array[Long])] = {
+      prev: Array[(Int, Array[Long])], dim: Int = Dim): Array[(Int, Array[Long])] = {
     val cells = assigned.join(xq, "vec_id")
       .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
       .groupBy("cluster", "dim")
@@ -90,7 +91,7 @@ object KMeans {
       .withColumn("cq", floor(col("s").cast("double") / col("n")).cast("long"))
       .collect()
     val byCluster = cells.groupBy(_.getAs[Int]("cluster")).map { case (c, rows) =>
-      val arr = new Array[Long](Dim)
+      val arr = new Array[Long](dim)
       rows.foreach(r => arr(r.getAs[Int]("dim")) = r.getAs[Long]("cq"))
       c -> arr
     }
@@ -107,15 +108,16 @@ object KMeans {
     * memoization cannot change any result, only skip repeated training.
     */
   private val modelCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
     Array[(Int, Array[Long])]]()
 
   private def trainModel(
-      embeddings: DataFrame, k: Int, iters: Int): Array[(Int, Array[Long])] = {
-    val xq = corpus(embeddings)
+      embeddings: DataFrame, k: Int, iters: Int,
+      dim: Int = Dim): Array[(Int, Array[Long])] = {
+    val xq = corpus(embeddings, dim)
     var cents = seedCentroids(xq, k)
     for (_ <- 0 until iters)
-      cents = updateCentroids(xq, assign(xq, cents), cents)
+      cents = updateCentroids(xq, assign(xq, cents), cents, dim)
     xq.unpersist()
     cents
   }
@@ -170,9 +172,10 @@ object KMeans {
     * see [[modelCache]].
     */
   def trainedModel(
-      embeddings: DataFrame, k: Int = K, iters: Int = Iters): Array[(Int, Array[Long])] = {
-    val key = (embeddings.queryExecution.analyzed.canonicalized, k, iters)
-    modelCache.computeIfAbsent(key, _ => trainModel(embeddings, k, iters))
+      embeddings: DataFrame, k: Int = K, iters: Int = Iters,
+      dim: Int = Dim): Array[(Int, Array[Long])] = {
+    val key = (embeddings.queryExecution.analyzed.canonicalized, k, iters, dim)
+    modelCache.computeIfAbsent(key, _ => trainModel(embeddings, k, iters, dim))
   }
 
   /** Nearest-trained-centroid assignment as a PER-ROW expression: the k
@@ -185,7 +188,8 @@ object KMeans {
     */
   def assignTrainedCells(
       vectors: DataFrame, model: Array[(Int, Array[Long])],
-      embCol: String = "embedding", withDist: Boolean = false): DataFrame = {
+      embCol: String = "embedding", withDist: Boolean = false,
+      dim: Int = Dim): DataFrame = {
     val candidates = model.map { case (c, cq) =>
       val cc = cq.map(v => v * v).sum // ≤ Dim·(1e6)² ≪ 2^63
       struct(
@@ -200,7 +204,7 @@ object KMeans {
     // CollapseProject keeps a multiply-referenced non-cheap alias, so the
     // k-wide least(...) is not duplicated when both fields are read
     val assigned = vectors
-      .filter(col(embCol).isNotNull && size(col(embCol)) === Dim)
+      .filter(col(embCol).isNotNull && size(col(embCol)) === dim)
       .withColumn("__xq", quantize(col(embCol)))
       .withColumn("__xx", dotLong(col("__xq"), col("__xq")))
       .withColumn("__best", best)
@@ -360,14 +364,27 @@ object KMeans {
     * unrolled Lloyd's iterations feed both the model dump (q68) and the
     * trained-IVF search (q69), so the two oracles cannot drift.
     */
-  def kmeansCtesSql(k: Int = K, iters: Int = Iters, dim: Int = Dim): String = {
+  /** The unrolled-Lloyd's CTE chain. `prefix` namespaces every CTE (so a
+    * PQ oracle can instantiate one chain per subspace in a single WITH),
+    * `embExpr` is the trained vector expression (e.g. a slice
+    * `embedding[17:32]` for a PQ subspace) and `validDim` the length the
+    * FULL stored vector must have to participate (malformed-vector
+    * filtering is decided on the whole embedding, so every subspace
+    * includes exactly the same vectors).
+    */
+  def kmeansCtesSql(
+      k: Int = K, iters: Int = Iters, dim: Int = Dim,
+      prefix: String = "", embExpr: String = "embedding",
+      validDim: Int = -1): String = {
+    val p = prefix
+    val vd = if (validDim < 0) dim else validDim
     def assignSql(cents: String) =
       s"""SELECT vec_id, cluster FROM (
          |  SELECT x.vec_id, c.cluster,
          |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
          |      list_sum(list_transform(generate_series(1, $dim),
          |        i -> (x.xq[i]-c.cq[i])*(x.xq[i]-c.cq[i]))), c.cluster) AS rn
-         |  FROM xq x CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+         |  FROM xq$p x CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
     def updateSql(assigned: String, prev: String) =
       s"""SELECT p.cluster, COALESCE(u.cq, p.cq) AS cq FROM $prev p LEFT JOIN (
          |  SELECT cluster, list(cq ORDER BY dim) AS cq FROM (
@@ -375,26 +392,26 @@ object KMeans {
          |      CAST(floor(CAST(SUM(v) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cq
          |    FROM (SELECT a.cluster, unnest(x.xq) AS v,
          |            unnest(generate_series(1, len(x.xq))) AS dim
-         |          FROM $assigned a JOIN xq x USING (vec_id))
+         |          FROM $assigned a JOIN xq$p x USING (vec_id))
          |    GROUP BY cluster, dim)
          |  GROUP BY cluster) u ON p.cluster = u.cluster""".stripMargin
     val iterCtes = (1 to iters).map { i =>
-      val prev = if (i == 1) "c0" else s"c${i - 1}"
-      s"""a$i AS (${assignSql(prev)}),
-         |c$i AS (${updateSql(s"a$i", prev)})""".stripMargin
+      val prev = if (i == 1) s"c0$p" else s"c${i - 1}$p"
+      s"""a$i$p AS (${assignSql(prev)}),
+         |c$i$p AS (${updateSql(s"a$i$p", prev)})""".stripMargin
     }.mkString(",\n")
-    s"""xq AS (
-       |  SELECT vec_id, list_transform(embedding,
+    s"""xq$p AS (
+       |  SELECT vec_id, list_transform($embExpr,
        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS xq
-       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
-       |c0 AS (
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $vd),
+       |c0$p AS (
        |  SELECT cluster, cq FROM (
        |    SELECT CAST(row_number() OVER (
        |        ORDER BY md5('km|' || CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1
        |      AS cluster, xq AS cq
-       |    FROM xq) WHERE cluster < $k),
+       |    FROM xq$p) WHERE cluster < $k),
        |$iterCtes,
-       |afinal AS (${assignSql(s"c$iters")})""".stripMargin
+       |afinal$p AS (${assignSql(s"c$iters$p")})""".stripMargin
   }
 
   def kmeansCentroidsSql(k: Int = K, iters: Int = Iters, dim: Int = Dim): String =

@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.LongArrayDot.dotLong
+
+/** Product quantization for embedding compression + search (Jégou,
+  * Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+  * Search", IEEE TPAMI — the method behind billion-scale ANN indexes):
+  * split each `Dim`-dimensional vector into `M` contiguous subspaces,
+  * train an independent k-means codebook of `Codes` centroids per
+  * subspace (reusing [[KMeans]]'s fixed-point, engine-exact trainer on
+  * sliced vectors — same seeding rule, same Lloyd's updates, same
+  * empty-cluster semantics), and represent every vector by its M nearest
+  * code ids.
+  *
+  * Search is ADC (asymmetric distance computation, the paper's §IV): the
+  * UNquantized query precomputes a lookup table of squared distances to
+  * every (subspace, code) centroid, and a vector's approximate distance
+  * is the sum of M table lookups on its code ids — no per-pair
+  * vector arithmetic at all.
+  *
+  * Why this is THE 100-TB embedding answer: the stored index is M small
+  * ints per vector (here 4 codes ≈ 4 bytes against 256 bytes of floats,
+  * a 64× compression), codebooks are M·Codes·SubDim longs (broadcast
+  * trivially), and scoring shuffles only (query × M × corpus) lookup
+  * rows for a bounded query batch — linear in the corpus, constant per
+  * vector. Everything is fixed-point (floor(x·1e6) longs), so codebooks,
+  * code assignments and ADC distances are EXACT integers, hash-identical
+  * cross-engine.
+  */
+object PQ {
+  val M = 4
+  val SubDim: Int = KMeans.Dim / M
+  val Codes = 8
+  val Iters: Int = KMeans.Iters
+
+  /** The s-th subspace slice of each VALID full vector. Validity (null /
+    * wrong length) is decided on the whole embedding, so all subspaces
+    * contain exactly the same vec_ids — the per-subspace trainers see
+    * aligned corpora (mirrored in the oracle's `validDim`).
+    */
+  private def subVectors(
+      embeddings: DataFrame, s: Int, subDim: Int): DataFrame =
+    embeddings
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === KMeans.Dim)
+      .select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+
+  /** Per-subspace trained codebooks (memoized through [[KMeans
+    * .trainedModel]]'s session registry, so codebooks/encode/search share
+    * one training per subspace).
+    */
+  def models(
+      embeddings: DataFrame, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters): Seq[(Int, Array[(Int, Array[Long])])] = {
+    val subDim = KMeans.Dim / m
+    (0 until m).map { s =>
+      s -> KMeans.trainedModel(
+        subVectors(embeddings, s, subDim), codes, iters, subDim)
+    }
+  }
+
+  /** The learned codebook relation: one row per (subspace, code, dim)
+    * with the fixed-point centroid coordinate and the code's population
+    * under the final assignment — the PQ twin of q68's model dump.
+    */
+  def pqCodebooks(
+      embeddings: DataFrame, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters): DataFrame = {
+    val spark = embeddings.sparkSession
+    val subDim = KMeans.Dim / m
+    val sizes: Map[(Int, Int), Long] = (0 until m).flatMap { s =>
+      val model = KMeans.trainedModel(
+        subVectors(embeddings, s, subDim), codes, iters, subDim)
+      KMeans.assignTrainedCells(
+          subVectors(embeddings, s, subDim), model, dim = subDim)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => (s, r.getAs[Int]("cell")) -> r.getAs[Long]("n"))
+    }.toMap
+    val rows = for {
+      (s, model) <- models(embeddings, m, codes, iters)
+      (code, cq) <- model
+      d <- 0 until subDim
+    } yield (s, code, d, cq(d), sizes.getOrElse((s, code), 0L))
+    spark.createDataFrame(rows)
+      .toDF("subspace", "code", "dim", "centroid_q", "code_size")
+      .orderBy("subspace", "code", "dim")
+  }
+
+  def pqCodebooksSql(
+      m: Int = M, codes: Int = Codes, iters: Int = Iters): String = {
+    val subDim = KMeans.Dim / m
+    val chains = (0 until m).map { s =>
+      KMeans.kmeansCtesSql(codes, iters, subDim, s"_s$s",
+        s"embedding[${s * subDim + 1}:${(s + 1) * subDim}]", KMeans.Dim)
+    }.mkString(",\n")
+    val branches = (0 until m).map { s =>
+      s"""SELECT $s AS subspace, c.cluster AS code,
+         |  CAST(d.dim - 1 AS INTEGER) AS dim, c.cq[d.dim] AS centroid_q,
+         |  COALESCE(sz.n, 0) AS code_size
+         |FROM c${iters}_s$s c
+         |CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS dim) d
+         |LEFT JOIN (SELECT cluster, COUNT(*) AS n FROM afinal_s$s
+         |           GROUP BY cluster) sz ON c.cluster = sz.cluster""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $chains
+       |SELECT subspace, code, dim, centroid_q, CAST(code_size AS BIGINT)
+       |  AS code_size
+       |FROM ($branches)
+       |ORDER BY subspace, code, dim""".stripMargin
+  }
+
+  /** The encoded corpus: (vec_id, code_0 … code_{M-1}) — one pass, every
+    * subspace assignment a per-row `least(struct(dist, code))` over its
+    * broadcast codebook (the [[KMeans.assignTrainedCells]] expression
+    * path, chained once per subspace). This relation IS the index a PQ
+    * deployment stores: M small ints per vector.
+    */
+  def pqEncode(
+      embeddings: DataFrame, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters): DataFrame = {
+    val subDim = KMeans.Dim / m
+    val mods = models(embeddings, m, codes, iters)
+    val base = embeddings
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === KMeans.Dim)
+      .repartition(col("vec_id")) // spread before the M×Codes-wide exprs
+    val withSubs = (0 until m).foldLeft(base) { (df, s) =>
+      df.withColumn(s"__sub$s",
+        slice(col("embedding"), s * subDim + 1, subDim))
+    }
+    val encoded = mods.foldLeft(withSubs) { case (df, (s, model)) =>
+      KMeans.assignTrainedCells(df, model, embCol = s"__sub$s", dim = subDim)
+        .withColumnRenamed("cell", s"code_$s")
+    }
+    encoded.select(
+      col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)
+  }
+
+  /** ADC top-k search: queries (vec_id < nQueries) score the encoded
+    * corpus through their (subspace, code) → squared-distance lookup
+    * tables. The LUT is nQueries·M·Codes rows — broadcast; the only
+    * shuffle is the per-(query, vector) sum of M lookup rows, linear in
+    * the corpus for a bounded query batch. All-integer arithmetic end to
+    * end, so ranks (ties to the smaller neighbor_id) are engine-exact.
+    */
+  def pqAdcTopK(
+      embeddings: DataFrame, nQueries: Int = 10, topK: Int = 5,
+      m: Int = M, codes: Int = Codes, iters: Int = Iters): DataFrame = {
+    val spark = embeddings.sparkSession
+    val subDim = KMeans.Dim / m
+    // codebook relation with the c·c term precomputed per code
+    val cbRows = for {
+      (s, model) <- models(embeddings, m, codes, iters)
+      (code, cq) <- model
+    } yield (s, code, cq.toSeq, cq.map(v => v * v).sum)
+    val codebook = spark.createDataFrame(cbRows)
+      .toDF("s", "code", "cq", "cc")
+    // query LUT: exact fixed-point ||q_s − c||² per (query, subspace, code)
+    val queries = embeddings
+      .filter(col("vec_id") < nQueries && col("embedding").isNotNull &&
+        size(col("embedding")) === KMeans.Dim)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val qSubs = (0 until m).map { s =>
+      queries.select(col("query_id"), lit(s).as("s"),
+        KMeans.quantize(
+          slice(col("embedding"), s * subDim + 1, subDim)).as("qx"))
+    }.reduce(_ union _)
+    val lut = qSubs.join(codebook, "s")
+      .select(col("query_id"), col("s"), col("code"),
+        (dotLong(col("qx"), col("qx")) - lit(2L) * dotLong(col("qx"), col("cq"))
+          + col("cc")).as("ld"))
+    // encoded corpus in long format: (vec_id, s, code)
+    val enc = pqEncode(embeddings, m, codes, iters)
+      .select(col("vec_id"), posexplode(
+        array((0 until m).map(s => col(s"code_$s")): _*)).as(Seq("s", "code")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    enc.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("ld").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  def pqAdcTopKSql(
+      nQueries: Int = 10, topK: Int = 5, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters): String = {
+    val subDim = KMeans.Dim / m
+    val chains = (0 until m).map { s =>
+      KMeans.kmeansCtesSql(codes, iters, subDim, s"_s$s",
+        s"embedding[${s * subDim + 1}:${(s + 1) * subDim}]", KMeans.Dim)
+    }.mkString(",\n")
+    val encJoins = (1 until m)
+      .map(s => s"JOIN afinal_s$s a$s USING (vec_id)").mkString(" ")
+    val encCols = (0 until m).map(s => s"a$s.cluster AS code$s").mkString(", ")
+    val luts = (0 until m).map { s =>
+      s"""lut$s AS (
+         |  SELECT q.query_id, c.cluster, CAST(list_sum(list_transform(
+         |    generate_series(1, $subDim),
+         |    i -> (q.qx[i]-c.cq[i])*(q.qx[i]-c.cq[i]))) AS BIGINT) AS ld
+         |  FROM (SELECT vec_id AS query_id,
+         |          list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}],
+         |            x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qx
+         |        FROM embeddings
+         |        WHERE vec_id < $nQueries AND embedding IS NOT NULL
+         |          AND len(embedding) = ${KMeans.Dim}) q
+         |  CROSS JOIN c${iters}_s$s c)""".stripMargin
+    }.mkString(",\n")
+    val lutJoins = (1 until m).map(s =>
+      s"JOIN lut$s l$s ON e.code$s = l$s.cluster AND l$s.query_id = l0.query_id")
+      .mkString("\n  ")
+    val distSum = (0 until m).map(s => s"l$s.ld").mkString(" + ")
+    s"""WITH $chains,
+       |enc AS (
+       |  SELECT a0.vec_id, $encCols
+       |  FROM afinal_s0 a0 $encJoins),
+       |$luts,
+       |adc AS (
+       |  SELECT l0.query_id, e.vec_id AS neighbor_id,
+       |    CAST($distSum AS BIGINT) AS adc_dist
+       |  FROM enc e
+       |  JOIN lut0 l0 ON e.code0 = l0.cluster
+       |  $lutJoins
+       |  WHERE e.vec_id <> l0.query_id)
+       |SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+       |      FROM adc)
+       |WHERE rn <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -242,4 +242,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("PQ ADC search (q92): LUT and codebook ride BROADCAST hash joins, " +
+    "top-k lowers to WindowGroupLimit, no nested loop") {
+    // the ADC contract: the corpus is scored by broadcast table lookups
+    // (the LUT is nQueries·M·Codes rows by construction) and the per-query
+    // rank keeps a bounded heap — a nested loop would mean per-pair
+    // vector arithmetic, the thing PQ exists to avoid
+    val p = plan("q92_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** BPE trainer specs: hand-traced merges, greedy-leftmost application,
+  * early exhaustion when the vocabulary runs out of pairs.
+  */
+class BPESpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("BPE merges: hand-traced counts, greedy application, early stop") {
+    // corpus words: "aaab" ×2, "ab" ×1.
+    // iter 1: pairs (a,a)=4 [two per aaab ×2], (a,b)=2+1=3 → merge (a,a).
+    //   aaab → [aa,a,b] (greedy leftmost: second 'a a' overlap consumed).
+    // iter 2: (aa,a)=2, (a,b)=2+1=3 → merge (a,b). aaab → [aa,ab], ab → [ab].
+    // iter 3: (aa,ab)=2 → merge. aaab → [aaab].
+    // iter 4: no pairs anywhere → training stops at 3 merges of 6.
+    val df = docs((1L, "aaab ab aaab"))
+    val got = BPE.bpeMerges(df)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 4L),
+      (2, "a", "b", 3L),
+      (3, "aa", "ab", 2L)))
+  }
+
+  test("BPE ignores non-ASCII words and ties break lexicographically") {
+    // "zz" and "yy" both count 2; (y,y) < (z,z) lexicographically → the
+    // first merge must be (y,y). The unicode word must not contribute.
+    val df = docs((1L, "zz yy 漢字 zz yy"))
+    val got = BPE.bpeMerges(df, merges = 1)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "y", "y", 2L)))
+  }
+}

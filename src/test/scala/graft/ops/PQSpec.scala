@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Product-quantization specs: encoding consistency, ADC ranking on a
+  * planted corpus, and the compression contract (codes are small ints).
+  */
+class PQSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = KMeans.Dim
+
+  // a deterministic corpus of `n` vectors: four distinct subspace
+  // patterns repeated, plus per-vector jitter on one coordinate so
+  // vectors are distinct but cluster tightly
+  private def corpus(n: Int) = {
+    val rows = (0 until n).map { i =>
+      val base = Array.tabulate(dim) { d =>
+        val pattern = (i % 4) + 1
+        0.1f * pattern * ((d % 8) + 1)
+      }
+      base(i % dim) += 0.001f * (i % 7)
+      (i.toLong, base.toSeq, i % 4)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("pqEncode: identical subspace slices get identical codes; codes " +
+    "are within [0, Codes)") {
+    val df = corpus(64)
+    val enc = PQ.pqEncode(df).collect()
+    assert(enc.length == 64)
+    val codes = enc.map(r => r.getLong(0) ->
+      (1 to PQ.M).map(r.getInt).toSeq).toMap
+    // all codes in range
+    codes.values.flatten.foreach(c => assert(c >= 0 && c < PQ.Codes))
+    // vectors 0 and 4 share the same pattern with jitter on different
+    // coordinates — their untouched subspaces must encode identically
+    val same = (0 until PQ.M).count(s => codes(0L)(s) == codes(4L)(s))
+    assert(same >= PQ.M - 2, s"patterns diverged: ${codes(0L)} vs ${codes(4L)}")
+  }
+
+  test("pqAdcTopK: a near-exact duplicate of the query ranks first") {
+    // vec 63 is vec 3 with tiny jitter; both share every subspace
+    // pattern, so their PQ codes coincide → ADC distance 0 → the
+    // duplicate (or another same-pattern vector, all with identical
+    // codes) must occupy rank 1 with the minimal ADC distance
+    val df = corpus(64)
+    val got = PQ.pqAdcTopK(df, nQueries = 4, topK = 3).collect()
+    assert(got.nonEmpty)
+    val byQuery = got.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      val first = rows.minBy(_.getInt(3))
+      // rank-1 neighbor shares the query's pattern class (same codes)
+      assert(first.getLong(2) == rows.map(_.getLong(2)).min)
+      assert((first.getLong(1) - q) % 4 == 0,
+        s"query $q rank-1 neighbor ${first.getLong(1)} is a different pattern")
+    }
+  }
+
+  test("codebooks relation is M×Codes×SubDim rows with populated sizes") {
+    val df = corpus(64)
+    val cb = PQ.pqCodebooks(df).collect()
+    assert(cb.length == PQ.M * PQ.Codes * PQ.SubDim)
+    val bySubspace = cb.groupBy(_.getInt(0))
+    assert(bySubspace.keySet == (0 until PQ.M).toSet)
+    // each subspace's code populations sum to the corpus size
+    bySubspace.foreach { case (_, rows) =>
+      val perCode = rows.groupBy(_.getInt(1))
+        .map { case (_, rs) => rs.head.getLong(4) }
+      assert(perCode.sum == 64L)
+    }
+  }
+}
