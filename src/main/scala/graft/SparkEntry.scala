@@ -368,6 +368,10 @@ object SparkEntry {
     // iterations; the merges themselves are hash-checked cross-engine
     "q93_bpe_merges" -> ((s, dir) =>
       graft.ops.BPE.bpeMerges(Tables.documents(s, dir))),
+    // apply the learned tokenizer: per-doc BPE subtoken counts/fertility
+    // via ONE linear join against the merged vocabulary relation
+    "q94_bpe_tokenize" -> ((s, dir) =>
+      graft.ops.BPE.bpeTokenize(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -666,5 +670,6 @@ object SparkEntry {
     "q91_pq_codebooks" -> PQ.pqCodebooksSql(),
     "q92_pq_adc_topk" -> PQ.pqAdcTopKSql(),
     "q93_bpe_merges" -> graft.ops.BPE.bpeMergesSql(),
+    "q94_bpe_tokenize" -> graft.ops.BPE.bpeTokenizeSql(),
   )
 }

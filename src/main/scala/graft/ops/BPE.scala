@@ -96,7 +96,12 @@ object BPE {
       .orderBy("step")
   }
 
-  def bpeMergesSql(merges: Int = Merges): String = {
+  /** The shared WITH-body: w0 (char-segmented weighted vocab) through
+    * w`merges` (vocab after every learned merge), with per-step pair
+    * counts p`i` and winners b`i` — both the merge-table query and the
+    * tokenize query compose over this chain.
+    */
+  def bpeCtesSql(merges: Int = Merges): String = {
     def applySql(b: String) =
       s"""list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
          |  CASE WHEN len(acc) > 0 AND acc[-1] = $b.p1 AND x[1] = $b.p2
@@ -120,10 +125,7 @@ object BPE {
          |w$i AS (SELECT word, freq, ${applySql(s"b$i")} AS syms
          |        FROM $prev LEFT JOIN b$i ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to merges)
-      .map(i => s"SELECT $i AS step, p1, p2, pair_count FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT word, COUNT(*) AS freq,
        |    list_transform(generate_series(1, len(word)),
        |      i -> word[i:i]) AS syms
@@ -134,8 +136,71 @@ object BPE {
        |          FROM documents) t,
        |    LATERAL (SELECT unnest(toks) AS w) w)
        |  GROUP BY word),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  def bpeMergesSql(merges: Int = Merges): String = {
+    val unions = (1 to merges)
+      .map(i => s"SELECT $i AS step, p1, p2, pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtesSql(merges)}
        |SELECT CAST(step AS INTEGER) AS step, p1, p2, pair_count
        |FROM ($unions) ORDER BY step""".stripMargin
   }
+
+  /** Tokenize the corpus with the learned merges — the train → apply
+    * loop a tokenizer deployment runs. Per document: eligible (ASCII)
+    * word count, BPE subtoken count, and fertility (subtokens per word —
+    * the dataset-card number q84 approximates with a regex, now computed
+    * against a REAL learned tokenizer). Applying the tokenizer is a JOIN
+    * against the final vocabulary relation (word → merged symbols): the
+    * corpus token stream never re-runs the merge fold, so scoring cost is
+    * one linear join however many merges were trained.
+    */
+  def bpeTokenize(documents: DataFrame, merges: Int = Merges): DataFrame = {
+    val table = bpeMerges(documents, merges).collect()
+    val finalVocab = table.foldLeft(vocab(documents)) { (df, r) =>
+      df.withColumn("syms", applyMerge(col("syms"),
+        r.getString(1), r.getString(2)))
+    }.select(col("word"), size(col("syms")).cast("long").as("ns"))
+    val words = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(filter(
+        graft.functions.TextFunctions.tokens(col("text")),
+        t => t.rlike("^[a-z0-9]+$"))).as("word"))
+    val perDoc = words.join(finalVocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("ns").as("n_subtokens"))
+    documents.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subtokens"), lit(0L)).as("n_subtokens"),
+        (coalesce(col("n_subtokens"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_words"), lit(0L)), lit(1L)))
+          .as("bpe_fertility"))
+      .orderBy("doc_id")
+  }
+
+  def bpeTokenizeSql(merges: Int = Merges): String =
+    s"""WITH ${bpeCtesSql(merges)},
+       |d AS (
+       |  SELECT doc_id, w.w AS word
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+       |            t -> regexp_matches(t, '^[a-z0-9]+$$')) AS toks
+       |        FROM documents) t,
+       |  LATERAL (SELECT unnest(toks) AS w) w),
+       |pd AS (
+       |  SELECT d.doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(len(v.syms)) AS BIGINT) AS n_subtokens
+       |  FROM d JOIN w$merges v ON d.word = v.word
+       |  GROUP BY d.doc_id)
+       |SELECT doc.doc_id,
+       |  CAST(COALESCE(pd.n_words, 0) AS BIGINT) AS n_words,
+       |  COALESCE(pd.n_subtokens, 0) AS n_subtokens,
+       |  CAST(COALESCE(pd.n_subtokens, 0) AS DOUBLE)
+       |    / GREATEST(COALESCE(pd.n_words, 0), 1) AS bpe_fertility
+       |FROM (SELECT doc_id FROM documents) doc
+       |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
 }

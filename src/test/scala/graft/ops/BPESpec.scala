@@ -29,6 +29,21 @@ class BPESpec extends SparkSpec {
       (3, "aa", "ab", 2L)))
   }
 
+  test("BPE tokenize: learned merges collapse trained words to single " +
+    "subtokens; fertility reflects it") {
+    // merges capped at 3: (a,a), (a,b), (aa,ab) as traced above — the
+    // (x,y) pair (count 1) never wins a round. Both trained words then
+    // compress fully: aaab → [aaab], ab → [ab] → doc 1 has 3 words /
+    // 3 subtokens, fertility 1.0; doc 2's xy stays [x,y] (2) and z [z]
+    // (1) → fertility 1.5.
+    val df = docs((1L, "aaab ab aaab"), (2L, "xy z"))
+    val got = BPE.bpeTokenize(df, merges = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((2L, 3L, 1.5)))
+  }
+
   test("BPE ignores non-ASCII words and ties break lexicographically") {
     // "zz" and "yy" both count 2; (y,y) < (z,z) lexicographically → the
     // first merge must be (y,y). The unicode word must not contribute.
