@@ -140,6 +140,32 @@ object PQ {
       col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)
   }
 
+  /** PQ-encode a STREAM with codebooks trained on a static corpus: every
+    * subspace assignment is the [[KMeans.assignTrainedCells]] per-row
+    * `least(struct)` expression — no aggregation, so the encode is legal
+    * in an append-mode streaming plan. This is the ingest path of a PQ
+    * deployment: vectors arrive, codes leave, the index only ever stores
+    * M small ints per vector.
+    */
+  def streamingPqEncode(
+      probes: DataFrame, corpusDf: DataFrame, m: Int = M,
+      codes: Int = Codes, iters: Int = Iters): DataFrame = {
+    val subDim = KMeans.Dim / m
+    val mods = models(corpusDf, m, codes, iters)
+    val base = probes.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === KMeans.Dim)
+    val withSubs = (0 until m).foldLeft(base) { (df, s) =>
+      df.withColumn(s"__sub$s",
+        slice(col("embedding"), s * subDim + 1, subDim))
+    }
+    val encoded = mods.foldLeft(withSubs) { case (df, (s, model)) =>
+      KMeans.assignTrainedCells(df, model, embCol = s"__sub$s", dim = subDim)
+        .withColumnRenamed("cell", s"code_$s")
+    }
+    encoded.select(
+      col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)
+  }
+
   /** ADC top-k search: queries (vec_id < nQueries) score the encoded
     * corpus through their (subspace, code) → squared-distance lookup
     * tables. The LUT is nQueries·M·Codes rows — broadcast; the only

@@ -60,6 +60,31 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("streaming PQ encode assigns the same codes as the batch path " +
+    "(MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val df = corpus(64)
+    // batch truth for vector 7
+    val batch = PQ.pqEncode(df).filter(col("vec_id") === 7L).collect()(0)
+    val expected = (1 to PQ.M).map(batch.getInt)
+    val probeVec = df.filter(col("vec_id") === 7L)
+      .collect()(0).getSeq[Float](1)
+    val results = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = PQ.streamingPqEncode(mem.toDF().toDF("vec_id", "embedding"), df)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => results += (1 to PQ.M).map(r.getInt))
+      }
+      .start()
+    try {
+      mem.addData((700L, probeVec))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results.toSeq == Seq(expected))
+  }
+
   test("codebooks relation is M×Codes×SubDim rows with populated sizes") {
     val df = corpus(64)
     val cb = PQ.pqCodebooks(df).collect()
