@@ -372,6 +372,11 @@ object SparkEntry {
     // via ONE linear join against the merged vocabulary relation
     "q94_bpe_tokenize" -> ((s, dir) =>
       graft.ops.BPE.bpeTokenize(Tables.documents(s, dir))),
+    // IVF-PQ composed search: trained coarse cells bound the candidate
+    // scan, PQ lookup tables bound the per-candidate arithmetic — the
+    // FAISS-layout index, all-integer and hash-exact
+    "q95_ivf_pq_topk" -> ((s, dir) =>
+      PQ.ivfPqTopK(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -671,5 +676,6 @@ object SparkEntry {
     "q92_pq_adc_topk" -> PQ.pqAdcTopKSql(),
     "q93_bpe_merges" -> graft.ops.BPE.bpeMergesSql(),
     "q94_bpe_tokenize" -> graft.ops.BPE.bpeTokenizeSql(),
+    "q95_ivf_pq_topk" -> PQ.ivfPqTopKSql(),
   )
 }

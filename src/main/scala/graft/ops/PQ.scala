@@ -173,19 +173,20 @@ object PQ {
     * the corpus for a bounded query batch. All-integer arithmetic end to
     * end, so ranks (ties to the smaller neighbor_id) are engine-exact.
     */
-  def pqAdcTopK(
-      embeddings: DataFrame, nQueries: Int = 10, topK: Int = 5,
-      m: Int = M, codes: Int = Codes, iters: Int = Iters): DataFrame = {
+  /** Query LUT relation: exact fixed-point ||q_s − c||² per (query,
+    * subspace, code) — nQueries·M·Codes rows, always broadcast.
+    */
+  private def lutDf(
+      embeddings: DataFrame, nQueries: Int, m: Int, codes: Int,
+      iters: Int): DataFrame = {
     val spark = embeddings.sparkSession
     val subDim = KMeans.Dim / m
-    // codebook relation with the c·c term precomputed per code
     val cbRows = for {
       (s, model) <- models(embeddings, m, codes, iters)
       (code, cq) <- model
     } yield (s, code, cq.toSeq, cq.map(v => v * v).sum)
     val codebook = spark.createDataFrame(cbRows)
       .toDF("s", "code", "cq", "cc")
-    // query LUT: exact fixed-point ||q_s − c||² per (query, subspace, code)
     val queries = embeddings
       .filter(col("vec_id") < nQueries && col("embedding").isNotNull &&
         size(col("embedding")) === KMeans.Dim)
@@ -195,14 +196,24 @@ object PQ {
         KMeans.quantize(
           slice(col("embedding"), s * subDim + 1, subDim)).as("qx"))
     }.reduce(_ union _)
-    val lut = qSubs.join(codebook, "s")
+    qSubs.join(codebook, "s")
       .select(col("query_id"), col("s"), col("code"),
         (dotLong(col("qx"), col("qx")) - lit(2L) * dotLong(col("qx"), col("cq"))
           + col("cc")).as("ld"))
-    // encoded corpus in long format: (vec_id, s, code)
-    val enc = pqEncode(embeddings, m, codes, iters)
+  }
+
+  /** Encoded corpus in long format: (vec_id, s, code). */
+  private def encLong(
+      embeddings: DataFrame, m: Int, codes: Int, iters: Int): DataFrame =
+    pqEncode(embeddings, m, codes, iters)
       .select(col("vec_id"), posexplode(
         array((0 until m).map(s => col(s"code_$s")): _*)).as(Seq("s", "code")))
+
+  def pqAdcTopK(
+      embeddings: DataFrame, nQueries: Int = 10, topK: Int = 5,
+      m: Int = M, codes: Int = Codes, iters: Int = Iters): DataFrame = {
+    val lut = lutDf(embeddings, nQueries, m, codes, iters)
+    val enc = encLong(embeddings, m, codes, iters)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     enc.join(broadcast(lut), Seq("s", "code"))
@@ -212,6 +223,124 @@ object PQ {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ composed search (the FAISS-style billion-scale index layout:
+    * coarse inverted lists + PQ codes; Jégou et al. 2011 §V): queries
+    * route to their `nprobe` nearest TRAINED coarse cells (the q68/q69
+    * quantizer — shared through the session model registry), and only
+    * vectors in probed cells are ADC-scored through the PQ lookup tables.
+    * Non-residual variant (codes quantize the raw vectors, not the
+    * coarse residuals), stated plainly: residual encoding would need a
+    * second codebook family per coarse cell and buys accuracy, not
+    * scale shape — the shuffle/broadcast structure is identical.
+    *
+    * Scale shape: candidate volume drops from n to Σ probed-cell sizes
+    * (nprobe/k of the corpus on balanced cells); everything else is
+    * q92's bounded-LUT machinery. This is the operator a 100-TB corpus
+    * actually serves ANN from: cells bound the scan, codes bound the
+    * bytes.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame, nQueries: Int = 10, topK: Int = 5,
+      nprobe: Int = 2, kCoarse: Int = KMeans.K, m: Int = M,
+      codes: Int = Codes, iters: Int = Iters): DataFrame = {
+    val spark = embeddings.sparkSession
+    val coarse = KMeans.trainedModel(embeddings, kCoarse, iters)
+    val cells = KMeans.kmeansAssignments(embeddings, kCoarse, iters)
+      .withColumnRenamed("cluster", "cell")
+    val centDf = spark.createDataFrame(coarse.toSeq).toDF("cell", "cq")
+      .withColumn("cc", dotLong(col("cq"), col("cq")))
+    val queries = embeddings
+      .filter(col("vec_id") < nQueries && col("embedding").isNotNull &&
+        size(col("embedding")) === KMeans.Dim)
+      .select(col("vec_id").as("query_id"),
+        KMeans.quantize(col("embedding")).as("qx"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probed = queries.crossJoin(broadcast(centDf)) // k-row broadcast
+      .withColumn("cdist",
+        dotLong(col("qx"), col("qx")) - lit(2L) * dotLong(col("qx"), col("cq"))
+          + col("cc"))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val cands = probed.join(cells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val lut = lutDf(embeddings, nQueries, m, codes, iters)
+    val enc = encLong(embeddings, m, codes, iters)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    cands.join(enc, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("ld").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfPqTopKSql(
+      nQueries: Int = 10, topK: Int = 5, nprobe: Int = 2,
+      kCoarse: Int = KMeans.K, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters): String = {
+    val subDim = KMeans.Dim / m
+    val coarseChain = KMeans.kmeansCtesSql(kCoarse, iters, KMeans.Dim)
+    val subChains = (0 until m).map { s =>
+      KMeans.kmeansCtesSql(codes, iters, subDim, s"_s$s",
+        s"embedding[${s * subDim + 1}:${(s + 1) * subDim}]", KMeans.Dim)
+    }.mkString(",\n")
+    val encJoins = (1 until m)
+      .map(s => s"JOIN afinal_s$s a$s USING (vec_id)").mkString(" ")
+    val encCols = (0 until m).map(s => s"a$s.cluster AS code$s").mkString(", ")
+    val luts = (0 until m).map { s =>
+      // qx is the FULL quantized query — index each subspace at its offset
+      s"""lut$s AS (
+         |  SELECT q.query_id, c.cluster, CAST(list_sum(list_transform(
+         |    generate_series(1, $subDim),
+         |    i -> (q.qx[i + ${s * subDim}]-c.cq[i])*(q.qx[i + ${s * subDim}]-c.cq[i]))) AS BIGINT) AS ld
+         |  FROM qv q CROSS JOIN c${iters}_s$s c)""".stripMargin
+    }.mkString(",\n")
+    val lutJoins = (1 until m).map(s =>
+      s"JOIN lut$s l$s ON e.code$s = l$s.cluster AND l$s.query_id = c.query_id")
+      .mkString("\n  ")
+    val distSum = (0 until m).map(s => s"l$s.ld").mkString(" + ")
+    s"""WITH $coarseChain,
+       |$subChains,
+       |qv AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qx
+       |  FROM embeddings
+       |  WHERE vec_id < $nQueries AND embedding IS NOT NULL
+       |    AND len(embedding) = ${KMeans.Dim}),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cluster AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, ${KMeans.Dim}),
+       |          i -> (q.qx[i]-c.cq[i])*(q.qx[i]-c.cq[i]))), c.cluster) AS rn
+       |    FROM qv q CROSS JOIN c$iters c) WHERE rn <= $nprobe),
+       |cands AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probed p JOIN afinal a ON a.cluster = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |enc AS (
+       |  SELECT a0.vec_id, $encCols
+       |  FROM afinal_s0 a0 $encJoins),
+       |$luts,
+       |adc AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    CAST($distSum AS BIGINT) AS adc_dist
+       |  FROM cands c JOIN enc e USING (vec_id)
+       |  JOIN lut0 l0 ON e.code0 = l0.cluster AND l0.query_id = c.query_id
+       |  $lutJoins)
+       |SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+       |      FROM adc)
+       |WHERE rn <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
   def pqAdcTopKSql(

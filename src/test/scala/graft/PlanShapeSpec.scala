@@ -254,4 +254,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("IVF-PQ (q95): cell routing and LUT scoring are hash joins; the " +
+    "only nested loop is the k-row centroid broadcast") {
+    val p = plan("q95_ivf_pq_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one BNLJ: queries × k coarse centroids (bounded by
+    // construction) — a second one would mean a corpus-sized nested loop
+    assert(countOf(p, "BroadcastNestedLoopJoin") == 1, p)
+  }
 }

@@ -85,6 +85,23 @@ class PQSpec extends SparkSpec {
     assert(results.toSeq == Seq(expected))
   }
 
+  test("IVF-PQ: every served neighbor lives in one of the query's nprobe " +
+    "coarse cells, ranks dense from 1") {
+    val df = corpus(64)
+    val cells = KMeans.trainedCells(df)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = PQ.ivfPqTopK(df, nQueries = 4, topK = 3, nprobe = 2)
+      .collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+      // candidate set honors the routing: with nprobe=2 of 8 cells, at
+      // most 2 distinct coarse cells appear among a query's neighbors
+      val nCells = rows.map(r => cells(r.getLong(1))).distinct
+      assert(nCells.length <= 2, s"query $q scored cells $nCells")
+    }
+  }
+
   test("codebooks relation is M×Codes×SubDim rows with populated sizes") {
     val df = corpus(64)
     val cb = PQ.pqCodebooks(df).collect()
