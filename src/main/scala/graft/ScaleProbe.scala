@@ -221,6 +221,8 @@ object ScaleProbe {
       // all linear in the corpus for a bounded query batch
       time(s"$label pq_adc_topk")(
         graft.ops.PQ.pqAdcTopK(emb).count())
+      time(s"$label ivf_pq_topk")(
+        graft.ops.PQ.ivfPqTopK(emb).count())
       if (mult == 10) {
         val evts =
           if (label == "1x") graft.sources.Tables.events(spark, dir)
