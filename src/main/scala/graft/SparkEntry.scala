@@ -127,8 +127,10 @@ object SparkEntry {
     "q35_sliding_activity" -> ((s, dir) =>
       graft.streaming.WindowedAggs.slidingActivity(ev(s, dir))
         .orderBy("window_start")),
-    // similarity search: IVF coarse-quantizer ANN (centroid routing, nprobe=1)
-    "q36_ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    // similarity search: IVF coarse-quantizer ANN (centroid routing,
+    // nprobe=1) — cells composite-split so their COUNT scales with the
+    // corpus (per-cell work flat; the r6-measured superlinearity fix)
+    "q36_ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir))),
     // the curation endpoint: near-dup connected components → keep-list
     "q37_dedup_keeplist" -> ((s, dir) => NearDup.dedupKeepList(Tables.documents(s, dir))),
     // df-capped inverted index — the hot-key escalation for q32
@@ -167,15 +169,16 @@ object SparkEntry {
     // IVF with multi-cell probing (nprobe=2) — the standard recall/cost
     // dial; same equi-join plan shape as q36, candidates scale with nprobe
     "q44_ann_ivf_nprobe" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
+      Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir), nprobe = 2)),
     // TPC-H Q5 shape: two dimension paths meet at the fact (local-supplier
     // revenue); exercises the supplier table + date pushdown + region prune
     "q45_local_supplier_revenue" -> ((s, dir) =>
       Analytics.localSupplierRevenue(s, dir)),
-    // composite IVF cells (label × 2^2 LSH sub-buckets) — the multi-index
-    // remedy for cell-count scaling measured in graft.ScaleProbe
+    // fine-grained composite IVF cells — the same adaptive split as q36 at
+    // a 32× tighter cell budget (2 extra planes at any volume; at the
+    // verification corpus this is exactly label × 2^2 sub-buckets)
     "q46_ann_ivf_subbucket" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), subPlanes = 2)),
+      Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir), budget = 125L)),
     // incremental corpus dedup: deterministic Bloom gate — history builds a
     // fixed-size broadcastable bitmap, the new batch probes it (no
     // re-shuffle of history per batch); collision behavior oracle-exact
@@ -257,9 +260,10 @@ object SparkEntry {
     "q68_kmeans_centroids" -> ((s, dir) =>
       graft.ops.KMeans.kmeansCentroids(Tables.embeddings(s, dir))),
     // the full ANN loop: k-means-trained quantizer routes the IVF search
-    // (q36's plan shape with LEARNED cells instead of the label column)
+    // (q36's plan shape with LEARNED cells instead of the label column);
+    // centroid count k ∝ √n so search join and assignment balance at n^1.5
     "q69_ann_ivf_trained" -> ((s, dir) =>
-      graft.ops.KMeans.ivfTopKTrained(Tables.embeddings(s, dir))),
+      graft.ops.KMeans.ivfTopKTrainedAdaptive(Tables.embeddings(s, dir))),
     // the stream-stream interval join, batch-run (watermarks are no-ops):
     // purchase↔view pairs per user within the 30-min horizon
     "q70_stream_attribution" -> ((s, dir) =>
@@ -566,7 +570,7 @@ object SparkEntry {
     // q35 intentionally has no oracle: approx_count_distinct is a sketch
     // (HLL++) that DuckDB cannot reproduce bit-for-bit; the driver records
     // the weaker rows-only check for it.
-    "q36_ann_ivf_topk" -> Similarity.ivfTopKSql(),
+    "q36_ann_ivf_topk" -> Similarity.ivfTopKAdaptiveSql(),
     "q37_dedup_keeplist" -> NearDup.dedupKeepListSql,
     "q38_ngram_jaccard_capped" -> NearDup.ngramJaccardPairsCappedSql(),
     "q33_migrate_defaults" ->
@@ -611,7 +615,7 @@ object SparkEntry {
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q42_embedding_neardup_lsh" -> Similarity.embeddingNearDupsApproxSql(),
     "q43_sliding_exact" -> graft.streaming.WindowedAggs.slidingActivityExactSql,
-    "q44_ann_ivf_nprobe" -> Similarity.ivfTopKSql(nprobe = 2),
+    "q44_ann_ivf_nprobe" -> Similarity.ivfTopKAdaptiveSql(nprobe = 2),
     "q45_local_supplier_revenue" ->
       s"""SELECT n_name AS nation_name,
          |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
@@ -626,7 +630,7 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, nation_name""".stripMargin,
-    "q46_ann_ivf_subbucket" -> Similarity.ivfTopKSql(subPlanes = 2),
+    "q46_ann_ivf_subbucket" -> Similarity.ivfTopKAdaptiveSql(budget = 125L),
     "q47_bloom_new_docs" -> Bloom.bloomNewDocsSql,
     "q48_gap_sessions" -> Sessionize.gapSessionsSql,
     "q49_view_attribution" -> Sessionize.viewAttributionSql,
@@ -650,7 +654,7 @@ object SparkEntry {
     "q66_ngram_containment" -> NearDup.ngramContainmentSql(),
     "q67_incremental_hourly" -> graft.ops.Incremental.incrementalHourlySql(enrichedSql),
     "q68_kmeans_centroids" -> graft.ops.KMeans.kmeansCentroidsSql(),
-    "q69_ann_ivf_trained" -> graft.ops.KMeans.ivfTopKTrainedSql(),
+    "q69_ann_ivf_trained" -> graft.ops.KMeans.ivfTopKTrainedAdaptiveSql(),
     "q70_stream_attribution" -> graft.streaming.Joins.attributionSql(),
     "q71_attribution_outer" -> graft.streaming.Joins.attributionOuterSql(),
     "q72_embedding_keeplist" -> Similarity.embeddingKeepListSql,

@@ -40,6 +40,18 @@ object KMeans {
   val K = 8
   val Iters = 2
 
+  /** Training-sample cap: Lloyd's iterations run on the `TrainCap` vectors
+    * with the smallest `md5("km|" ++ vec_id)` (the same deterministic
+    * hash-order the seeds come from, so seeds ⊂ sample by construction),
+    * and only the FINAL assignment touches the full corpus — standard
+    * bounded-sample quantizer training (FAISS practice recommends
+    * ~39–256 training points per centroid; 4096 is 512× k=8). Training
+    * cost is therefore independent of corpus size. At the verification
+    * volume (n ≤ cap) the sample IS the corpus, so the learned model —
+    * and every oracle hash downstream — is unchanged there.
+    */
+  val TrainCap = 4096
+
   /** floor(x·1e6) per element — the QuantizedDot fixed-point convention. */
   private[ops] def quantize(emb: org.apache.spark.sql.Column) =
     transform(emb, x => floor(x.cast("double") * 1e6).cast("long"))
@@ -111,14 +123,30 @@ object KMeans {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
     Array[(Int, Array[Long])]]()
 
+  /** The md5-prefix training sample: first [[TrainCap]] vectors in the
+    * seed hash order, eagerly materialized (localCheckpoint) so every
+    * Lloyd's pass reads ~cap·dim longs of local blocks instead of
+    * re-running the TakeOrdered; repartitioned back out because the
+    * top-cap collapses to one partition.
+    */
+  private def trainingSample(xq: DataFrame): DataFrame =
+    xq.select(col("vec_id"), col("xq"), col("xx"),
+        md5(concat(lit("km|"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(TrainCap)
+      .drop("h")
+      .repartition(col("vec_id"))
+      .localCheckpoint()
+
   private def trainModel(
       embeddings: DataFrame, k: Int, iters: Int,
       dim: Int = Dim): Array[(Int, Array[Long])] = {
     val xq = corpus(embeddings, dim)
-    var cents = seedCentroids(xq, k)
+    val sample = trainingSample(xq)
+    xq.unpersist() // one pass built the sample; iterations read its blocks
+    var cents = seedCentroids(sample, k)
     for (_ <- 0 until iters)
-      cents = updateCentroids(xq, assign(xq, cents), cents, dim)
-    xq.unpersist()
+      cents = updateCentroids(sample, assign(sample, cents), cents, dim)
     cents
   }
 
@@ -360,31 +388,35 @@ object KMeans {
         Similarity.dot(col("emb_p"), col("emb_n")).as("cosine"))
   }
 
-  /** The shared DuckDB CTE chain (xq → c0 → a1/c1 → … → afinal): the same
-    * unrolled Lloyd's iterations feed both the model dump (q68) and the
-    * trained-IVF search (q69), so the two oracles cannot drift.
-    */
-  /** The unrolled-Lloyd's CTE chain. `prefix` namespaces every CTE (so a
-    * PQ oracle can instantiate one chain per subspace in a single WITH),
-    * `embExpr` is the trained vector expression (e.g. a slice
+  /** The shared unrolled-Lloyd's DuckDB CTE chain (xq → xs → c0 → a1/c1 →
+    * … → afinal): one chain feeds the model dump (q68), the trained-IVF
+    * search (q69), the serving assignment (q76), the curation ops
+    * (q86/q87) and — instantiated per subspace — the PQ oracles, so none
+    * of those oracles can drift from each other. `prefix` namespaces every
+    * CTE (a PQ oracle instantiates one chain per subspace in a single
+    * WITH), `embExpr` is the trained vector expression (e.g. a slice
     * `embedding[17:32]` for a PQ subspace) and `validDim` the length the
     * FULL stored vector must have to participate (malformed-vector
     * filtering is decided on the whole embedding, so every subspace
-    * includes exactly the same vectors).
+    * includes exactly the same vectors). Training iterations run over the
+    * `xs` md5-prefix sample (first [[TrainCap]] vectors in seed-hash
+    * order, the engine's [[trainingSample]]); `afinal` assigns the FULL
+    * corpus through the trained centroids.
     */
   def kmeansCtesSql(
       k: Int = K, iters: Int = Iters, dim: Int = Dim,
       prefix: String = "", embExpr: String = "embedding",
-      validDim: Int = -1): String = {
+      validDim: Int = -1, cap: Int = TrainCap, kExpr: String = null): String = {
     val p = prefix
     val vd = if (validDim < 0) dim else validDim
-    def assignSql(cents: String) =
+    val kSql = Option(kExpr).getOrElse(k.toString)
+    def assignSql(cents: String, src: String) =
       s"""SELECT vec_id, cluster FROM (
          |  SELECT x.vec_id, c.cluster,
          |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
          |      list_sum(list_transform(generate_series(1, $dim),
          |        i -> (x.xq[i]-c.cq[i])*(x.xq[i]-c.cq[i]))), c.cluster) AS rn
-         |  FROM xq$p x CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+         |  FROM $src x CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
     def updateSql(assigned: String, prev: String) =
       s"""SELECT p.cluster, COALESCE(u.cq, p.cq) AS cq FROM $prev p LEFT JOIN (
          |  SELECT cluster, list(cq ORDER BY dim) AS cq FROM (
@@ -392,26 +424,29 @@ object KMeans {
          |      CAST(floor(CAST(SUM(v) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cq
          |    FROM (SELECT a.cluster, unnest(x.xq) AS v,
          |            unnest(generate_series(1, len(x.xq))) AS dim
-         |          FROM $assigned a JOIN xq$p x USING (vec_id))
+         |          FROM $assigned a JOIN xs$p x USING (vec_id))
          |    GROUP BY cluster, dim)
          |  GROUP BY cluster) u ON p.cluster = u.cluster""".stripMargin
     val iterCtes = (1 to iters).map { i =>
       val prev = if (i == 1) s"c0$p" else s"c${i - 1}$p"
-      s"""a$i$p AS (${assignSql(prev)}),
+      s"""a$i$p AS (${assignSql(prev, s"xs$p")}),
          |c$i$p AS (${updateSql(s"a$i$p", prev)})""".stripMargin
     }.mkString(",\n")
     s"""xq$p AS (
        |  SELECT vec_id, list_transform($embExpr,
        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS xq
        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $vd),
+       |xs$p AS (
+       |  SELECT vec_id, xq FROM xq$p
+       |  ORDER BY md5('km|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $cap),
        |c0$p AS (
        |  SELECT cluster, cq FROM (
        |    SELECT CAST(row_number() OVER (
        |        ORDER BY md5('km|' || CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1
        |      AS cluster, xq AS cq
-       |    FROM xq$p) WHERE cluster < $k),
+       |    FROM xs$p) WHERE cluster < $kSql),
        |$iterCtes,
-       |afinal$p AS (${assignSql(s"c$iters$p")})""".stripMargin
+       |afinal$p AS (${assignSql(s"c$iters$p", s"xq$p")})""".stripMargin
   }
 
   def kmeansCentroidsSql(k: Int = K, iters: Int = Iters, dim: Int = Dim): String =
@@ -451,7 +486,46 @@ object KMeans {
 
   def ivfTopKTrainedSql(
       topK: Int = 3, k: Int = K, iters: Int = Iters, dim: Int = Dim): String =
-    s"""WITH ${kmeansCtesSql(k, iters, dim)},
+    trainedSearchSql(kmeansCtesSql(k, iters, dim), topK)
+
+  /** Adaptive centroid count for corpus-scaling trained-IVF search: the
+    * smallest power-of-two k with K·k² ≥ n, i.e. k ≈ √(n/K) — so the
+    * in-cell search join (n²/k candidate pairs) and the full-corpus
+    * assignment (n·k distance evaluations) BOTH grow as n^1.5, the
+    * balanced coarse-quantizer sizing (FAISS guidelines recommend
+    * k ∝ √n). Integer-only search (no float log/sqrt edge), mirrored
+    * verbatim in [[adaptiveKCteSql]]. At the verification volume
+    * (n ≤ K·K² = 512) this returns K, so the trained model — and q68/q76,
+    * which stay fixed-k as pinned-model fixtures — is unchanged there.
+    */
+  def adaptiveK(n: Long): Int =
+    (3 to 16).map(1 << _).find(kk => K.toLong * kk * kk >= n).getOrElse(1 << 16)
+
+  /** [[adaptiveK]] as a one-row DuckDB CTE (`kk`). */
+  def adaptiveKCteSql: String =
+    s"""kk AS (
+       |  SELECT GREATEST($K, COALESCE(MIN(CAST(1 AS BIGINT) << t.j), 65536)) AS kk
+       |  FROM generate_series(3, 16) t(j), (SELECT COUNT(*) AS n FROM embeddings) nr
+       |  WHERE $K * (CAST(1 AS BIGINT) << t.j) * (CAST(1 AS BIGINT) << t.j) >= nr.n)""".stripMargin
+
+  /** The registered trained-IVF entry point: [[ivfTopKTrained]] with the
+    * centroid count derived from the corpus size ([[adaptiveK]]), so the
+    * search join's per-cell population shrinks as the corpus grows
+    * instead of the cell count being a fixed constant of the model.
+    */
+  def ivfTopKTrainedAdaptive(
+      embeddings: DataFrame, topK: Int = 3, iters: Int = Iters): DataFrame =
+    ivfTopKTrained(embeddings, topK, adaptiveK(embeddings.count()), iters)
+
+  def ivfTopKTrainedAdaptiveSql(
+      topK: Int = 3, iters: Int = Iters, dim: Int = Dim): String =
+    trainedSearchSql(
+      adaptiveKCteSql + ",\n" +
+        kmeansCtesSql(K, iters, dim, kExpr = "(SELECT kk FROM kk)"),
+      topK)
+
+  private def trainedSearchSql(ctes: String, topK: Int): String =
+    s"""WITH $ctes,
        |search AS (
        |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
        |    ${Similarity.dotSql("ea.embedding", "eb.embedding")} AS cosine

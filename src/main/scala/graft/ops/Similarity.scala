@@ -40,6 +40,19 @@ object Similarity {
   /** Near-duplicate cosine threshold. */
   val CosineThreshold = 0.45
 
+  /** Adaptive-IVF cell-size budget: sub-bucketing splits every label cell
+    * in two each time the corpus doubles past `CellBudget` vectors, so the
+    * per-cell population — and with it the Σ cell² in-cell join cost —
+    * stays bounded as the corpus grows (measured: label-only cells are
+    * 13–16× superlinear at 10× data; see [[adaptiveSubPlanes]]).
+    */
+  val CellBudget = 4000L
+
+  /** Upper bound on adaptive sub-planes (2^16 sub-buckets per label ≈
+    * 262M-vector corpora at the default budget — far past this sandbox).
+    */
+  val MaxSubPlanes = 16
+
   /** Deterministic ±1 hyperplane coefficients: sign = parity of the first
     * md5 byte of "plane_j|d". Public-knowledge construction (sign random
     * projections, Charikar 2002), reproducible anywhere md5 exists.
@@ -385,6 +398,78 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** Sub-plane count that keeps expected cell population ≤ `budget`:
+    * the smallest p with n ≤ budget·2^p. Cell count then scales ∝ n
+    * (fixed cell size), so the in-cell equi-join's Σ cell² work grows
+    * LINEARLY with the corpus instead of quadratically — the property the
+    * label-only seeding lacks. Integer arithmetic only (no log2 float
+    * edge at exact powers of two), mirrored verbatim in the oracle.
+    */
+  def adaptiveSubPlanes(n: Long, budget: Long = CellBudget): Int =
+    (0 to MaxSubPlanes).find(p => n <= budget * (1L << p)).getOrElse(MaxSubPlanes)
+
+  /** The registered IVF entry point: label cells composite-split into
+    * 2^p LSH sub-buckets with p derived from the CORPUS SIZE
+    * ([[adaptiveSubPlanes]]) — at the verification volume (n ≤ budget)
+    * p = 0 and this IS the label-seeded search, while every doubling past
+    * the budget doubles the cell count, holding per-cell work flat. The
+    * one extra job is a count() (parquet metadata scan); the search plan
+    * is [[ivfTopK]] unchanged.
+    */
+  def ivfTopKAdaptive(
+      embeddings: DataFrame, k: Int = 3, nprobe: Int = 1,
+      budget: Long = CellBudget): DataFrame =
+    ivfTopK(embeddings, k, nprobe,
+      adaptiveSubPlanes(embeddings.count(), budget))
+
+  /** Oracle for [[ivfTopKAdaptive]]: p is computed IN SQL from COUNT(*)
+    * with the same integer search, and the composite cell key is
+    * `label || '|' || substr(bits16, 1, p)` — the p-bit prefix of the
+    * [[MaxSubPlanes]]-bit signature ([[planeSignsFor]] is prefix-stable),
+    * identical to the engine's p-plane bucket for every p.
+    */
+  def ivfTopKAdaptiveSql(
+      k: Int = 3, nprobe: Int = 1, budget: Long = CellBudget): String = {
+    val bits16 = planeSignsFor(MaxSubPlanes).map { signs =>
+      val arr = signs.mkString("[", ",", "]")
+      val d = graft.functions.QuantizedDot.dotq6Sql("q.embedding", arr)
+      s"(CASE WHEN $d >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val cellExpr =
+      s"CAST(c.clabel AS VARCHAR) || '|' || substr($bits16, 1, (SELECT p FROM pl))"
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |pl AS (
+       |  SELECT COALESCE(MIN(t.p), $MaxSubPlanes) AS p
+       |  FROM generate_series(0, $MaxSubPlanes) t(p), (SELECT COUNT(*) AS n FROM embeddings) nr
+       |  WHERE nr.n <= $budget * (CAST(1 AS BIGINT) << t.p)),
+       |cend AS (
+       |  SELECT label AS clabel, i AS pos, SUM(qv[i]) AS s, COUNT(*) AS n
+       |  FROM (SELECT e.label, q.qv FROM embeddings e JOIN q ON e.vec_id = q.vec_id),
+       |    unnest(generate_series(1, len(qv))) AS t(i)
+       |  GROUP BY 1, 2),
+       |cen AS (SELECT clabel, list(s ORDER BY pos) AS cs, any_value(n) AS n FROM cend GROUP BY clabel),
+       |assigned AS (
+       |  SELECT vec_id, cell, rn FROM (
+       |    SELECT q.vec_id, $cellExpr AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        (CAST(list_sum(list_transform(list_zip(q.qv, c.cs), x -> x[1]*x[2])) AS DOUBLE) / c.n) DESC,
+       |        c.clabel) AS rn
+       |    FROM q, cen c) WHERE rn <= $nprobe),
+       |wc_q AS (SELECT q.vec_id, q.embedding, a.cell FROM q JOIN assigned a ON q.vec_id = a.vec_id),
+       |wc_c AS (SELECT q.vec_id, q.embedding, a.cell FROM q JOIN assigned a
+       |  ON q.vec_id = a.vec_id AND a.rn = 1)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("a.embedding", "b.embedding")} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${dotSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rank
+       |  FROM wc_q a JOIN wc_c b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   def ivfTopKSql(k: Int = 3, nprobe: Int = 1, subPlanes: Int = 0): String = {
