@@ -239,6 +239,14 @@ object ScaleProbe {
         time(s"$label ngram_containment")(
           graft.ops.NearDup.ngramContainment(docs).count())
         time(s"$label vocab_oov")(graft.ops.TextAnalysis.vocabOov(docs).count())
+        // incremental-BPE contract: pair counts are maintained, so a merge
+        // step costs O(affected words), shrinking as the vocab converges —
+        // 256 merges must NOT cost 256× one full-recount step (the r6
+        // full-recount form would; 6-merge time anchors the comparison)
+        time(s"$label bpe_merges=6")(graft.ops.BPE.bpeMerges(docs).count())
+        if (label != "1x")
+          time(s"$label bpe_merges=256")(
+            graft.ops.BPE.bpeMerges(docs, merges = 256).count())
         if (label != "1x") {
           // the remedies for fixed bucket/cell counts: scale the plane count
           // with the corpus (16 → 128 buckets), and multiply IVF cells by

@@ -65,17 +65,56 @@ object BPE {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
         .otherwise(concat(acc, array(x))))
 
-  /** Train `merges` BPE merges; returns the learned merge table
-    * (step, p1, p2, pair_count), one row per performed merge.
+  /** Release a localCheckpoint'ed relation's blocks: the checkpoint is a
+    * lineage-truncated [[org.apache.spark.sql.execution.LogicalRDD]], so
+    * once no live DataFrame reads it, unpersisting the RDD frees the
+    * blocks immediately instead of waiting for the ContextCleaner.
     */
-  def bpeMerges(documents: DataFrame, merges: Int = Merges): DataFrame = {
-    val spark = documents.sparkSession
-    var v = vocab(documents).cache()
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
+  /** `exists i: syms[i] = p1 ∧ syms[i+1] = p2` — the words whose symbol
+    * sequence [[applyMerge]] would change. Guarded on size ≥ 2 because
+    * Spark's `sequence(1, 0)` counts DOWN (and index 0 is illegal).
+    */
+  private def containsPair(syms: Column, p1: String, p2: String): Column =
+    size(syms) >= 2 && exists(
+      sequence(lit(1), size(syms) - 1),
+      i => element_at(syms, i) === p1 && element_at(syms, i + 1) === p2)
+
+  /** The incremental BPE trainer: pair counts are MAINTAINED, not
+    * recounted. Only words containing the just-merged pair adjacently
+    * change under [[applyMerge]], so each iteration (the standard
+    * incremental-BPE optimization):
+    *  - subtracts the affected words' old pair contributions and adds
+    *    their re-merged ones (exact integer deltas — the maintained
+    *    relation equals a full recount bit-for-bit, which q93/q94's
+    *    full-recount oracles verify);
+    *  - rewrites the vocabulary as unaffected ∪ re-merged (a narrow
+    *    filter + union; the explode/shuffle pair-count work touches
+    *    ONLY the affected words, whose number shrinks as the
+    *    vocabulary converges — late-stage merges touch a handful of
+    *    words instead of the whole vocab).
+    * Per-iteration retention is one vocab + one counts checkpoint; the
+    * previous iteration's blocks are released explicitly.
+    *
+    * Returns (merge table, final vocabulary) so appliers reuse the
+    * already-merged vocabulary relation instead of retraining
+    * ([[bpeTokenize]]). Callers that don't consume the vocabulary must
+    * [[releaseCheckpoint]] it.
+    */
+  private[ops] def trainBpe(
+      documents: DataFrame,
+      merges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var v = vocab(documents).localCheckpoint()
+    var counts = pairCounts(v).localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
-      val best = pairCounts(v)
+      val best = counts
         .orderBy(col("pair_count").desc, col("p1"), col("p2"))
         .limit(1).collect()
       if (best.isEmpty) exhausted = true // single-symbol vocab: no pairs left
@@ -83,15 +122,36 @@ object BPE {
         val (p1, p2, n) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         learned += ((step, p1, p2, n))
-        val next = v.withColumn("syms", applyMerge(col("syms"), p1, p2))
-          .localCheckpoint() // truncate the per-iteration fold lineage
-        v.unpersist()
-        v = next
+        val hit = containsPair(col("syms"), p1, p2)
+        val affected = v.filter(hit)
+        val merged = affected.withColumn("syms", applyMerge(col("syms"), p1, p2))
+        val nextV = v.filter(!hit).union(merged).localCheckpoint()
+        val delta = pairCounts(merged).union(
+          pairCounts(affected).select(col("p1"), col("p2"),
+            (-col("pair_count")).as("pair_count")))
+        val nextCounts = counts.union(delta)
+          .groupBy("p1", "p2").agg(sum("pair_count").as("pair_count"))
+          .filter(col("pair_count") > 0)
+          .localCheckpoint()
+        releaseCheckpoint(v)
+        releaseCheckpoint(counts)
+        v = nextV
+        counts = nextCounts
       }
       step += 1
     }
-    v.unpersist()
-    spark.createDataFrame(learned.toSeq)
+    releaseCheckpoint(counts)
+    (learned.toSeq, v)
+  }
+
+  /** Train `merges` BPE merges; returns the learned merge table
+    * (step, p1, p2, pair_count), one row per performed merge.
+    */
+  def bpeMerges(documents: DataFrame, merges: Int = Merges): DataFrame = {
+    val spark = documents.sparkSession
+    val (learned, finalVocab) = trainBpe(documents, merges)
+    releaseCheckpoint(finalVocab) // merge table is driver-side already
+    spark.createDataFrame(learned)
       .toDF("step", "p1", "p2", "pair_count")
       .orderBy("step")
   }
@@ -158,11 +218,13 @@ object BPE {
     * one linear join however many merges were trained.
     */
   def bpeTokenize(documents: DataFrame, merges: Int = Merges): DataFrame = {
-    val table = bpeMerges(documents, merges).collect()
-    val finalVocab = table.foldLeft(vocab(documents)) { (df, r) =>
-      df.withColumn("syms", applyMerge(col("syms"),
-        r.getString(1), r.getString(2)))
-    }.select(col("word"), size(col("syms")).cast("long").as("ns"))
+    // the trainer already materialized the fully-merged vocabulary —
+    // reuse it instead of re-running every merge over a fresh vocab (its
+    // checkpoint blocks back this query's plan, released by the
+    // ContextCleaner when the result is dropped)
+    val (_, trainedVocab) = trainBpe(documents, merges)
+    val finalVocab = trainedVocab
+      .select(col("word"), size(col("syms")).cast("long").as("ns"))
     val words = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(filter(
