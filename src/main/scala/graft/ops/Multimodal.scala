@@ -328,11 +328,22 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Metadata-only projection of [[mediaFeatures]] that a SQL oracle can
-    * mirror (payload length is text length for the UTF-8 stub payloads).
+  /** Metadata-only projection that a SQL oracle can mirror (payload
+    * length is text length for the UTF-8 stub payloads; the codecs fall
+    * back to raw bytes on text payloads, so decoded length ≡ payload
+    * length here). Computed from the media RELATION, not through
+    * [[extractFeatures]]: the typed mapPartitions decode is opaque to
+    * Catalyst, so routing a meta-only projection through it would decode
+    * every payload (ImageIO/WAV/Y4M parse attempts per row) for three
+    * scalar columns — measured 13× growth at 10× corpus. This is manual
+    * column pruning at the operator boundary: decode only on the paths
+    * whose ANSWER needs decoded bytes ([[mediaFeatures]], q75/q79/q85).
     */
   def mediaFeaturesMeta(documents: DataFrame): DataFrame =
-    mediaFeatures(documents).select("media_id", "kind", "n_bytes")
+    mediaFromDocuments(documents)
+      .select(col("media_id"), col("kind"),
+        length(col("content")).cast("int").as("n_bytes"))
+      .orderBy("media_id")
 
   def mediaFeaturesMetaSql: String =
     """SELECT doc_id AS media_id,
