@@ -208,6 +208,11 @@ object ScaleProbe {
           graft.ops.KMeans.semanticDedup(emb, k = 64).count())
       time(s"$label winnowing_overlap")(
         graft.ops.TextAnalysis.winnowingOverlap(docs).count())
+      // the linear-output default (q96): same pair aggregation, but the
+      // rank ≤ m WindowGroupLimit keeps m partners per doc — output m·n
+      // instead of the cluster-quadratic pair relation
+      time(s"$label winnowing_top_partners")(
+        graft.ops.TextAnalysis.winnowingTopPartners(docs).count())
       // round-6 linear text ops: duplicated-span coverage (gram-hash agg +
       // linear join + per-doc interval merge) and the bigram LM score
       // (two vocab-sized aggs + linear stream joins) — both must grow

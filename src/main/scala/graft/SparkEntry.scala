@@ -381,6 +381,11 @@ object SparkEntry {
     // FAISS-layout index, all-integer and hash-exact
     "q95_ivf_pq_topk" -> ((s, dir) =>
       PQ.ivfPqTopK(Tables.embeddings(s, dir))),
+    // winnowing overlap, corpus-scale default: top-m partners per doc
+    // (WindowGroupLimit-bounded output — linear in n however clustered
+    // the corpus; q83's full pair relation stays as the verifier)
+    "q96_winnowing_top_partners" -> ((s, dir) =>
+      TextAnalysis.winnowingTopPartners(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -681,5 +686,6 @@ object SparkEntry {
     "q93_bpe_merges" -> graft.ops.BPE.bpeMergesSql(),
     "q94_bpe_tokenize" -> graft.ops.BPE.bpeTokenizeSql(),
     "q95_ivf_pq_topk" -> PQ.ivfPqTopKSql(),
+    "q96_winnowing_top_partners" -> TextAnalysis.winnowingTopPartnersSql(),
   )
 }

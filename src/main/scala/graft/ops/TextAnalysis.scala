@@ -518,7 +518,17 @@ object TextAnalysis {
     */
   def winnowingOverlap(
       documents: DataFrame, k: Int = 5, w: Int = 4,
-      minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+      minShared: Int = 2, maxDf: Int = 100): DataFrame =
+    overlapPairs(documents, k, w, minShared, maxDf)
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared pair machinery for [[winnowingOverlap]] (q83, the full pair
+    * relation — the verifier) and [[winnowingTopPartners]] (q96, the
+    * corpus-scale default whose OUTPUT is linear).
+    */
+  private def overlapPairs(
+      documents: DataFrame, k: Int, w: Int,
+      minShared: Int, maxDf: Int): DataFrame = {
     // cache: the fingerprint pipeline (tokenize + per-gram md5 + window
     // minima) feeds the hot-df aggregate AND both sides of the posting
     // self-join — without it the expensive pass runs up to three times
@@ -540,8 +550,58 @@ object TextAnalysis {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_fps"))
       .filter(col("n_shared_fps") >= minShared)
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Per-document top-`m` overlap partners — the corpus-wide DEFAULT form
+    * of winnowing overlap. On a clustered corpus the full pair relation
+    * (q83) is itself quadratic in cluster size — the pairs ARE the answer
+    * there, which is the right verifier but the wrong default output at
+    * scale. Ranking partners per document and keeping `m` bounds the
+    * output at m·n rows however clustered the corpus is.
+    *
+    * Plan shape: the pair aggregation is unchanged; each pair then feeds
+    * BOTH endpoints' rankings (a two-way projection union, no re-join),
+    * and the rank ≤ m filter lowers to WindowGroupLimit — every task keeps
+    * an m-bounded heap per doc_id before the single window exchange, so
+    * the full pair relation is never sorted or materialized downstream.
+    */
+  def winnowingTopPartners(
+      documents: DataFrame, k: Int = 5, w: Int = 4, m: Int = 3,
+      minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = overlapPairs(documents, k, w, minShared, maxDf)
+    val both = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner_id"),
+        col("n_shared_fps"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("partner_id"), col("n_shared_fps")))
+    val rw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_shared_fps").desc, col("partner_id"))
+    both
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= m)
+      .orderBy("doc_id", "rank")
+  }
+
+  def winnowingTopPartnersSql(
+      k: Int = 5, w: Int = 4, m: Int = 3,
+      minShared: Int = 2, maxDf: Int = 100): String =
+    s"""WITH wfp AS (${winnowingFingerprintsSql(k, w).replace("ORDER BY doc_id, pos", "")}),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= $maxDf),
+       |pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fps
+       |  FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minShared),
+       |dirs AS (
+       |  SELECT doc_a AS doc_id, doc_b AS partner_id, n_shared_fps FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, n_shared_fps FROM pairs)
+       |SELECT doc_id, partner_id, n_shared_fps, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY n_shared_fps DESC, partner_id) AS rn FROM dirs)
+       |WHERE rn <= $m ORDER BY doc_id, rank""".stripMargin
 
   def winnowingOverlapSql(
       k: Int = 5, w: Int = 4, minShared: Int = 2, maxDf: Int = 100): String =

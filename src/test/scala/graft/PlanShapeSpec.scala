@@ -255,6 +255,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("winnowing top partners (q96) rank-limits map-side " +
+    "(WindowGroupLimit) and joins postings by key") {
+    // the linear-output contract: the full pair relation must never be
+    // sorted/materialized — rank ≤ m keeps an m-bounded heap per doc
+    // before the single window exchange
+    val p = plan("q96_winnowing_top_partners")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("IVF-PQ (q95): cell routing and LUT scoring are hash joins; the " +
     "only nested loop is the k-row centroid broadcast") {
     val p = plan("q95_ivf_pq_topk")
