@@ -12,8 +12,12 @@ final case class DatabaseConfig(
     user: String = "spark_user",
     password: String = "spark_password",
     batchSize: Int = 5000,
-    isolationLevel: String = "READ_COMMITTED") {
-  def jdbcUrl: String = s"jdbc:postgresql://$host:$port/$database"
+    isolationLevel: String = "READ_COMMITTED",
+    // non-Postgres JDBC URL (e.g. the embedded-Derby CI smoke); None =
+    // the standard postgres URL from host/port/database
+    urlOverride: Option[String] = None) {
+  def jdbcUrl: String =
+    urlOverride.getOrElse(s"jdbc:postgresql://$host:$port/$database")
   def properties: Map[String, String] = Map(
     "user" -> user,
     "password" -> password,

@@ -85,6 +85,17 @@ object UpsertSql {
       s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
       s"ON CONFLICT (${conflictCols.map(checked).mkString(", ")}) DO NOTHING"
   }
+
+  /** Plain ANSI `INSERT INTO t (c1, ...) VALUES (?, ...)` — for backends
+    * without an insert-ignore form (the Derby CI smoke). Idempotency then
+    * rests on PK + the per-partition transaction: a replayed batch aborts
+    * on the key violation and the rollback leaves the table untouched.
+    */
+  def plainInsert(table: String, cols: Seq[String], conflictCols: Seq[String]): String = {
+    require(cols.nonEmpty, "no columns to insert")
+    s"INSERT INTO ${checked(table)} (${cols.map(checked).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+  }
 }
 
 /** Idempotent JDBC sink — the exactly-once completion of the S6+D5 pair:
@@ -102,12 +113,14 @@ object UpsertSql {
   * task's rows either commit once or conflict away on the retry.
   */
 final class JdbcUpsertSink(
-    config: DatabaseConfig, conflictCols: Seq[String] = Seq("event_id"))
+    config: DatabaseConfig, conflictCols: Seq[String] = Seq("event_id"),
+    driverClass: String = "org.postgresql.Driver",
+    insertSql: (String, Seq[String], Seq[String]) => String = UpsertSql.insertIgnore)
   extends Sink with Serializable {
 
   override def append(df: DataFrame, table: String): Unit = {
     val cols = df.columns.toSeq
-    val sql = UpsertSql.insertIgnore(table, cols, conflictCols)
+    val sql = insertSql(table, cols, conflictCols)
     val (url, user, password) = (config.jdbcUrl, config.user, config.password)
     val batchSize = config.batchSize
     val isolation = config.isolationLevel match {
@@ -117,9 +130,10 @@ final class JdbcUpsertSink(
       case _ => java.sql.Connection.TRANSACTION_READ_COMMITTED
     }
     val width = cols.length
+    val driver = driverClass
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        Class.forName("org.postgresql.Driver")
+        Class.forName(driver)
         val conn = java.sql.DriverManager.getConnection(url, user, password)
         try {
           conn.setAutoCommit(false)
@@ -136,6 +150,15 @@ final class JdbcUpsertSink(
             }
             if (pending > 0) ps.executeBatch()
             conn.commit()
+          } catch {
+            // roll back EXPLICITLY before close: some engines (embedded
+            // Derby — caught live by DerbySinkSpec) leave the failed
+            // transaction's locks held when a connection is closed
+            // mid-transaction, blocking the task retry that the rollback
+            // exists to enable
+            case t: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw t
           } finally ps.close()
         } finally conn.close()
       }
