@@ -121,13 +121,21 @@ object PQ {
     */
   def pqEncode(
       embeddings: DataFrame, m: Int = M, codes: Int = Codes,
-      iters: Int = Iters): DataFrame = {
+      iters: Int = Iters): DataFrame =
+    encode(
+      embeddings.repartition(col("vec_id")), // spread before the M×Codes-wide exprs
+      models(embeddings, m, codes, iters), m)
+
+  /** Shared slice+assign fold: filter well-formed vectors, slice each of
+    * the `m` subspaces, chain one [[KMeans.assignTrainedCells]] per
+    * subspace codebook, project (vec_id, code_0 … code_{m-1}).
+    */
+  private def encode(
+      vectors: DataFrame, mods: Seq[(Int, Array[(Int, Array[Long])])],
+      m: Int): DataFrame = {
     val subDim = KMeans.Dim / m
-    val mods = models(embeddings, m, codes, iters)
-    val base = embeddings
-      .filter(col("embedding").isNotNull &&
-        size(col("embedding")) === KMeans.Dim)
-      .repartition(col("vec_id")) // spread before the M×Codes-wide exprs
+    val base = vectors.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === KMeans.Dim)
     val withSubs = (0 until m).foldLeft(base) { (df, s) =>
       df.withColumn(s"__sub$s",
         slice(col("embedding"), s * subDim + 1, subDim))
@@ -149,30 +157,9 @@ object PQ {
     */
   def streamingPqEncode(
       probes: DataFrame, corpusDf: DataFrame, m: Int = M,
-      codes: Int = Codes, iters: Int = Iters): DataFrame = {
-    val subDim = KMeans.Dim / m
-    val mods = models(corpusDf, m, codes, iters)
-    val base = probes.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === KMeans.Dim)
-    val withSubs = (0 until m).foldLeft(base) { (df, s) =>
-      df.withColumn(s"__sub$s",
-        slice(col("embedding"), s * subDim + 1, subDim))
-    }
-    val encoded = mods.foldLeft(withSubs) { case (df, (s, model)) =>
-      KMeans.assignTrainedCells(df, model, embCol = s"__sub$s", dim = subDim)
-        .withColumnRenamed("cell", s"code_$s")
-    }
-    encoded.select(
-      col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)
-  }
+      codes: Int = Codes, iters: Int = Iters): DataFrame =
+    encode(probes, models(corpusDf, m, codes, iters), m)
 
-  /** ADC top-k search: queries (vec_id < nQueries) score the encoded
-    * corpus through their (subspace, code) → squared-distance lookup
-    * tables. The LUT is nQueries·M·Codes rows — broadcast; the only
-    * shuffle is the per-(query, vector) sum of M lookup rows, linear in
-    * the corpus for a bounded query batch. All-integer arithmetic end to
-    * end, so ranks (ties to the smaller neighbor_id) are engine-exact.
-    */
   /** Query LUT relation: exact fixed-point ||q_s − c||² per (query,
     * subspace, code) — nQueries·M·Codes rows, always broadcast.
     */
@@ -209,6 +196,13 @@ object PQ {
       .select(col("vec_id"), posexplode(
         array((0 until m).map(s => col(s"code_$s")): _*)).as(Seq("s", "code")))
 
+  /** ADC top-k search: queries (vec_id < nQueries) score the encoded
+    * corpus through their (subspace, code) → squared-distance lookup
+    * tables. The LUT is nQueries·M·Codes rows — broadcast; the only
+    * shuffle is the per-(query, vector) sum of M lookup rows, linear in
+    * the corpus for a bounded query batch. All-integer arithmetic end to
+    * end, so ranks (ties to the smaller neighbor_id) are engine-exact.
+    */
   def pqAdcTopK(
       embeddings: DataFrame, nQueries: Int = 10, topK: Int = 5,
       m: Int = M, codes: Int = Codes, iters: Int = Iters): DataFrame = {
