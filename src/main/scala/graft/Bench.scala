@@ -29,22 +29,40 @@ object Bench {
     // 40s and 230s totals), and min-of-2 keeps one spike from dominating
     // a query's number. Caches are cleared between queries so each timing
     // is independent.
+    // A failed query must be LOUD: its slot reports -1 (never a plausible
+    // runtime) and its message lands in an "errors" object — an
+    // elapsed-to-fail recorded as a runtime is how a broken query once
+    // masqueraded as the suite's fastest entry.
+    val errors = scala.collection.mutable.Map[String, String]()
     def onePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.next().take(200)
+            false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-        name -> dt
+        name -> (if (ok) dt else -1.0)
       }
     val p1 = onePass().toMap
     val results = onePass().map { case (name, dt) =>
-      name -> math.min(dt, p1.getOrElse(name, dt))
+      val prev = p1.getOrElse(name, dt)
+      // min-of-2 over successful runs only; any failure poisons the slot
+      name -> (if (dt < 0 || prev < 0) -1.0 else math.min(dt, prev))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

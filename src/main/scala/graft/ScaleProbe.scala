@@ -164,10 +164,16 @@ object ScaleProbe {
           col("user_id"), col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // Measurements also land in a committed JSON artifact (default
+    // SCALEPROBE.json in cwd; override with SPARK_GRAFT_SCALEPROBE_OUT) so
+    // scaling claims are diffable across rounds, not just transient stdout.
+    val measurements = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = body
-      println(f"[scale] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val dt = (System.nanoTime() - t0) / 1e9
+      measurements += ((name, n, dt))
+      println(f"[scale] $name: $n rows in $dt%.1fs")
     }
     for ((label, dir) <- Seq("1x" -> base, s"${mult}x" -> out)) {
       val docs = graft.sources.Tables.documents(spark, dir)
@@ -265,6 +271,13 @@ object ScaleProbe {
         }
       }
     }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALEPROBE_OUT", "SCALEPROBE.json")
+    val rows = measurements.map { case (name, n, dt) =>
+      f"""  {"stage": "$name", "rows": $n, "sec": $dt%.3f}"""
+    }.mkString(",\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      s"""{"mult": $mult, "base": "$base", "measurements": [\n$rows\n]}\n""")
+    println(s"[scale] wrote $outFile")
     spark.stop()
   }
 }

@@ -18,13 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must leave a durable artifact, not just a stderr line — a
+    // query missing from a 96-entry compare is invisible; errors.json and
+    // the per-query .error file make it a red row anyone can diff.
+    val errors = scala.collection.mutable.Map[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg.linesIterator.next().take(500)
+        Files.writeString(Paths.get(s"$outDir/$name.error"), msg)
       }
       // Cache convention (central note — ops reference it): operators
       // cache() relations their own plan reads 2-3× (shingle sets, ranked
@@ -49,6 +56,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }

@@ -13,15 +13,17 @@ final case class DatabaseConfig(
     password: String = "spark_password",
     batchSize: Int = 5000,
     isolationLevel: String = "READ_COMMITTED",
-    // non-Postgres JDBC URL (e.g. the embedded-Derby CI smoke); None =
-    // the standard postgres URL from host/port/database
-    urlOverride: Option[String] = None) {
+    // non-Postgres JDBC URL/driver (e.g. the embedded-Derby CI smoke);
+    // None = the standard postgres URL/driver from host/port/database
+    urlOverride: Option[String] = None,
+    driverOverride: Option[String] = None) {
   def jdbcUrl: String =
     urlOverride.getOrElse(s"jdbc:postgresql://$host:$port/$database")
+  def driverClass: String = driverOverride.getOrElse("org.postgresql.Driver")
   def properties: Map[String, String] = Map(
     "user" -> user,
     "password" -> password,
-    "driver" -> "org.postgresql.Driver",
+    "driver" -> driverClass,
     "batchsize" -> batchSize.toString,
     "isolationLevel" -> isolationLevel)
   def validate(): Unit = {

@@ -51,11 +51,15 @@ final class JdbcSink(config: DatabaseConfig) extends Sink {
   /** S2 — pre-flight connection probe: a subquery-pushdown read of
     * `(SELECT 1) t` forced with a collect, like the reference's startup
     * check (`spark_streaming_to_postgres.py:488-500`). Returns the failure
-    * instead of exiting so callers decide the policy.
+    * instead of exiting so callers decide the policy. The probe relation is
+    * overridable for dialects whose scalar SELECT needs a FROM clause
+    * (Derby: `SYSIBM.SYSDUMMY1`).
     */
-  def probe(spark: org.apache.spark.sql.SparkSession): scala.util.Try[Unit] =
+  def probe(
+      spark: org.apache.spark.sql.SparkSession,
+      testQuery: String = "(SELECT 1 AS test) AS test_query"): scala.util.Try[Unit] =
     scala.util.Try {
-      spark.read.jdbc(config.jdbcUrl, "(SELECT 1 AS test) AS test_query", props)
+      spark.read.jdbc(config.jdbcUrl, testQuery, props)
         .collect()
       ()
     }

@@ -14,20 +14,35 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read nanos as raw longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-    * exactly what DuckDB does when it coerces to its µs-precision TIMESTAMP,
-    * so oracle comparisons see identical instants.
+  /** `events.parquet`'s physical `ts` type has changed between driver
+    * testdata generations — INT64 TIMESTAMP(NANOS) first, then
+    * Timestamp(isAdjustedToUTC=false, µs) which Spark 4 reads as
+    * TIMESTAMP_NTZ. Normalize every variant to the session-TZ TimestampType
+    * the downstream operators expect:
+    *   - LongType (nanos-as-long): truncate to µs — what DuckDB does when
+    *     coercing to its µs TIMESTAMP, so oracle instants match exactly;
+    *   - TimestampNTZType: cast to TimestampType — the session TZ is pinned
+    *     UTC, so the wall-clock reinterpretation is the identity on the
+    *     underlying µs value and hashes are unaffected;
+    *   - TimestampType: already canonical (derived dirs from SfScale).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // driver testdata: nanos-as-long → truncate; derived dirs (SfScale)
-    // carry a real µs TIMESTAMP already — identical instants either way
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    normalizeTimestamp(raw, "ts")
+  }
+
+  /** Defensive timestamp normalization for any loader: longs are treated as
+    * epoch nanos, NTZ is reinterpreted in the (pinned-UTC) session zone. */
+  def normalizeTimestamp(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =

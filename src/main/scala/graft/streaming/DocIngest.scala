@@ -108,15 +108,25 @@ object DocIngest {
       checkpointDir: String,
       sink: Sink,
       watermarkDelay: String = "10 minutes",
-      minQuality: Double = 0.4): StreamingQuery = {
+      minQuality: Double = 0.4,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
     var filter = Bloom.emptyFilter(spark)
-    Dedup.streamingContentDedup(docs, watermark = watermarkDelay)
+    val writer = Dedup.streamingContentDedup(docs, watermark = watermarkDelay)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (_, next) = processBatch(batch, id, filter, sink, minQuality)
         filter = next
       }
-      .start()
+    trigger.fold(writer)(writer.trigger).start()
   }
+
+  /** [[start]] with Trigger.AvailableNow: drain everything currently in the
+    * source as bounded micro-batches, then stop — the shape the scale probe
+    * and backfills use. */
+  def startAvailableNow(
+      spark: SparkSession, docs: DataFrame, checkpointDir: String,
+      sink: Sink): StreamingQuery =
+    start(spark, docs, checkpointDir, sink,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
 }

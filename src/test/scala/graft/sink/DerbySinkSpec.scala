@@ -75,6 +75,36 @@ class DerbySinkSpec extends SparkSpec {
     assert(count("smoke_replay") === 40L)
   }
 
+  test("plain JDBC append (S3/S4 df.write.jdbc path) runs live: table " +
+    "auto-created, rows land, second append accumulates") {
+    val jcfg = DatabaseConfig(batchSize = 7, urlOverride = Some(url),
+      driverOverride = Some(driver))
+    val sink = new JdbcSink(jcfg)
+    val df = spark.range(0, 50)
+      .select(col("id").as("event_id"),
+        concat(lit("t"), pmod(col("id"), lit(3))).as("event_type"),
+        (col("id") * 2.0).as("value"))
+    sink.append(df, "plain_smoke")
+    // Spark issues unquoted DDL, so Derby folds the name to upper case
+    assert(count("plain_smoke") === 50L)
+    sink.append(df, "plain_smoke") // plain append has no conflict handling
+    assert(count("plain_smoke") === 100L)
+  }
+
+  test("JDBC probe (S2) runs live: subquery pushdown succeeds on a real " +
+    "connection and returns the failure on a dead one") {
+    val jcfg = DatabaseConfig(urlOverride = Some(url),
+      driverOverride = Some(driver))
+    // Derby's scalar SELECT needs a FROM clause — the overridable probe
+    // relation exists exactly for this dialect delta
+    val derbyProbe = "(SELECT 1 AS test FROM SYSIBM.SYSDUMMY1) AS test_query"
+    assert(new JdbcSink(jcfg).probe(spark, derbyProbe).isSuccess)
+    val dead = DatabaseConfig(
+      urlOverride = Some("jdbc:derby:memory:graftNoSuchDb"), // no ;create=true
+      driverOverride = Some(driver))
+    assert(new JdbcSink(dead).probe(spark, derbyProbe).isFailure)
+  }
+
   test("postgres dialect stays the idempotent ON CONFLICT form") {
     // the Derby smoke must not weaken the production statement
     assert(UpsertSql.insertIgnore("t", Seq("a", "b"), Seq("a"))
