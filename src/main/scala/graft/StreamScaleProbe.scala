@@ -68,11 +68,27 @@ object StreamScaleProbe {
       start: => StreamingQuery): ProbeResult = {
     val t0 = System.nanoTime()
     val q = start
-    q.awaitTermination()
+    // Drain-and-stop rather than awaitTermination: a query holding TTL'd
+    // state (source_quota) keeps scheduling batches under AvailableNow
+    // until the TTL clock runs out — and even processAllAvailable blocks on
+    // that self-triggering. The probe's scope is the real input, so poll
+    // until data has been seen and the latest ticks are empty (or the
+    // query terminated on its own), then stop.
+    var drained = false
+    while (!drained && q.isActive) {
+      Thread.sleep(2000)
+      val ps = q.recentProgress
+      drained = ps.length >= 3 && ps.map(_.numInputRows).sum > 0 &&
+        ps.takeRight(2).forall(_.numInputRows == 0)
+    }
     val sec = (System.nanoTime() - t0) / 1e9
+    if (q.isActive) q.stop()
+    q.awaitTermination()
     val progress = q.recentProgress.toSeq
     val inputRows = progress.map(_.numInputRows).sum
-    // batches that processed data (AvailableNow emits a final empty tick)
+    // batches that processed data (AvailableNow emits a final empty tick;
+    // TTL'd state can add more) — rows/s uses the wall between start and
+    // drain detection, so it is conservative by up to one poll interval
     val batches = progress.count(_.numInputRows > 0)
     val opNames = progress.flatMap(_.stateOperators.map(_.operatorName)).distinct
     val state = opNames.map { op =>
@@ -102,11 +118,14 @@ object StreamScaleProbe {
     val out = "/tmp/graft-streamprobe"
     val Files = 40 // per-trigger 4 → 10 micro-batches
 
-    // ---- inputs -----------------------------------------------------------
+    // ---- inputs (kept across runs — delete $out to regenerate) -----------
     // events ×eventMult: same users (denser timelines), ts jittered per
     // copy; range-partitioned by ts so file listing order ≈ event-time
     // order and the watermark advances realistically between batches.
+    val haveInputs = new java.io.File(s"$out/docs/_SUCCESS").exists() &&
+      new java.io.File(s"$out/events/_SUCCESS").exists()
     val copies = explode(sequence(lit(0), lit(eventMult - 1))).as("k")
+    if (!haveInputs) {
     graft.sources.Tables.events(spark, base)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"), copies)
@@ -115,16 +134,18 @@ object StreamScaleProbe {
         col("user_id"), col("event_type"), col("value"), col("props"))
       .repartitionByRange(Files, col("ts"))
       .write.mode("overwrite").parquet(s"$out/events")
-    // docs ×docMult with a synthetic ingest_ts advancing ~1s per copy wave
-    // (so the stream spans ~docMult seconds of event time and the 10-minute
-    // dedup watermark has real eviction work); every 20th copy reuses the
-    // previous copy's text → ~5% true in-watermark duplicates for the
-    // dedup stages to catch.
+    // docs ×docMult with a synthetic ingest_ts advancing one MINUTE per
+    // copy wave: the stream spans ~docMult minutes of event time — many
+    // multiples of the 10-minute dedup watermark, so eviction must actually
+    // happen for the state-rows metric to stay bounded (a span shorter than
+    // the watermark would hold every hash forever and prove nothing).
+    // Every 20th copy reuses the previous copy's text → ~5% true
+    // in-watermark (1 minute apart) duplicates for the dedup stages.
     val dcopies = explode(sequence(lit(0), lit(docMult - 1))).as("k")
     graft.sources.Tables.documents(spark, base)
       .select(col("doc_id"), col("text"), col("source"), dcopies)
       .select((col("doc_id") * docMult + col("k")).as("doc_id"),
-        expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, k)")
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, k, 0)")
           .as("ingest_ts"),
         concat(col("text"), lit(" uniq"),
           when(pmod(col("k"), lit(20)) === 1, col("doc_id") * docMult + col("k") - 1)
@@ -132,6 +153,19 @@ object StreamScaleProbe {
         col("source"))
       .repartitionByRange(Files, col("ingest_ts"))
       .write.mode("overwrite").parquet(s"$out/docs")
+    // The file source admits files in MTIME order, and 32 parallel write
+    // tasks finish in arbitrary order — without re-stamping, batch arrival
+    // is random in event time and most rows land behind the watermark as
+    // "late" drops. part-file NAME order IS range (= time) order, so stamp
+    // mtimes along it to make arrival ≈ event-time order, the shape a real
+    // time-partitioned ingest directory has.
+    for (dir <- Seq(s"$out/events", s"$out/docs")) {
+      val fs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - fs.length * 2000L
+      fs.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+    }
+    }
 
     val eventSchema = spark.read.parquet(s"$out/events").schema
     val docSchema = spark.read.parquet(s"$out/docs").schema
