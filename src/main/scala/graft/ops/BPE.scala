@@ -107,8 +107,24 @@ object BPE {
     */
   private[ops] def trainBpe(
       documents: DataFrame,
-      merges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
-    var v = vocab(documents).localCheckpoint()
+      merges: Int,
+      trainCap: Int = 0): (Seq[(Int, String, String, Long)], DataFrame) = {
+    // trainCap > 0: bounded-sample training — merge statistics come from
+    // the `trainCap` most frequent word types (deterministic tie-break on
+    // the word itself), the standard vocabulary cut for corpus-scale BPE:
+    // pair counts are dominated by frequent words, the long tail
+    // contributes noise, and the cap makes per-merge cost independent of
+    // corpus size (the k-means TrainCap recipe — see KMeans.trainingSample).
+    // TakeOrderedAndProject bounds the cut; repartition spreads the kept
+    // words before the iteration loop. Default 0 trains on the full
+    // vocabulary — the oracle-mirrored q93/q94 behavior.
+    val full = vocab(documents)
+    val seed =
+      if (trainCap > 0)
+        full.orderBy(col("freq").desc, col("word")).limit(trainCap)
+          .repartition(col("word"))
+      else full
+    var v = seed.localCheckpoint()
     var counts = pairCounts(v).localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -147,9 +163,10 @@ object BPE {
   /** Train `merges` BPE merges; returns the learned merge table
     * (step, p1, p2, pair_count), one row per performed merge.
     */
-  def bpeMerges(documents: DataFrame, merges: Int = Merges): DataFrame = {
+  def bpeMerges(
+      documents: DataFrame, merges: Int = Merges, trainCap: Int = 0): DataFrame = {
     val spark = documents.sparkSession
-    val (learned, finalVocab) = trainBpe(documents, merges)
+    val (learned, finalVocab) = trainBpe(documents, merges, trainCap)
     releaseCheckpoint(finalVocab) // merge table is driver-side already
     spark.createDataFrame(learned)
       .toDF("step", "p1", "p2", "pair_count")

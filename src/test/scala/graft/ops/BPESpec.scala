@@ -44,6 +44,23 @@ class BPESpec extends SparkSpec {
     assert(got(2L) == ((2L, 3L, 1.5)))
   }
 
+  test("bounded-sample training: cap >= vocab is exactly full training; " +
+    "a tight cap learns only from the most frequent words") {
+    val df = docs((1L, "aaab ab aaab zzzz"))
+    val full = BPE.bpeMerges(df).collect().map(_.toSeq)
+    // cap larger than the 3-word vocabulary: identical merge table
+    val capped = BPE.bpeMerges(df, trainCap = 100).collect().map(_.toSeq)
+    assert(capped.toSeq == full.toSeq)
+    // cap = 1 keeps only the most frequent word type ("aaab", freq 2) —
+    // every learned merge must build from its symbols; the rare "zzzz"
+    // (whose (z,z) pairs would otherwise participate) contributes nothing
+    val tight = BPE.bpeMerges(df, trainCap = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(tight.nonEmpty)
+    assert(tight.forall { case (p1, p2) =>
+      !p1.contains("z") && !p2.contains("z") })
+  }
+
   test("BPE ignores non-ASCII words and ties break lexicographically") {
     // "zz" and "yy" both count 2; (y,y) < (z,z) lexicographically → the
     // first merge must be (y,y). The unicode word must not contribute.
