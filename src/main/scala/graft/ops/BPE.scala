@@ -173,6 +173,59 @@ object BPE {
       .orderBy("step")
   }
 
+  /** Driver-local trainer over the capped vocabulary — the corpus-scale
+    * vocabulary-build path. One distributed pass builds the
+    * frequency-weighted word vocab and takes the `trainCap` most frequent
+    * types (identical seed to `bpeMerges(trainCap = n)`); the merge loop
+    * then runs in driver memory, because a few thousand (word, freq, syms)
+    * rows fit trivially and the distributed loop's floor is NOT data
+    * volume but ~3 job schedules + fresh codegen per sequential merge
+    * (measured: 256 capped merges >15 min distributed vs sub-second here —
+    * graft.BpeCapProbe / SURVEY §8 round 8). Semantics are pinned to the
+    * distributed trainer by spec: same exact-integer pair counts (every
+    * adjacent occurrence, frequency-weighted), same (count DESC, p1, p2)
+    * tie-break, same greedy leftmost non-overlapping application.
+    */
+  def bpeMergesLocal(
+      documents: DataFrame, merges: Int = Merges,
+      trainCap: Int = 4096): DataFrame = {
+    val spark = documents.sparkSession
+    val seed: Array[(String, Long)] = vocab(documents)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(trainCap)
+      .select("word", "freq")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      seed.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((p1, p2), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        learned += ((step, p1, p2, n))
+        words = words.map { case (syms, f) =>
+          var changed = false
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- syms) {
+            if (out.nonEmpty && out.last == p1 && x == p2) {
+              out(out.length - 1) = p1 + p2; changed = true
+            } else out += x
+          }
+          (if (changed) out.toArray else syms, f)
+        }
+      }
+      step += 1
+    }
+    spark.createDataFrame(learned.toSeq)
+      .toDF("step", "p1", "p2", "pair_count")
+      .orderBy("step")
+  }
+
   /** The shared WITH-body: w0 (char-segmented weighted vocab) through
     * w`merges` (vocab after every learned merge), with per-step pair
     * counts p`i` and winners b`i` — both the merge-table query and the

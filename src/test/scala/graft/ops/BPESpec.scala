@@ -61,6 +61,20 @@ class BPESpec extends SparkSpec {
       !p1.contains("z") && !p2.contains("z") })
   }
 
+  test("driver-local trainer matches the distributed trainer merge for " +
+    "merge, capped and uncapped") {
+    val df = docs((1L, "aaab ab aaab zzzz xy xy xy"))
+    val dist = BPE.bpeMerges(df, merges = 8).collect().map(_.toSeq).toSeq
+    val local = BPE.bpeMergesLocal(df, merges = 8, trainCap = 100)
+      .collect().map(_.toSeq).toSeq
+    assert(local == dist) // cap covers the vocab → exact full training
+    val distCapped = BPE.bpeMerges(df, merges = 8, trainCap = 2)
+      .collect().map(_.toSeq).toSeq
+    val localCapped = BPE.bpeMergesLocal(df, merges = 8, trainCap = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(localCapped == distCapped) // same seed → same merges at any cap
+  }
+
   test("BPE ignores non-ASCII words and ties break lexicographically") {
     // "zz" and "yy" both count 2; (y,y) < (z,z) lexicographically → the
     // first merge must be (y,y). The unicode word must not contribute.
