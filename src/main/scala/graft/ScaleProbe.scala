@@ -114,13 +114,17 @@ import org.apache.spark.sql.functions._
   * vec_id before per-row heavy work — the same guard shingled()/corpus()
   * always had.
   *
-  * Run: sbt "runMain graft.ScaleProbe [mult]" (writes under
+  * Run: sbt "runMain graft.ScaleProbe [mult] [headline]" (writes under
   * /tmp/graft-scale<mult>; no arg = the full 10× suite above, an arg runs
-  * the focused headline set at 1× and mult×).
+  * the broad set at 1× and mult×; the extra `headline` token restricts the
+  * run to the CURRENT adaptive/scale-path registered queries — q36/q44/q46
+  * adaptive IVF, q69 trained IVF, q38 capped Jaccard, q96 winnowing — the
+  * set whose 2–5× shape is the 100 TB claim).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val headlineOnly = args.contains("headline")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -174,23 +178,62 @@ object ScaleProbe {
     // Measurements also land in a committed JSON artifact (default
     // SCALEPROBE.json in cwd; override with SPARK_GRAFT_SCALEPROBE_OUT) so
     // scaling claims are diffable across rounds, not just transient stdout.
-    val measurements = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
+    val measurements = scala.collection.mutable.ArrayBuffer[(String, Long, Double, Option[String])]()
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = body
       val dt = (System.nanoTime() - t0) / 1e9
-      measurements += ((name, n, dt))
+      measurements += ((name, n, dt, None))
       println(f"[scale] $name: $n rows in $dt%.1fs")
+    }
+    // like time(), but the stage also contributes a JSON "info" object —
+    // used for the cap-pressure stats so the committed artifact itself
+    // says whether q38's cap bound (VERDICT r8 #2), not just how long it ran
+    def timeInfo(name: String)(body: => (Long, String)): Unit = {
+      val t0 = System.nanoTime()
+      val (n, info) = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      measurements += ((name, n, dt, Some(info)))
+      println(f"[scale] $name: $n rows in $dt%.1fs  $info")
+    }
+    // one row → {"n_shingles": …, …, "derived_cap": …}
+    def capStatsJson(docs: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val r = graft.ops.NearDup.dfCapStats(docs).head()
+      val cols = r.schema.fieldNames
+      (1L, cols.indices.map(i => s""""${cols(i)}": ${r.getLong(i)}""")
+        .mkString("{", ", ", "}"))
     }
     for ((label, dir) <- Seq("1x" -> base, s"${mult}x" -> out)) {
       val docs = graft.sources.Tables.documents(spark, dir)
       val emb = graft.sources.Tables.embeddings(spark, dir)
+      if (headlineOnly) {
+        // exactly the registered adaptive/scale-path queries (q36, q44,
+        // q46, q69, q38, q96) — the forms whose re-planing contract
+        // (planes/cells ∝ corpus, df cap, WindowGroupLimit output bound)
+        // must hold its ~2–5× shape at 50×, vs the fixed-parameter
+        // baselines that visibly break there (34.5 s / 60.5 s / 191 s in
+        // the round-5/6 probes above)
+        time(s"$label ann_ivf_adaptive")(
+          graft.ops.Similarity.ivfTopKAdaptive(emb).count())
+        time(s"$label ann_ivf_adaptive nprobe=2")(
+          graft.ops.Similarity.ivfTopKAdaptive(emb, nprobe = 2).count())
+        time(s"$label ann_ivf_adaptive budget=125")(
+          graft.ops.Similarity.ivfTopKAdaptive(emb, budget = 125L).count())
+        time(s"$label ann_ivf_trained")(
+          graft.ops.KMeans.ivfTopKTrainedAdaptive(emb).count())
+        time(s"$label ngram_jaccard_capped")(
+          graft.ops.NearDup.ngramJaccardPairsCapped(docs).count())
+        timeInfo(s"$label ngram_cap_stats")(capStatsJson(docs))
+        time(s"$label winnowing_top_partners")(
+          graft.ops.TextAnalysis.winnowingTopPartners(docs).count())
+      } else {
       // headline scale set (q24/q37/q38/q42/q59/q68) — always measured
       time(s"$label minhash_neardup")(graft.ops.NearDup.minhashNearDups(docs).count())
       time(s"$label dedup_keeplist")(graft.ops.NearDup.dedupKeepList(docs).count())
       time(s"$label curation_pipeline")(graft.ops.Curate.curationPipeline(docs).count())
       time(s"$label ngram_jaccard_capped")(
         graft.ops.NearDup.ngramJaccardPairsCapped(docs).count())
+      timeInfo(s"$label ngram_cap_stats")(capStatsJson(docs))
       // the prefix-filtered EXACT forms (round 6) — headline because their
       // former Σdf² posting join was the last unguarded quadratic; these
       // must now track candidate volume, not corpus². Measured at the
@@ -262,15 +305,16 @@ object ScaleProbe {
         // 256 merges must NOT cost 256× one full-recount step (the r6
         // full-recount form would; 6-merge time anchors the comparison)
         time(s"$label bpe_merges=6")(graft.ops.BPE.bpeMerges(docs).count())
-        // ~256 sequential merges × ≈3 Spark jobs each (argmax collect +
-        // two checkpoint materializations) — tens of minutes of
-        // job-scheduling floor at 50k docs however cheap each merge's
-        // DATA work is; skippable when the probe run is time-boxed
-        // (SPARK_GRAFT_BPE256=0). The honest scale lesson is recorded in
-        // SURVEY §8: greedy BPE's per-merge driver sync dominates long
-        // before data volume does, so at corpus scale you train on a
-        // bounded sample (the k-means TrainCap recipe), not more executors.
-        if (label != "1x" && sys.env.getOrElse("SPARK_GRAFT_BPE256", "1") == "1")
+        // 256 merges through the CORPUS-SCALE trainer (bpeMergesLocal,
+        // round 8): one distributed pass to the capped vocab, merge loop
+        // driver-local — seconds, where the distributed loop's ≈3 job
+        // schedules + fresh codegen PER SEQUENTIAL MERGE cost >15 min at
+        // 50k docs however cheap each merge's data work is (measured,
+        // graft.BpeCapProbe / SURVEY §8). The distributed-256 stage stays
+        // available behind SPARK_GRAFT_BPE256=1 as the honest contrast.
+        time(s"$label bpe_merges_local=256")(
+          graft.ops.BPE.bpeMergesLocal(docs, merges = 256).count())
+        if (label != "1x" && sys.env.getOrElse("SPARK_GRAFT_BPE256", "0") == "1")
           time(s"$label bpe_merges=256")(
             graft.ops.BPE.bpeMerges(docs, merges = 256).count())
         if (label != "1x") {
@@ -285,10 +329,12 @@ object ScaleProbe {
             graft.ops.KMeans.kmeansCentroids(emb, k = 26).count())
         }
       }
+      }
     }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALEPROBE_OUT", "SCALEPROBE.json")
-    val rows = measurements.map { case (name, n, dt) =>
-      f"""  {"stage": "$name", "rows": $n, "sec": $dt%.3f}"""
+    val rows = measurements.map { case (name, n, dt, info) =>
+      val extra = info.fold("")(j => s""", "info": $j""")
+      f"""  {"stage": "$name", "rows": $n, "sec": $dt%.3f$extra}"""
     }.mkString(",\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       s"""{"mult": $mult, "base": "$base", "measurements": [\n$rows\n]}\n""")

@@ -386,6 +386,22 @@ object SparkEntry {
     // the corpus; q83's full pair relation stays as the verifier)
     "q96_winnowing_top_partners" -> ((s, dir) =>
       TextAnalysis.winnowingTopPartners(Tables.documents(s, dir))),
+    // the corpus-scale BPE trainer (round-8 finding): ONE distributed pass
+    // to the frequency-weighted vocab, merge loop driver-local — 256 capped
+    // merges in seconds where the per-merge job-scheduling floor of the
+    // distributed loop costs >15 min. trainCap=0 trains on the full vocab
+    // here so the merge table equals bpeMerges' exactly and q93's oracle
+    // applies unchanged; production uses the bounded default (4096 types)
+    "q97_bpe_merges_local" -> ((s, dir) =>
+      graft.ops.BPE.bpeMergesLocal(Tables.documents(s, dir), trainCap = 0)),
+    // cap-pressure observability for the df-capped near-dup machine
+    // (q38/q77): corpus df statistics, what the constant cap trims, the
+    // capped/uncapped candidate-pair volumes, and the corpus-DERIVED cap
+    // (largest cap within the posting-join fan-out budget; -1 = capping
+    // buys nothing here) — the q38 analog of lshBudgetPressure, made a
+    // first-class oracle-checked relation
+    "q98_ngram_df_cap_stats" -> ((s, dir) =>
+      NearDup.dfCapStats(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -687,5 +703,9 @@ object SparkEntry {
     "q94_bpe_tokenize" -> graft.ops.BPE.bpeTokenizeSql(),
     "q95_ivf_pq_topk" -> PQ.ivfPqTopKSql(),
     "q96_winnowing_top_partners" -> TextAnalysis.winnowingTopPartnersSql(),
+    // same oracle as q93: the local trainer at full vocab must learn the
+    // IDENTICAL merge table (step/p1/p2/pair_count, hash-checked)
+    "q97_bpe_merges_local" -> graft.ops.BPE.bpeMergesSql(),
+    "q98_ngram_df_cap_stats" -> NearDup.dfCapStatsSql(),
   )
 }

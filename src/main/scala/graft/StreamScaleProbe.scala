@@ -31,7 +31,18 @@ import graft.streaming.{DocIngest, Joins, SourceQuota, StateStores}
   *  - `doc_ingest` — the full [[DocIngest]] pipeline (watermarked dedup →
   *    Bloom gate → quality routing → metrics) over 1M docs: the end-to-end
   *    rows/s number for the ingest path, with the driver-side Bloom filter
-  *    staying fixed-size across batches.
+  *    staying fixed-size across batches — now with a per-stage wall-clock
+  *    breakdown in the artifact ([[DocIngest.StageTimings]]).
+  *  - `dedup_restart` — kill the RocksDB+changelog dedup mid-stream,
+  *    restart from its checkpoint, and assert the recovered run's output
+  *    multiset equals an uninterrupted baseline's (recovery time and the
+  *    kill point land in the artifact): the D4 recovery claim measured at
+  *    probe volume instead of toy spec volume.
+  *
+  * Progress is accumulated via a [[ProgressTap]] listener, not a one-shot
+  * `recentProgress` read (which caps at 100 entries and would undercount
+  * long runs), and every complete-corpus probe asserts it actually drained
+  * the generated input before recording itself as complete.
   *
   * Output: one JSON artifact (default STREAMPROBE.json in cwd, override
   * with SPARK_GRAFT_STREAMPROBE_OUT) with, per probe: input rows, output
@@ -59,32 +70,36 @@ object StreamScaleProbe {
 
   final case class ProbeResult(
       name: String, inputRows: Long, outputRows: Long, sec: Double,
-      batches: Int, state: Seq[StateOpStats])
+      batches: Int, state: Seq[StateOpStats], info: Option[String] = None)
 
-  /** Run a streaming query to completion (AvailableNow) and fold its
-    * progress history into per-state-operator max/final stats.
+  /** Accumulate EVERY progress update via a listener — `recentProgress`
+    * alone is capped at `spark.sql.streaming.numRecentProgressUpdates`
+    * (default 100) entries, so a long run would silently drop early
+    * batches from the committed artifact (ADVICE r8). The listener buffers
+    * all queries' events; callers filter by query id and merge with
+    * `recentProgress` (belt and braces for delivery lag), deduping on
+    * batchId.
     */
-  private def runProbe(name: String, outputRows: () => Long)(
-      start: => StreamingQuery): ProbeResult = {
-    val t0 = System.nanoTime()
-    val q = start
-    // Drain-and-stop rather than awaitTermination: a query holding TTL'd
-    // state (source_quota) keeps scheduling batches under AvailableNow
-    // until the TTL clock runs out — and even processAllAvailable blocks on
-    // that self-triggering. The probe's scope is the real input, so poll
-    // until data has been seen and the latest ticks are empty (or the
-    // query terminated on its own), then stop.
-    var drained = false
-    while (!drained && q.isActive) {
-      Thread.sleep(2000)
-      val ps = q.recentProgress
-      drained = ps.length >= 3 && ps.map(_.numInputRows).sum > 0 &&
-        ps.takeRight(2).forall(_.numInputRows == 0)
-    }
-    val sec = (System.nanoTime() - t0) / 1e9
-    if (q.isActive) q.stop()
-    q.awaitTermination()
-    val progress = q.recentProgress.toSeq
+  private final class ProgressTap(
+      spark: SparkSession) extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    spark.streams.addListener(this)
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      synchronized { buf += e.progress }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    def close(): Unit = spark.streams.removeListener(this)
+    def forQuery(q: StreamingQuery): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+      (synchronized(buf.toSeq).filter(_.id == q.id) ++ q.recentProgress.toSeq)
+        .groupBy(_.batchId).toSeq.sortBy(_._1).map(_._2.head)
+  }
+
+  private def foldProgress(
+      name: String,
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+      outputRows: Long, sec: Double, info: Option[String]): ProbeResult = {
     val inputRows = progress.map(_.numInputRows).sum
     // batches that processed data (AvailableNow emits a final empty tick;
     // TTL'd state can add more) — rows/s uses the wall between start and
@@ -98,11 +113,57 @@ object StreamScaleProbe {
         finalRows = series.last.numRowsTotal,
         maxMemBytes = series.map(_.memoryUsedBytes).max)
     }
-    val r = ProbeResult(name, inputRows, outputRows(), sec, batches, state)
+    val r = ProbeResult(name, inputRows, outputRows, sec, batches, state, info)
     println(f"[streamprobe] $name: ${r.inputRows} rows in ${r.sec}%.1fs " +
       f"(${r.inputRows / r.sec}%.0f rows/s, ${r.batches} batches, out=${r.outputRows}) " +
-      r.state.map(s => s"${s.name}: max=${s.maxRows} final=${s.finalRows} rows").mkString("; "))
+      r.state.map(s => s"${s.name}: max=${s.maxRows} final=${s.finalRows} rows").mkString("; ") +
+      info.fold("")(" info=" + _))
     r
+  }
+
+  /** Run a streaming query to completion (AvailableNow) and fold its
+    * listener-accumulated progress history into per-state-operator
+    * max/final stats. `expectedInput >= 0` asserts the drain actually saw
+    * the whole generated corpus — a transient two-empty-tick stall
+    * mid-stream must fail the probe loudly, not commit a partial run's
+    * numbers as complete (ADVICE r8).
+    */
+  private def runProbe(
+      name: String, outputRows: () => Long, expectedInput: Long = -1L,
+      info: () => Option[String] = () => None)(
+      start: => StreamingQuery): ProbeResult = {
+    val spark = SparkSession.active
+    val tap = new ProgressTap(spark)
+    try {
+      val t0 = System.nanoTime()
+      val q = start
+      // Drain-and-stop rather than awaitTermination: a query holding TTL'd
+      // state (source_quota) keeps scheduling batches under AvailableNow
+      // until the TTL clock runs out — and even processAllAvailable blocks
+      // on that self-triggering. The probe's scope is the real input, so
+      // poll until data has been seen and the latest ticks are empty (or
+      // the query terminated on its own), then stop.
+      var drained = false
+      val deadline = System.nanoTime() + 1800L * 1000000000L
+      while (!drained && q.isActive && System.nanoTime() < deadline) {
+        Thread.sleep(2000)
+        val ps = tap.forQuery(q)
+        val seen = ps.map(_.numInputRows).sum
+        drained = ps.length >= 3 && seen > 0 &&
+          ps.takeRight(2).forall(_.numInputRows == 0) &&
+          (expectedInput < 0 || seen >= expectedInput)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (q.isActive) q.stop()
+      q.awaitTermination()
+      Thread.sleep(500) // let the listener flush the final events
+      val progress = tap.forQuery(q)
+      val inputRows = progress.map(_.numInputRows).sum
+      if (expectedInput >= 0 && inputRows != expectedInput)
+        sys.error(s"[streamprobe] $name drained $inputRows rows, expected " +
+          s"$expectedInput — partial run, refusing to record it as complete")
+      foldProgress(name, progress, outputRows(), sec, info())
+    } finally tap.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -169,6 +230,10 @@ object StreamScaleProbe {
 
     val eventSchema = spark.read.parquet(s"$out/events").schema
     val docSchema = spark.read.parquet(s"$out/docs").schema
+    // exact corpus sizes → drain assertions (a partial run must fail the
+    // probe, not record itself as complete)
+    val nEvents = spark.read.parquet(s"$out/events").count()
+    val nDocs = spark.read.parquet(s"$out/docs").count()
     def eventStream() = spark.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", Files / 10).parquet(s"$out/events")
     def docStream() = spark.readStream.schema(docSchema)
@@ -183,7 +248,8 @@ object StreamScaleProbe {
     // ---- probe 1: stream-stream interval join ----------------------------
     locally {
       @volatile var n = 0L
-      results += runProbe("interval_join", () => n) {
+      // the self-join reads the source once per side → 2 × corpus
+      results += runProbe("interval_join", () => n, expectedInput = 2 * nEvents) {
         val s = eventStream()
         Joins.attribution(s, s).writeStream
           .option("checkpointLocation", ckpt("join"))
@@ -195,7 +261,7 @@ object StreamScaleProbe {
     // ---- probe 2: watermarked content dedup ------------------------------
     locally {
       @volatile var n = 0L
-      results += runProbe("content_dedup", () => n) {
+      results += runProbe("content_dedup", () => n, expectedInput = nDocs) {
         graft.ops.Dedup.streamingContentDedup(docStream())
           .writeStream
           .option("checkpointLocation", ckpt("dedup"))
@@ -207,7 +273,7 @@ object StreamScaleProbe {
     // ---- probe 3: per-source quota (transformWithState + TTL) ------------
     locally {
       @volatile var n = 0L
-      results += runProbe("source_quota", () => n) {
+      results += runProbe("source_quota", () => n, expectedInput = nDocs) {
         SourceQuota.sourceQuota(docStream(), quota = 100000L)
           .writeStream
           .option("checkpointLocation", ckpt("quota"))
@@ -221,12 +287,87 @@ object StreamScaleProbe {
     // ---- probe 4: full doc-ingest pipeline -------------------------------
     locally {
       val sink = new CountingSink
+      val timings = new DocIngest.StageTimings
+      // per-stage breakdown lands in the artifact: the round-8 finding was
+      // 28k rows/s end-to-end vs 98k for dedup alone with nothing saying
+      // where the 72% went
+      def stagesJson: Option[String] = Some(timings.snapshot.map {
+        case (stage, c, s) => f""""$stage": {"batches": $c, "sec": $s%.2f}"""
+      }.mkString("{", ", ", "}"))
       results += runProbe("doc_ingest",
-        () => sink.counts("accepted_documents") + sink.counts("rejected_documents")) {
+        () => sink.counts("accepted_documents") + sink.counts("rejected_documents"),
+        expectedInput = nDocs, info = () => stagesJson) {
         DocIngest.startAvailableNow(spark,
           docStream().select(col("doc_id"), col("ingest_ts"), col("text")),
-          ckpt("ingest"), sink)
+          ckpt("ingest"), sink, timings)
       }
+    }
+
+    // ---- probe 5: checkpoint kill + restart recovery ---------------------
+    // The D4 claim at probe volume: run the RocksDB+changelog watermarked
+    // dedup to completion for a baseline fingerprint, then re-run against a
+    // fresh checkpoint, STOP the query mid-stream, restart from the same
+    // checkpoint, and drain. Output is collected per batchId (a replayed
+    // batch overwrites its slot — the documented idempotent-foreachBatch
+    // recipe), so the final multiset must equal the uninterrupted run's:
+    // duplicates whose first-seen row landed BEFORE the kill are still
+    // dropped after it only if the dedup state actually survived restart.
+    locally {
+      import scala.collection.concurrent.TrieMap
+      // order-free multiset fingerprint: (rows, Σid, Σid²)
+      def fingerprint(b: DataFrame): (Long, Long, Long) = {
+        val r = b.agg(count(lit(1)), sum(col("doc_id")),
+          sum(col("doc_id") * col("doc_id"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+      def dedupQuery(ck: String, slots: TrieMap[Long, (Long, Long, Long)]) =
+        graft.ops.Dedup.streamingContentDedup(docStream())
+          .writeStream
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch((b: DataFrame, id: Long) => { slots(id) = fingerprint(b); () })
+          .start()
+      def total(slots: TrieMap[Long, (Long, Long, Long)]): (Long, Long, Long) =
+        slots.values.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (x, y, z)) =>
+          (a + x, b + y, c + z) }
+
+      // baseline: uninterrupted run
+      val base = TrieMap[Long, (Long, Long, Long)]()
+      val qb = dedupQuery(ckpt("restart-base"), base)
+      qb.awaitTermination()
+      val baseline = total(base)
+
+      // interrupted run: stop after ~half the input, then restart
+      val slots = TrieMap[Long, (Long, Long, Long)]()
+      val ck = ckpt("restart")
+      val t0 = System.nanoTime()
+      val q1 = dedupQuery(ck, slots)
+      while (q1.isActive && slots.values.map(_._1).sum < nDocs / 2)
+        Thread.sleep(200)
+      val killedAfter = slots.values.map(_._1).sum
+      q1.stop(); q1.awaitTermination()
+      val tKill = System.nanoTime()
+      val tap2 = new ProgressTap(spark)
+      try {
+        val q = dedupQuery(ck, slots)
+        // recovery time: restart → first batch committed
+        while (q.isActive && !tap2.forQuery(q).exists(_.numInputRows > 0))
+          Thread.sleep(200)
+        val recoverySec = (System.nanoTime() - tKill) / 1e9
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        val got = total(slots)
+        val ok = got == baseline
+        if (!ok)
+          System.err.println(s"[streamprobe] RESTART MISMATCH: baseline=$baseline got=$got")
+        results += foldProgress("dedup_restart", tap2.forQuery(q), got._1, sec,
+          Some(f"""{"baseline_rows": ${baseline._1}, "restart_rows": ${got._1}, """ +
+            f""""killed_after_rows": $killedAfter, "recovery_sec": $recoverySec%.2f, """ +
+            f""""output_equals_baseline": $ok}"""))
+        if (!ok) sys.error("dedup restart output differs from uninterrupted run")
+      } finally tap2.close()
     }
 
     // ---- artifact ---------------------------------------------------------
@@ -235,7 +376,8 @@ object StreamScaleProbe {
       val st = r.state.map(s =>
         f"""      {"operator": "${s.name}", "max_rows": ${s.maxRows}, "final_rows": ${s.finalRows}, "max_mem_bytes": ${s.maxMemBytes}}""")
         .mkString("[\n", ",\n", "\n    ]")
-      f"""  {"probe": "${r.name}", "input_rows": ${r.inputRows}, "output_rows": ${r.outputRows}, "sec": ${r.sec}%.2f, "rows_per_sec": ${r.inputRows / r.sec}%.0f, "batches": ${r.batches}, "state_operators": $st}"""
+      val extra = r.info.fold("")(j => s""", "info": $j""")
+      f"""  {"probe": "${r.name}", "input_rows": ${r.inputRows}, "output_rows": ${r.outputRows}, "sec": ${r.sec}%.2f, "rows_per_sec": ${r.inputRows / r.sec}%.0f, "batches": ${r.batches}, "state_operators": $st$extra}"""
     }.mkString(",\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       s"""{"event_mult": $eventMult, "doc_mult": $docMult, "state_store": "rocksdb", "probes": [\n$body\n]}\n""")

@@ -190,9 +190,14 @@ object BPE {
       documents: DataFrame, merges: Int = Merges,
       trainCap: Int = 4096): DataFrame = {
     val spark = documents.sparkSession
-    val seed: Array[(String, Long)] = vocab(documents)
-      .orderBy(col("freq").desc, col("word"))
-      .limit(trainCap)
+    // trainCap <= 0 mirrors bpeMerges: train on the FULL vocabulary (the
+    // oracle-exact regime — merge table equals the distributed trainer's on
+    // any corpus). A literal limit(0) here would silently train on nothing.
+    val capped = {
+      val v = vocab(documents).orderBy(col("freq").desc, col("word"))
+      if (trainCap > 0) v.limit(trainCap) else v
+    }
+    val seed: Array[(String, Long)] = capped
       .select("word", "freq")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(Array[String], Long)] =

@@ -65,7 +65,11 @@ object Bloom {
 
   /** Probe a new batch against a built filter: per document, how many of
     * its K bits are already set (`n_hits`) and the resulting `maybe_dup`
-    * verdict. The filter side is broadcast — bounded by M/64 rows.
+    * verdict. The filter side is broadcast — bounded by M/64 rows. NOT
+    * sorted: the streaming ingest path probes every micro-batch, and a
+    * per-batch global sort (plus its range-partitioner sampling job) is
+    * pure overhead there — [[bloomNewDocs]] adds the ORDER BY the oracle
+    * compare wants.
     */
   def probe(batch: DataFrame, filter: DataFrame): DataFrame =
     positions(batch)
@@ -75,7 +79,6 @@ object Bloom {
       .agg(sum(when(col("word").bitwiseAND(col("mask")) =!= 0, 1).otherwise(0))
         .as("n_hits"))
       .withColumn("maybe_dup", col("n_hits") === NumHashes)
-      .orderBy("doc_id")
 
   /** An empty filter (the state before any history is ingested). */
   def emptyFilter(spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -103,7 +106,7 @@ object Bloom {
   def bloomNewDocs(documents: DataFrame): DataFrame = {
     val history = documents.filter(col("doc_id") % 4 =!= 0)
     val batch = documents.filter(col("doc_id") % 4 === 0)
-    probe(batch, build(history))
+    probe(batch, build(history)).orderBy("doc_id")
   }
 
   /** DuckDB mirror: same slices, same bitmap, same probe — bit-exact. */

@@ -367,7 +367,13 @@ object Multimodal {
     */
   def imageCorpus(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
+    // repartition the (8-byte) ids BEFORE the codec work: a compact corpus
+    // arriving as one parquet split would otherwise encode+decode the whole
+    // media lake on a single core — the same single-split hazard the
+    // round-5 probe caught for embeddings (and the r8 sf1 bench caught for
+    // q79: 12× scaling where the decode itself is linear)
     documents.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .repartition(col("doc_id"))
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
@@ -433,6 +439,7 @@ object Multimodal {
   def audioCorpus(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .repartition(col("doc_id")) // see imageCorpus — single-split hazard
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
@@ -504,6 +511,7 @@ object Multimodal {
   def videoCorpus(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .repartition(col("doc_id")) // see imageCorpus — single-split hazard
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>

@@ -96,6 +96,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Append `quality_score` (same arithmetic as [[qualityScore]]) as one
+    * ROW-WISE column over `text`/`n_chars` — the streaming/foreachBatch
+    * form: no join back on doc_id, no per-batch global sort, stays inside
+    * whole-stage codegen. [[qualityScore]] remains the oracle-shaped
+    * projection; this is what the per-micro-batch hot path uses
+    * ([[graft.streaming.DocIngest]]).
+    */
+  def withQualityScore(documents: DataFrame): DataFrame = {
+    val nTok = col("_qts.n_tokens")
+    val stopRatio = col("_qts.n_stop").cast("double") / nTok
+    val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
+    val diversity = col("_qts.n_distinct").cast("double") / nTok
+    val stopOk = when(stopRatio >= 0.05 && stopRatio <= 0.6, 1.0).otherwise(0.0)
+    documents
+      .withColumn("_qts", statsCol())
+      .withColumn("quality_score",
+        lenScore * 0.4 + diversity * 0.3 + stopOk * 0.3)
+      .drop("_qts")
+  }
+
   def qualityScoreSql: String = {
     val stopList = Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
     s"""SELECT doc_id, n_tokens, stopword_ratio, lexical_diversity, length_score,

@@ -73,6 +73,11 @@ class BPESpec extends SparkSpec {
     val localCapped = BPE.bpeMergesLocal(df, merges = 8, trainCap = 2)
       .collect().map(_.toSeq).toSeq
     assert(localCapped == distCapped) // same seed → same merges at any cap
+    // trainCap <= 0 means FULL vocab (mirrors bpeMerges), never limit(0):
+    // the q97 registration relies on this being oracle-exact
+    val localFull = BPE.bpeMergesLocal(df, merges = 8, trainCap = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(localFull == dist)
   }
 
   test("BPE ignores non-ASCII words and ties break lexicographically") {

@@ -389,6 +389,44 @@ class TextNearDupSpec extends SparkSpec {
     assert(got((1L, 2L)) == 4.0 / 6.0)
   }
 
+  test("df-cap stats + pressure: hand-computed histogram, derived cap from " +
+    "the fan-out budget, -1 when capping buys nothing") {
+    // 3-token docs → exactly one 3-gram shingle each:
+    //   "a b c" ×5 (df=5), "p q r" ×2 (df=2), "x y z" ×1 (df=1)
+    val df = docs(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "a b c"), (5L, "a b c"),
+      (6L, "p q r"), (7L, "p q r"), (8L, "x y z"))
+    // constant cap 2: hot = {"a b c"}; postings 8; pairs 10+1+0 vs rare-only 1
+    val stats = NearDup.dfCapStats(df, maxDf = 2, fanoutBudget = 2).head()
+    assert(stats.getLong(stats.fieldIndex("n_shingles")) == 3L)
+    assert(stats.getLong(stats.fieldIndex("postings")) == 8L)
+    assert(stats.getLong(stats.fieldIndex("max_df")) == 5L)
+    assert(stats.getLong(stats.fieldIndex("n_hot")) == 1L)
+    assert(stats.getLong(stats.fieldIndex("hot_postings")) == 5L)
+    assert(stats.getLong(stats.fieldIndex("pairs_uncapped")) == 11L)
+    assert(stats.getLong(stats.fieldIndex("pairs_capped")) == 1L)
+    // budget 2 → B = 2·8 = 16; cum cost 1 (df1) / 5 (df2) / 30 (df5):
+    // largest valid present df is 2
+    assert(stats.getLong(stats.fieldIndex("derived_cap")) == 2L)
+    assert(NearDup.derivedDfCap(df, fanoutBudget = 2) == 2)
+    // generous budget: even uncapped cost (30) ≤ 100·8 → capping buys
+    // nothing → sentinel -1 / Int.MaxValue, and the maxDf=0 entry point
+    // must then equal the exact prefix-filtered result
+    val rich = NearDup.dfCapStats(df, maxDf = 2, fanoutBudget = 100).head()
+    assert(rich.getLong(rich.fieldIndex("derived_cap")) == -1L)
+    assert(NearDup.derivedDfCap(df) == Int.MaxValue)
+    val derived = NearDup.ngramJaccardPairsCapped(df, maxDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = NearDup.ngramJaccardPairs(df, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(derived == exact)
+    // per-shingle pressure relation: the one hot shingle, all postings
+    // dropped, 10 pairs no longer generated through it
+    val pressure = NearDup.dfCapPressure(df, maxDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pressure.toSeq == Seq(("a b c", 5L, 5L, 10L)))
+  }
+
   test("duplicated spans: cross-doc window shared verbatim covers both docs; " +
     "overlapping windows merge; unique docs report zero") {
     // docs 1 and 2 share tokens 1..9 ("s1..s9"): with l=8, duplicated

@@ -105,6 +105,65 @@ class DerbySinkSpec extends SparkSpec {
     assert(new JdbcSink(dead).probe(spark, derbyProbe).isFailure)
   }
 
+  test("exactly-once end-to-end (S6+D5 composed): crash AFTER the sink " +
+    "write but BEFORE the epoch commit; the restart replays the batch and " +
+    "the PK upsert absorbs it — table equals the uninterrupted run's") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, lit}
+    withConn(_.createStatement().execute(
+      "CREATE TABLE eo_events (event_id BIGINT PRIMARY KEY, " +
+        "payload VARCHAR(20))"))
+    val sink = new JdbcUpsertSink(cfg, Seq("event_id"), driver,
+      UpsertSql.plainInsert, rowLevelIgnore = true)
+    val mem = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-eo").toString
+    val seen = scala.collection.concurrent.TrieMap[Long, Int]()
+    @volatile var crashArmed = true
+    def startQuery() = mem.toDF()
+      .select(col("value").as("event_id"), lit("p").as("payload"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.append(b, "eo_events")
+        seen(id) = seen.getOrElse(id, 0) + 1
+        // the dangerous window: rows are IN Derby, the offset commit is
+        // not — a real crash here is exactly what at-least-once replays
+        if (id == 1L && crashArmed) {
+          crashArmed = false
+          sys.error("injected crash after sink write, before epoch commit")
+        }
+      }
+      .start()
+
+    val q1 = startQuery()
+    mem.addData(1L to 20L: _*)
+    q1.processAllAvailable() // batch 0 commits cleanly
+    mem.addData(21L to 40L: _*)
+    intercept[Exception] { // batch 1 writes to Derby, then dies
+      q1.processAllAvailable(); q1.awaitTermination()
+    }
+    assert(!q1.isActive)
+    assert(count("eo_events") === 40L) // the write DID land pre-crash
+
+    val q2 = startQuery() // same checkpoint: batch 1 must replay
+    try {
+      mem.addData(41L to 60L: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(seen(1L) >= 2, "batch 1 was not replayed — the spec did not " +
+      "exercise the at-least-once window")
+    // exactly-once at the table: every replayed row conflicted away
+    assert(count("eo_events") === 60L)
+    val sum = withConn { c =>
+      val rs = c.createStatement()
+        .executeQuery("SELECT SUM(event_id) FROM eo_events")
+      rs.next(); rs.getLong(1)
+    }
+    assert(sum === (1L to 60L).sum)
+  }
+
   test("postgres dialect stays the idempotent ON CONFLICT form") {
     // the Derby smoke must not weaken the production statement
     assert(UpsertSql.insertIgnore("t", Seq("a", "b"), Seq("a"))

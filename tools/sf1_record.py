@@ -17,6 +17,8 @@ proc = subprocess.run(
      sfdir, outdir, "--skip", skiplist],
     capture_output=True, text=True)
 print(proc.stdout)
+if proc.stderr:
+    print(proc.stderr, file=sys.stderr)
 
 con = duckdb.connect()
 def rows_of(name):
@@ -44,6 +46,21 @@ for line in proc.stdout.splitlines():
         record[name] = {"oracle": "FAIL", "rows": rows_of(name),
                         "detail": line[len("FAIL "):][:300]}
         fails += 1
+
+# A compare.py crash (import error, bad path, traceback before any
+# per-query line) must NOT produce a green '0 oracles OK, 0 failures'
+# artifact that checked nothing: fail loudly when no OK/FAIL/SKIP line was
+# parsed, and when compare exited nonzero without any FAIL line explaining
+# it (compare exits 1 on real per-query failures — those are recorded below
+# and reflected in this script's own exit code).
+if not record:
+    print("FATAL: zero OK/FAIL/SKIP lines parsed from compare.py output "
+          "— the comparison ran nothing", file=sys.stderr)
+    sys.exit(1)
+if proc.returncode != 0 and fails == 0:
+    print(f"FATAL: compare.py exited {proc.returncode} with no FAIL lines "
+          "— it crashed after partial output", file=sys.stderr)
+    sys.exit(1)
 
 # queries Verify ran but compare has no oracle entry for (q35)
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
