@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
 /** Incremental corpus deduplication with a deterministic Bloom filter —
@@ -78,6 +78,62 @@ object Bloom {
       .groupBy("doc_id")
       .agg(sum(when(col("word").bitwiseAND(col("mask")) =!= 0, 1).otherwise(0))
         .as("n_hits"))
+      .withColumn("maybe_dup", col("n_hits") === NumHashes)
+
+  /** Word count of the packed bitmap: indices 0..BloomBits/BitsPerWord. */
+  val NumWords: Int = BloomBits / BitsPerWord + 1
+
+  /** The bitmap as a driver array — the streaming-ingest representation.
+    * 16,645 longs ≈ 130 KB: small enough to live on the driver between
+    * micro-batches and ride the task binary into codegen, which is what
+    * lets [[probeHits]] run with zero per-batch shuffles.
+    */
+  def emptyWords: Array[Long] = new Array[Long](NumWords)
+
+  /** Materialize a (word_idx, word) filter frame as the packed array. */
+  def collectWords(filter: DataFrame): Array[Long] = {
+    val words = emptyWords
+    filter.select("word_idx", "word").collect().foreach { r =>
+      words(r.getLong(0).toInt) = r.getLong(1)
+    }
+    words
+  }
+
+  /** Fold a new batch into a driver-array filter: ONE fixed-size
+    * aggregation ([[build]] — ≤ NumWords rows out) + a bounded collect,
+    * OR'd into a fresh copy. The streaming state transition without the
+    * union/groupBy/localCheckpoint chain the frame form needs.
+    */
+  def foldInto(words: Array[Long], batch: DataFrame): Array[Long] = {
+    val next = words.clone()
+    build(batch).collect().foreach { r =>
+      next(r.getLong(0).toInt) |= r.getLong(1)
+    }
+    next
+  }
+
+  /** Word-wise OR of two array filters (driver-side, 16 K longs). */
+  def orWords(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = a.clone()
+    var i = 0
+    while (i < out.length && i < b.length) { out(i) |= b(i); i += 1 }
+    out
+  }
+
+  /** Row-wise probe against a driver-array filter: `n_hits` per document,
+    * computed inside codegen from the broadcast-with-the-task bitmap — the
+    * per-micro-batch fast path ([[graft.functions.BloomProbeHits]]).
+    * Equality with the declarative [[probe]] is spec-pinned.
+    */
+  def probeHits(text: Column, words: Array[Long]): Column =
+    graft.functions.BloomProbeHits(text, words)
+
+  /** [[probe]]-shaped output (doc_id, n_hits, maybe_dup) computed via
+    * [[probeHits]] — the spec-comparison form. */
+  def probeWords(batch: DataFrame, words: Array[Long]): DataFrame =
+    batch.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        probeHits(col("text"), words).cast("long").as("n_hits"))
       .withColumn("maybe_dup", col("n_hits") === NumHashes)
 
   /** An empty filter (the state before any history is ingested). */

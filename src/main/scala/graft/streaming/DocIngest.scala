@@ -64,44 +64,58 @@ object DocIngest {
     * frame): bloom-probe against `filter`, quality-gate, route, and
     * return (metrics, updated filter).
     *
-    * Hot-path shape (round 9): the quality score is a ROW-WISE column
-    * ([[TextAnalysis.withQualityScore]] — no join back on doc_id, no
-    * per-batch sort), and the Bloom probe is unsorted; the only per-batch
-    * shuffles left are the probe's own doc_id aggregation + its join back,
-    * and the filter update's fixed-size word aggregation.
+    * Hot-path shape (round 9): the quality score AND the Bloom probe are
+    * ROW-WISE columns ([[TextAnalysis.withQualityScore]],
+    * [[Bloom.probeHits]] over the driver-array filter) — no join back on
+    * doc_id, no per-batch sort, no probe shuffle at all; the only
+    * per-batch shuffle left is the filter update's fixed-size word
+    * aggregation.
     */
   def processBatch(
       batchDf: DataFrame,
       batchId: Long,
-      filter: DataFrame,
+      filter: Array[Long],
       sink: Sink,
       minQuality: Double = 0.4,
-      timings: StageTimings = new StageTimings): (Option[DocBatchMetrics], DataFrame) = {
-    // cache BEFORE the isEmpty action: isEmpty evaluates the micro-batch
-    // plan (including the upstream stateful dedup), and uncached that work
-    // would run again for the flag computation — the round-8 probe's
-    // missing 72% lived partly here
+      timings: StageTimings = new StageTimings): (Option[DocBatchMetrics], Array[Long]) = {
+    // The Bloom filter is a DRIVER ARRAY (16 K longs — Bloom.NumWords),
+    // probed row-wise inside codegen (Bloom.probeHits): the round-8
+    // DataFrame-filter form paid two shuffles (probe agg + join back) plus
+    // a union/groupBy/localCheckpoint update PER MICRO-BATCH; the array
+    // form's only per-batch state cost is one fixed-size aggregation +
+    // a ≤16 K-row collect in the update.
     val spark = batchDf.sparkSession
-    val cached = batchDf.cache()
-    if (timings.time("dedup_materialize")(cached.isEmpty)) {
-      cached.unpersist()
-      (None, filter)
-    } else {
-      try {
-        val withChars = cached.withColumn("n_chars",
-          coalesce(length(col("text")).cast("long"), lit(0L)))
-        val flags = TextAnalysis.withQualityScore(withChars)
-          .join(Bloom.probe(cached, filter).select("doc_id", "maybe_dup"),
-            Seq("doc_id"), "left")
-          .withColumn("maybe_dup", coalesce(col("maybe_dup"), lit(false)))
-          .withColumn("reject_reason",
-            when(col("maybe_dup"), "duplicate_content")
-              .when(col("text").isNull, "no_text") // extraction failures
-              .when(col("quality_score") < minQuality, "low_quality"))
-          .cache()
-        // materialize ONCE under its own timer so the route/metrics/update
-        // stages below read the cache and time only their own work
-        timings.time("flag_compute")(flags.count())
+    val flags = TextAnalysis.withQualityScore(
+        batchDf.withColumn("n_chars",
+          coalesce(length(col("text")).cast("long"), lit(0L))))
+      .withColumn("maybe_dup",
+        coalesce(Bloom.probeHits(col("text"), filter) === Bloom.NumHashes,
+          lit(false))) // null text probes null → not a dup, it's no_text
+      .withColumn("reject_reason",
+        when(col("maybe_dup"), "duplicate_content")
+          .when(col("text").isNull, "no_text") // extraction failures
+          .when(col("quality_score") < minQuality, "low_quality"))
+      .cache()
+    // ONE action materializes the cache — upstream stateful dedup + quality
+    // + probe all run here; the route/update stages below read the cache
+    // and time only their own work. The metrics agg doubles as that action.
+    try {
+      // the batch's Bloom contribution rides the SAME aggregation job as
+      // the metrics (BloomBitsAgg: fixed 130 KB partial buffers, word-wise
+      // OR merge) — folding first-seen content into the filter costs no
+      // extra per-batch job at all
+      val counts = timings.time("flag_compute")(flags.agg(
+        count(lit(1)),
+        count(when(col("reject_reason") === "duplicate_content", 1)),
+        count(when(col("reject_reason").isin("low_quality", "no_text"), 1)),
+        count(when(col("reject_reason").isNull, 1)),
+        graft.functions.BloomBitsAgg.bloomBitsAgg(
+          when(!col("maybe_dup"), col("text")))
+      ).head())
+      val m = DocBatchMetrics(batchId, counts.getLong(0), counts.getLong(1),
+        counts.getLong(2), counts.getLong(3))
+      if (m.nIn == 0) (None, filter)
+      else {
         val accepted = flags.filter(col("reject_reason").isNull)
         val rejected = flags.filter(col("reject_reason").isNotNull)
         timings.time("accepted_append")(
@@ -110,14 +124,6 @@ object DocIngest {
         timings.time("rejected_append")(
           sink.append(rejected.select("doc_id", "reject_reason"),
             "rejected_documents"))
-        val counts = timings.time("metrics_agg")(flags.agg(
-          count(lit(1)),
-          count(when(col("reject_reason") === "duplicate_content", 1)),
-          count(when(col("reject_reason").isin("low_quality", "no_text"), 1)),
-          count(when(col("reject_reason").isNull, 1))
-        ).head())
-        val m = DocBatchMetrics(batchId, counts.getLong(0), counts.getLong(1),
-          counts.getLong(2), counts.getLong(3))
         import spark.implicits._
         timings.time("metrics_append")(sink.append(
           Seq((m.batchId, m.nIn, m.nFlaggedDup, m.nLowQuality, m.nAccepted))
@@ -126,14 +132,13 @@ object DocIngest {
         // fold every first-seen content into the filter — accepted AND
         // quality-rejected: dedup is about content identity, so a re-crawl
         // of rejected content is still a duplicate (flagged-dup content is
-        // already represented; re-adding it would be a no-op anyway)
-        val next = timings.time("bloom_update")(Bloom.update(filter,
-            flags.filter(!col("maybe_dup")).select("doc_id", "text"))
-          .localCheckpoint()) // eager: materialized before flags is freed
-        flags.unpersist()
+        // already represented; re-adding it would be a no-op anyway). The
+        // bits were already aggregated above; this is a driver-side OR.
+        val next = timings.time("bloom_update")(Bloom.orWords(filter,
+          graft.functions.BloomBitsAgg.decode(counts.getAs[Array[Byte]](4))))
         (Some(m), next)
-      } finally cached.unpersist()
-    }
+      }
+    } finally flags.unpersist()
   }
 
   /** Wire the full streaming query: dedup-within-watermark → foreachBatch
@@ -149,7 +154,7 @@ object DocIngest {
       minQuality: Double = 0.4,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
       timings: StageTimings = new StageTimings): StreamingQuery = {
-    var filter = Bloom.emptyFilter(spark)
+    var filter = Bloom.emptyWords
     val writer = Dedup.streamingContentDedup(docs, watermark = watermarkDelay)
       .writeStream
       .option("checkpointLocation", checkpointDir)

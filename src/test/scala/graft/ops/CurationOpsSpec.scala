@@ -65,6 +65,54 @@ class CurationOpsSpec extends SparkSpec {
     assert(flagged(3L) == true && flagged(4L) == false)
   }
 
+  test("driver-array bloom (probeHits/foldInto) is bit-identical to the frame form") {
+    // the streaming fast path (BloomProbeHits codegen kernel + foldInto)
+    // must produce EXACTLY the declarative probe's verdicts — same md5
+    // slices, same 63-bit packing — including n_hits on near-misses and
+    // null-text handling, across incremental updates
+    val history1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val history2 = Seq(
+      (3L, "sphinx of black quartz judge my vow"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batch = Seq(
+      (8L, "the quick brown fox jumps over the lazy dog"), // dup (batch 1)
+      (9L, "sphinx of black quartz judge my vow"),         // dup (batch 2)
+      (16L, "a totally novel document that history never saw"),
+      (17L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+    var frame = Bloom.emptyFilter(spark)
+    var words = Bloom.emptyWords
+    for (h <- Seq(history1, history2)) {
+      frame = Bloom.update(frame, h).localCheckpoint()
+      words = Bloom.foldInto(words, h)
+    }
+    assert(Bloom.collectWords(frame).toSeq == words.toSeq)
+    val fromFrame = Bloom.probe(batch, frame).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val fromWords = Bloom.probeWords(batch, words).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(fromFrame == fromWords)
+    assert(fromWords.exists { case (id, n, dup) => id == 8L && n == 4L && dup })
+    assert(fromWords.exists { case (id, n, dup) => id == 9L && n == 4L && dup })
+    assert(fromWords.exists { case (id, _, dup) => id == 16L && !dup })
+    assert(!fromWords.exists(_._1 == 17L)) // null text never probes
+  }
+
+  test("BloomBitsAgg aggregate equals build()'s word table bit-for-bit") {
+    // the one-job streaming update path: the aggregate's packed array must
+    // be exactly the declarative build's bitmap, null texts skipped
+    val docs = ((1L to 50L).map(i => (i, s"document number $i some text")) :+
+      (51L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val viaAgg = graft.functions.BloomBitsAgg.decode(
+      docs.agg(graft.functions.BloomBitsAgg.bloomBitsAgg(col("text")))
+        .head().getAs[Array[Byte]](0))
+    assert(viaAgg.length == Bloom.NumWords)
+    assert(viaAgg.toSeq == Bloom.collectWords(Bloom.build(docs)).toSeq)
+    assert(viaAgg.exists(_ != 0L))
+  }
+
   // ----------------------------------------------------------- gap sessions
 
   test("gap sessions split on >30min inactivity, not on bucket boundaries") {
