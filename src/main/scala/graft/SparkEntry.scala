@@ -402,6 +402,14 @@ object SparkEntry {
     // first-class oracle-checked relation
     "q98_ngram_df_cap_stats" -> ((s, dir) =>
       NearDup.dfCapStats(Tables.documents(s, dir))),
+    // cross-snapshot incremental dedup (continuous-crawl shape): batch =
+    // doc_id%5==0 vs indexed rest; exact verdict by normalized-text hash,
+    // near verdict by LSH bands against budgeted index hubs + exact
+    // Jaccard — the index side reduces to two persistable short-key
+    // relations, so each batch costs batch-sized equi-joins, never a
+    // corpus×corpus re-dedup. q47's Bloom gate approximates this verdict.
+    "q99_incremental_dedup" -> ((s, dir) =>
+      NearDup.incrementalDedup(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -707,5 +715,6 @@ object SparkEntry {
     // IDENTICAL merge table (step/p1/p2/pair_count, hash-checked)
     "q97_bpe_merges_local" -> graft.ops.BPE.bpeMergesSql(),
     "q98_ngram_df_cap_stats" -> NearDup.dfCapStatsSql(),
+    "q99_incremental_dedup" -> NearDup.incrementalDedupSql(),
   )
 }

@@ -956,4 +956,125 @@ object NearDup {
        |WHERE ($hamming) <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------- incremental dedup
+
+  /** Cross-snapshot incremental dedup — the continuous-crawl primitive: an
+    * INDEXED corpus snapshot and an incoming BATCH, where only batch docs
+    * that duplicate nothing in the index survive. The deterministic split
+    * here (`doc_id % batchMod == batchRem` = batch; everything else =
+    * index) stands in for yesterday's corpus vs today's crawl.
+    *
+    * Verdicts per batch doc, in priority order:
+    *  - `exact_dup`  — normalized text (lowercased, whitespace-collapsed)
+    *    equals some index doc's; `dup_of` = the smallest such index doc.
+    *  - `near_dup`   — shares an LSH band bucket with an index doc and the
+    *    exact shingle Jaccard reaches [[JaccardThreshold]]; `dup_of` = the
+    *    smallest verified index doc.
+    *  - `kept`       — neither; `dup_of` is null.
+    *
+    * Scale shape (the reason this is not "re-dedup the union"): the index
+    * side reduces to two SHORT-KEY relations — (md5(norm), doc_id) and the
+    * LSH band relation — both one-time-computable and persistable as the
+    * actual index; each incoming batch then costs two equi-joins sized by
+    * the BATCH, never a corpus×corpus pass. Hot buckets on the index side
+    * are budgeted exactly like [[lshCandidates]] ([[BucketBudget]] smallest
+    * doc_ids act as representatives — an explicit recall budget, mirrored
+    * in the oracle's QUALIFY, so hash-parity holds on hostile corpora too).
+    * The q47 Bloom gate is this op's probabilistic fast path; this is the
+    * exact verdict it approximates.
+    */
+  def incrementalDedup(
+      documents: DataFrame, batchMod: Int = 5, batchRem: Int = 0,
+      bucketBudget: Int = BucketBudget): DataFrame = {
+    // shingle + normalize ONCE over the union, then split: one scan, one
+    // expensive per-row pass (tokenize/shingle kernel), both sides cached
+    val base = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", tokens(col("text")))).as("norm_h"),
+        graft.functions.ShingleSet.shingles(col("text"), ShingleN).as("shingles"),
+        (pmod(col("doc_id"), lit(batchMod)) === batchRem).as("is_batch"))
+      .cache()
+    val batch = base.filter(col("is_batch"))
+    val index = base.filter(!col("is_batch"))
+    // exact: equi-join on the 16-byte normalized-text hash — the index side
+    // of this join IS the persistable exact-dup index
+    val exact = batch.select(col("doc_id"), col("norm_h"))
+      .join(index.select(col("doc_id").as("ix_id"), col("norm_h")), Seq("norm_h"))
+      .groupBy("doc_id").agg(min("ix_id").as("exact_of"))
+    // near: batch bands ⋈ budgeted index-band hubs, exact-Jaccard verified
+    val bandsB = lshBands(signaturesFrom(batch.select("doc_id", "shingles")))
+    val bandsI = lshBands(signaturesFrom(index.select("doc_id", "shingles")))
+    val w = Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
+    val hubsI = bandsI
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= bucketBudget)
+      .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key"))
+    val cand = bandsB.join(hubsI, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("ix_id")).distinct()
+    val near = cand
+      .join(batch.select(col("doc_id"), col("shingles").as("sh_b")), Seq("doc_id"))
+      .join(index.select(col("doc_id").as("ix_id"), col("shingles").as("sh_i")), Seq("ix_id"))
+      .withColumn("n_common", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sh_b"), col("sh_i")))
+      .filter(col("n_common").cast("double") /
+        (size(col("sh_b")) + size(col("sh_i")) - col("n_common")) >= JaccardThreshold)
+      .groupBy("doc_id").agg(min("ix_id").as("near_of"))
+    batch.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  def incrementalDedupSql(batchMod: Int = 5, batchRem: Int = 0): String = {
+    val minExprs = (0 until NumHashes).map(i =>
+      s"min(${sliceHashSql(i, "shingle")}) AS mh_$i").mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val slice = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band_idx, md5(${slice.mkString(" || '|' || ")}) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh0 AS ($shingledSql),
+       |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents),
+       |docs AS (
+       |  SELECT s.doc_id, array_to_string(t.toks, ' ') AS norm, s.shingles,
+       |    (s.doc_id % $batchMod = $batchRem) AS is_batch
+       |  FROM sh0 s JOIN toks t ON s.doc_id = t.doc_id),
+       |exact AS (
+       |  SELECT b.doc_id, min(i.doc_id) AS exact_of
+       |  FROM docs b JOIN docs i ON b.is_batch AND NOT i.is_batch AND b.norm = i.norm
+       |  GROUP BY b.doc_id),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM docs WHERE len(shingles) > 0),
+       |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |bands_b AS (SELECT b.* FROM bands b JOIN docs d ON b.doc_id = d.doc_id WHERE d.is_batch),
+       |hubs_i AS (
+       |  SELECT * FROM (SELECT b.* FROM bands b JOIN docs d ON b.doc_id = d.doc_id WHERE NOT d.is_batch)
+       |  QUALIFY row_number() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id)
+       |    <= $BucketBudget),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS ix_id
+       |  FROM bands_b b JOIN hubs_i h
+       |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
+       |near AS (
+       |  SELECT c.doc_id, min(c.ix_id) AS near_of
+       |  FROM cand c JOIN docs x ON c.doc_id = x.doc_id JOIN docs y ON c.ix_id = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+       |      / len(list_distinct(x.shingles || y.shingles)) >= $JaccardThreshold
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.near_of IS NOT NULL THEN 'near_dup'
+       |       ELSE 'kept' END AS status,
+       |  COALESCE(e.exact_of, n.near_of) AS dup_of
+       |FROM docs d
+       |LEFT JOIN exact e ON d.doc_id = e.doc_id
+       |LEFT JOIN near n ON d.doc_id = n.doc_id
+       |WHERE d.is_batch ORDER BY d.doc_id""".stripMargin
+  }
 }

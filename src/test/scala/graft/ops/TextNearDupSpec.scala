@@ -480,4 +480,37 @@ class TextNearDupSpec extends SparkSpec {
     // "solo" has no bigram: no row, by contract (callers left-join)
     assert(!got.contains(3L))
   }
+
+  test("incremental dedup: exact beats near, near needs LSH+Jaccard, " +
+    "unique batch docs are kept") {
+    // batch = doc_id % 5 == 0; index = everything else.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val unrelated = (100 to 130).map(i => s"w$i").mkString(" ")
+    val df = docs(
+      (1L, base),                 // index
+      (2L, unrelated),            // index
+      (5L, "  TOK1  tok2 "),      // batch: too short to shingle-match, unique
+      (10L, base.toUpperCase),    // batch: exact dup of 1 after normalize
+      (15L, nearDup),             // batch: near dup of 1 (J = 28/32 ≥ 0.8... verify)
+      (20L, unrelated))           // batch: exact dup of 2
+    val got = NearDup.incrementalDedup(df)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(5L) == (("kept", -1L)))
+    assert(got(10L) == (("exact_dup", 1L)))
+    assert(got(15L) == (("near_dup", 1L)))
+    assert(got(20L) == (("exact_dup", 2L)))
+    assert(got.size == 4)
+  }
+
+  test("incremental dedup: batch docs never match EACH OTHER, only the index") {
+    // two identical batch docs with no index twin must BOTH be kept —
+    // within-batch dedup is q17/q18's job, not the incremental gate's
+    val t = (1 to 25).map(i => s"x$i").mkString(" ")
+    val df = docs((5L, t), (10L, t), (1L, "completely different index text"))
+    val got = NearDup.incrementalDedup(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(5L -> "kept", 10L -> "kept"))
+  }
 }
