@@ -410,6 +410,13 @@ object SparkEntry {
     // corpus×corpus re-dedup. q47's Bloom gate approximates this verdict.
     "q99_incremental_dedup" -> ((s, dir) =>
       NearDup.incrementalDedup(Tables.documents(s, dir))),
+    // embedding-space decontamination (the semantic twin of q81): corpus
+    // vectors with cosine ≥ 0.4 against ANY eval vector (vec_id%10==0),
+    // candidates from multi-probe LSH with the explode on the SMALL eval
+    // side, verified by exact quantized cosine — corpus cost is one scan
+    // plus a short-key shuffle, never eval × corpus
+    "q100_semantic_decontamination" -> ((s, dir) =>
+      Similarity.semanticDecontamination(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -716,5 +723,6 @@ object SparkEntry {
     "q97_bpe_merges_local" -> graft.ops.BPE.bpeMergesSql(),
     "q98_ngram_df_cap_stats" -> NearDup.dfCapStatsSql(),
     "q99_incremental_dedup" -> NearDup.incrementalDedupSql(),
+    "q100_semantic_decontamination" -> Similarity.semanticDecontaminationSql(),
   )
 }

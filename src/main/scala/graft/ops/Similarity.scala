@@ -141,17 +141,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         bucketCol(col("embedding"), planes).as("bucket"))
       .cache()
-    // Probe keys: the bucket itself + every ≤maxFlips bit-flip of it.
-    val probeKeys: Seq[Column] = {
-      val idxSets = (0 until planes).toSet.subsets().filter(_.size <= maxFlips).toSeq
-        .sortBy(s => (s.size, s.toSeq.sorted.mkString(",")))
-      idxSets.map { s =>
-        (0 until planes).map { j =>
-          val bit = substring(col("bucket"), j + 1, 1)
-          if (s.contains(j)) when(bit === "1", "0").otherwise("1") else bit
-        }.reduce(concat(_, _))
-      }
-    }
+    val probeKeys = probeKeyCols(planes, maxFlips)
     val probing = withB.select(col("vec_id").as("id_l"), col("embedding").as("emb_l"),
       explode(array(probeKeys: _*)).as("probe"))
     val home = withB.select(col("vec_id").as("id_r"), col("embedding").as("emb_r"),
@@ -161,6 +151,90 @@ object Similarity {
         dot(col("emb_l"), col("emb_r")).as("cosine"))
       .filter(col("cosine") >= CosineThreshold)
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Probe keys over a `bucket` string column: the bucket itself + every
+    * ≤maxFlips bit-flip of it, in a deterministic (size, indices) order.
+    */
+  private def probeKeyCols(planes: Int, maxFlips: Int): Seq[Column] = {
+    val idxSets = (0 until planes).toSet.subsets().filter(_.size <= maxFlips).toSeq
+      .sortBy(s => (s.size, s.toSeq.sorted.mkString(",")))
+    idxSets.map { s =>
+      (0 until planes).map { j =>
+        val bit = substring(col("bucket"), j + 1, 1)
+        if (s.contains(j)) when(bit === "1", "0").otherwise("1") else bit
+      }.reduce(concat(_, _))
+    }
+  }
+
+  /** Semantic decontamination — the embedding-space twin of q81's n-gram
+    * [[TextAnalysis.decontaminate]]: corpus vectors too close to ANY eval
+    * vector (cosine ≥ threshold) are flagged for removal before training.
+    * Eval set = `vec_id % evalMod == 0` stands in for the benchmark
+    * embedding table.
+    *
+    * Scale shape: the EVAL side carries the multi-probe explode (eval sets
+    * are benchmark-sized — thousands, not billions), the corpus side only
+    * computes its home bucket; candidates come from the probe-key
+    * equi-join, verified by exact quantized cosine. Corpus cost is one
+    * scan + one short-key shuffle, independent of eval-set pairing — never
+    * eval × corpus. The threshold defaults BELOW the near-dup 0.45:
+    * decontamination is precautionary (a dropped clean doc costs a little
+    * data; a kept contaminated doc corrupts the eval), so it trades toward
+    * recall.
+    */
+  def semanticDecontamination(
+      embeddings: DataFrame, evalMod: Int = 10, threshold: Double = 0.4,
+      maxFlips: Int = 1, planes: Int = Planes): DataFrame = {
+    val withB = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        bucketCol(col("embedding"), planes).as("bucket"),
+        (pmod(col("vec_id"), lit(evalMod)) === 0).as("is_eval"))
+      .cache()
+    val evalProbes = withB.filter(col("is_eval"))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("emb_e"),
+        explode(array(probeKeyCols(planes, maxFlips): _*)).as("probe"))
+    val corpus = withB.filter(!col("is_eval"))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    // a (corpus, eval) pair matches on exactly ONE probe key (the flip set
+    // at their bucket Hamming distance), so no distinct is needed; the
+    // aggregation is over genuinely different eval matches
+    evalProbes.join(corpus, col("probe") === col("bucket"))
+      .select(col("vec_id"), col("eval_id"),
+        dot(col("embedding"), col("emb_e")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy("vec_id")
+      .agg(min("eval_id").as("contaminated_by"), max("cosine").as("max_cosine"))
+      .orderBy("vec_id")
+  }
+
+  def semanticDecontaminationSql(
+      evalMod: Int = 10, threshold: Double = 0.4, maxFlips: Int = 1): String = {
+    val bitExprs = planeSigns.map { signs =>
+      val arr = signs.mkString("[", ",", "]")
+      val d = graft.functions.QuantizedDot.dotq6Sql("embedding", arr)
+      s"(CASE WHEN $d >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val idxSets = (0 until Planes).toSet.subsets().filter(_.size <= maxFlips).toSeq
+      .sortBy(s => (s.size, s.toSeq.sorted.mkString(",")))
+    val probeExprs = idxSets.map { s =>
+      (0 until Planes).map { j =>
+        val bit = s"substr(bucket, ${j + 1}, 1)"
+        if (s.contains(j)) s"(CASE WHEN $bit = '1' THEN '0' ELSE '1' END)" else bit
+      }.mkString(" || ")
+    }.mkString(", ")
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding, $bitExprs AS bucket,
+       |    (vec_id % $evalMod = 0) AS is_eval
+       |  FROM embeddings),
+       |probing AS (
+       |  SELECT vec_id AS eval_id, embedding, unnest([$probeExprs]) AS probe
+       |  FROM bk WHERE is_eval)
+       |SELECT c.vec_id, min(p.eval_id) AS contaminated_by,
+       |  max(${dotSql("c.embedding", "p.embedding")}) AS max_cosine
+       |FROM probing p JOIN bk c ON p.probe = c.bucket AND NOT c.is_eval
+       |WHERE ${dotSql("c.embedding", "p.embedding")} >= $threshold
+       |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin
   }
 
   def embeddingNearDupsApproxSql(maxFlips: Int = 1): String = {

@@ -364,4 +364,29 @@ class SimilaritySpec extends SparkSpec {
       })
     }
   }
+
+  test("semantic decontamination flags corpus vectors near an eval vector, " +
+    "reports the smallest eval match and the max cosine") {
+    // eval = vec_id % 10 == 0. Unit vectors, so the quantized dot IS the
+    // cosine. Corpus vec 1 is a verbatim leak of the eval example — the
+    // canonical contamination case (same bucket, flip-0 probe finds it).
+    val e1 = Seq.fill(64)(0.125f)                      // eval 10, 20 (identical)
+    val far = Seq.tabulate(64)(i => if (i % 2 == 0) 0.125f else -0.125f)
+    val df = emb((10L, e1, 0), (20L, e1, 0), (1L, e1, 0), (2L, far, 0))
+    val got = Similarity.semanticDecontamination(df)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("contaminated_by"), r.getAs[Double]("max_cosine")))
+    assert(got.map(_._1).toSeq == Seq(1L))          // far corpus vec 2 is clean
+    assert(got.head._2 == 10L)                      // min of the two eval matches
+    assert(got.head._3 >= 0.99)
+  }
+
+  test("semantic decontamination never flags eval or cross-corpus vectors") {
+    // two identical CORPUS vectors with no eval twin: neither is flagged —
+    // corpus-corpus similarity is dedup's job (q42/q78), not decon's
+    val v = Seq.fill(64)(0.125f)
+    val evalOnly = Seq.tabulate(64)(i => if (i < 32) 0.125f else -0.125f)
+    val df = emb((1L, v, 0), (2L, v, 0), (10L, evalOnly, 0))
+    assert(Similarity.semanticDecontamination(df).count() == 0)
+  }
 }
