@@ -417,6 +417,12 @@ object SparkEntry {
     // plus a short-key shuffle, never eval × corpus
     "q100_semantic_decontamination" -> ((s, dir) =>
       Similarity.semanticDecontamination(Tables.embeddings(s, dir))),
+    // deterministic global shuffle + shard assignment (the pipeline's last
+    // step before writing training files): md5 permutation, 20-bit shard
+    // hash, per-shard rank — no global sort or global row_number anywhere,
+    // so the plan stays parallel at any corpus size
+    "q101_training_shards" -> ((s, dir) =>
+      Curate.trainingShards(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -724,5 +730,6 @@ object SparkEntry {
     "q98_ngram_df_cap_stats" -> NearDup.dfCapStatsSql(),
     "q99_incremental_dedup" -> NearDup.incrementalDedupSql(),
     "q100_semantic_decontamination" -> Similarity.semanticDecontaminationSql(),
+    "q101_training_shards" -> Curate.trainingShardsSql(),
   )
 }

@@ -459,4 +459,47 @@ object Curate {
        |  COALESCE(pd.importance, 0.0) AS importance,
        |  COALESCE(pd.importance, 0.0) > 0 AS selected
        |FROM t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  /** Deterministic global shuffle + shard assignment — the LAST step of a
+    * training-data pipeline: training wants the corpus in pseudo-random
+    * order, split into nShards equal-ish output files. shuffle_key =
+    * md5(doc_id) is the permutation (content-stable: reruns, engine swaps
+    * and corpus growth never reorder existing docs relative to each
+    * other); shard = first-20-bits mod nShards; shard_pos = rank of the
+    * key within its shard.
+    *
+    * Scale shape: NO global sort and NO global row_number — the only
+    * per-row state is a row_number windowed BY SHARD, and production
+    * nShards is the output file count (thousands), so the window
+    * parallelism matches the cluster. A writer then does
+    * `.repartition(col("shard")).sortWithinPartitions("shard_pos")` —
+    * one shuffle, each task streams one output file in final order.
+    */
+  def trainingShards(documents: DataFrame, nShards: Int = 16): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("shuffle_key")
+    documents
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("shuffle_key"))
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 5), 16, 10).cast("long")
+          % nShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "shard_pos", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  def trainingShardsSql(nShards: Int = 16): String =
+    s"""SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key)
+       |    AS BIGINT) AS shard_pos,
+       |  n_tokens
+       |FROM (SELECT doc_id,
+       |        md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT
+       |          % $nShards AS INTEGER) AS shard,
+       |        CAST(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
 }

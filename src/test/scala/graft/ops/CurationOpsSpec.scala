@@ -496,4 +496,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(5L)._1 < 0 && !got(5L)._2, s"mixed doc: ${got(5L)}")
     assert(got(6L) == ((0.0, false)))
   }
+
+  test("training shards: md5-keyed shard + per-shard rank, stable under " +
+    "repartitioning and corpus growth") {
+    val docs = (0L until 40L).map(d => (d, s"tok$d text", "en", "src", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.trainingShards(docs, nShards = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // shard is the documented pure function of doc_id
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.foreach { case (d, (shard, _, nTok)) =>
+      assert(shard == (java.lang.Long.parseLong(md5hex(d.toString).take(5), 16) % 4).toInt)
+      assert(nTok == 2L)
+    }
+    // per-shard positions are exactly 1..k
+    out.groupBy(_._2._1).values.foreach { g =>
+      assert(g.map(_._2._2).toSeq.sorted == (1L to g.size).toSeq)
+    }
+    // physically repartitioning the input changes nothing
+    val re = Curate.trainingShards(docs.repartition(7), nShards = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(re == out)
+    // corpus growth never changes an existing doc's shard or its order
+    // relative to other survivors (ranks shift by insertions only)
+    val grown = docs.union(
+      (100L until 120L).map(d => (d, s"tok$d text", "en", "src", 10L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val g2 = Curate.trainingShards(grown, nShards = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    out.foreach { case (d, (shard, _, _)) => assert(g2(d)._1 == shard) }
+    out.groupBy(_._2._1).foreach { case (shard, g) =>
+      val oldOrder = g.toSeq.sortBy(_._2._2).map(_._1)
+      val newOrder = g2.filter { case (d, (s, _)) => out.contains(d) && s == shard }
+        .toSeq.sortBy(_._2._2).map(_._1)
+      assert(newOrder == oldOrder)
+    }
+  }
 }
