@@ -651,10 +651,45 @@ object NearDup {
   private def cappedCommonCounts(
       documents: DataFrame, n: Int, maxDf: Int,
       prune: Column => Column): DataFrame = {
-    val ex = documents
+    // Adaptive re-plan (same pattern as Similarity.adaptiveSubPlanes): ONE
+    // driver-side statistic — does any shingle exceed the cap? — picks the
+    // plan. On a clean corpus (no hot vocabulary, the common case: this
+    // testdata's 3-grams peak at df 25 vs cap 100) the hot machinery is
+    // pure overhead: the broadcast flag join, the per-doc hot arrays
+    // (sort_array ∘ collect_list), and both correction joins compute
+    // nothing, but still shuffle. There, n_common = n_rare EXACTLY and the
+    // "upper-bound prune" is the exact predicate, so the whole machine
+    // collapses to posting join → pair counts → row-wise set sizes. The
+    // statistic costs one map-side-combined aggregation over the postings
+    // — the same pass the hot branch pays again for its flag table — so
+    // hot corpora pay ≤ one extra agg job, clean corpora skip three joins
+    // and the array build. Both branches return identical relations by
+    // construction; the oracle SQL (which always models the cap) agrees
+    // on either.
+    val sh = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), graft.functions.ShingleSet.shingles(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .cache()
+    val nHot = sh.select(explode(col("shingles")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).count()
+    if (nHot == 0) {
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+      val exR = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .repartition(col("shingle"))
+      val pair = exR.toDF("doc_a", "shingle")
+        .join(exR.toDF("doc_b", "shingle_b"),
+          col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_common"))
+      return pair
+        .join(sizes.toDF("doc_a_k", "n_a"), col("doc_a") === col("doc_a_k"))
+        .join(sizes.toDF("doc_b_k", "n_b"), col("doc_b") === col("doc_b_k"))
+        .filter(prune(col("n_common")))
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"))
+    }
+    val ex = sh
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .cache()
     // The hot vocabulary is small BY CONSTRUCTION (≤ total_postings/maxDf
