@@ -430,39 +430,32 @@ object TextAnalysis {
     */
   def winnowingFingerprints(
       documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
-    winnowedCore(documents, k, w).distinct().orderBy("doc_id", "pos")
+    // winnowedCore is already per-doc distinct (the kernel dedupes), and
+    // (doc_id, pos) is a key of its output — no distinct exchange needed
+    winnowedCore(documents, k, w).orderBy("doc_id", "pos")
 
-  /** The raw per-window-minima stream (duplicates across overlapping
-    * windows NOT yet removed) — each consumer applies exactly the distinct
-    * it needs: q82 dedupes (doc_id, pos, fp) for the index, q83 dedupes
-    * straight to (doc_id, fp), so the composition pays ONE exchange
-    * instead of two and no presentation sort.
+  /** The per-document DISTINCT selected fingerprints, one row per
+    * (doc_id, pos, fp). The whole winnowing pass — tokenize, positional
+    * k-gram md5, sliding-window min, dedup — runs inside the native
+    * [[graft.functions.WinnowKeys]] kernel, so only SELECTED fingerprints
+    * (~2/(w+1) of the gram stream) ever become rows: no per-gram
+    * posexplode, no sort-based window operator, no distinct exchange.
+    * The kernel's (digest bytes, pos) sliding minimum is bit-for-bit the
+    * declarative `min(md5hex || lpad(pos)) OVER (... ROWS BETWEEN CURRENT
+    * ROW AND w-1 FOLLOWING)` the oracle SQL still runs — the equivalence
+    * is oracle-checked (q82/q83/q96) and spec-pinned, including empty
+    * tokens from non-space whitespace (the fuzz corpus's vtab texts:
+    * the kernel's tokenizer skips them like the oracle's list_filter).
     */
-  private def winnowedCore(documents: DataFrame, k: Int, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // empty tokens filtered to mirror the oracle's list_filter: raw
-    // split() emits "" for leading/trailing non-space whitespace (\x0B
-    // etc.) that trim() — spaces only — does not strip. The adversarial
-    // fuzz corpus (tools/fuzzgen.py, vtab texts) pins this.
-    val grams = documents
+  private def winnowedCore(documents: DataFrame, k: Int, w: Int): DataFrame =
+    documents
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        filter(graft.functions.TextFunctions.tokens(col("text")),
-          t => length(t) > 0).as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
-          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(k))))))
-          .as(Seq("pos", "h")))
-    val key = concat(col("h"), lpad(col("pos").cast("string"), 10, "0"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("wmin", min(key).over(win))
+        explode(graft.functions.WinnowKeys.winnowKeys(col("text"), k, w))
+          .as("wmin"))
       .select(col("doc_id"),
         substring(col("wmin"), 33, 10).cast("int").as("pos"),
         substring(col("wmin"), 1, 32).as("fp"))
-  }
 
   def winnowingFingerprintsSql(k: Int = 5, w: Int = 4): String =
     s"""WITH t AS (
