@@ -671,10 +671,15 @@ object NearDup {
       .select(col("doc_id"), graft.functions.ShingleSet.shingles(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .cache()
-    val nHot = sh.select(explode(col("shingles")).as("shingle"))
+    // the df table is cached so the branch statistic and (in the hot
+    // branch) the broadcast flag table are ONE aggregation, not two —
+    // vocabulary-sized, the same relation the hot plan materialized anyway
+    val dfTab = sh.select(explode(col("shingles")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).count()
+      .cache()
+    val nHot = dfTab.filter(col("df") > maxDf).count()
     if (nHot == 0) {
+      dfTab.unpersist()
       val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
       val exR = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
         .repartition(col("shingle"))
@@ -696,8 +701,7 @@ object NearDup {
     // distinct shingles can exceed the cap), so it broadcasts — flagging
     // the postings costs a map-side hash lookup, not a full shuffle of the
     // posting relation against the df table.
-    val hotSet = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
+    val hotSet = dfTab.filter(col("df") > maxDf)
       .select(col("shingle"), lit(true).as("hot_flag"))
     val flagged = ex.join(broadcast(hotSet), Seq("shingle"), "left")
       .select(col("doc_id"), col("shingle"), coalesce(col("hot_flag"), lit(false)).as("is_hot"))
