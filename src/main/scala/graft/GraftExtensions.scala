@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{LongArrayDot, QuantizedDot, ShingleSet, TextStats}
+import graft.functions.{LongArrayDot, MinHashSig, QuantizedDot, ShingleSet, SortedIntersectCount, TextStats, WinnowKeys}
 
 /** Session extension registering graft's native expressions for SQL use:
   *
@@ -27,7 +27,14 @@ import graft.functions.{LongArrayDot, QuantizedDot, ShingleSet, TextStats}
   *    (n a literal int);
   *  - `text_stats(text) → struct` — one-pass token statistics (counts,
   *    distinct, summed length, rolling md5 fingerprint; stopword/lexicon
-  *    variants stay on the Scala API where lists are parameters).
+  *    variants stay on the Scala API where lists are parameters);
+  *  - `minhash_sig(array<string>) → array<string>` — 12-slice MinHash
+  *    signature of a shingle set;
+  *  - `sorted_intersect_count(array<string>, array<string>) → int` —
+  *    merge-count of two kernel-sorted arrays;
+  *  - `winnow_keys(text, k, w) → array<string>` — distinct winnowed
+  *    fingerprint keys (md5 hex ‖ zero-padded position; k, w literal
+  *    ints).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -59,11 +66,34 @@ object GraftExtensions {
     TextStats(exprs.head, Nil, Nil, withFp = true)
   }
 
+  private val minhashSigBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"minhash_sig expects 1 argument, got ${exprs.length}")
+    MinHashSig(exprs.head)
+  }
+
+  private val sortedIntersectBuilder =
+    binary("sorted_intersect_count", SortedIntersectCount.apply)
+
+  private def litInt(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int, got $other")
+  }
+
+  private val winnowKeysBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, s"winnow_keys expects 3 arguments, got ${exprs.length}")
+    WinnowKeys(exprs.head, litInt("winnow_keys k", exprs(1)),
+      litInt("winnow_keys w", exprs(2)))
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "quantized_dot" -> quantizedDotBuilder,
     "long_array_dot" -> longArrayDotBuilder,
     "shingle_set" -> shingleSetBuilder,
-    "text_stats" -> textStatsBuilder)
+    "text_stats" -> textStatsBuilder,
+    "minhash_sig" -> minhashSigBuilder,
+    "sorted_intersect_count" -> sortedIntersectBuilder,
+    "winnow_keys" -> winnowKeysBuilder)
 
   private[graft] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] =

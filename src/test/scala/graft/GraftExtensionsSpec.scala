@@ -29,7 +29,8 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     val names = GraftExtensions.descriptors.map(_._1.funcName)
     assert(names == names.distinct &&
-      names.toSet == Set("quantized_dot", "long_array_dot", "shingle_set", "text_stats"))
+      names.toSet == Set("quantized_dot", "long_array_dot", "shingle_set",
+        "text_stats", "minhash_sig", "sorted_intersect_count", "winnow_keys"))
     import org.apache.spark.sql.catalyst.expressions.Literal
     val byName = GraftExtensions.descriptors.map(d => d._1.funcName -> d._3).toMap
     val dot = byName("long_array_dot")(Seq(
@@ -56,5 +57,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(st.getInt(0) == 6 && st.getInt(1) == 5) // 'the' twice after lowering
     intercept[Exception](
       spark.sql("SELECT shingle_set(text, id) FROM docs_sql").collect())
+  }
+
+  test("minhash_sig / sorted_intersect_count / winnow_keys callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((1L, "a b c d e f g h")).toDF("id", "text")
+      .createOrReplaceTempView("docs_sql2")
+    // minhash_sig over a shingle set: 12 five-hex-char slices
+    val sig = spark.sql(
+      "SELECT minhash_sig(shingle_set(text, 3)) AS s FROM docs_sql2")
+      .collect()(0).getSeq[String](0)
+    assert(sig.length == 12 && sig.forall(_.matches("[0-9a-f]{5}")))
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS n")
+      .collect()(0).getInt(0) == 2)
+    // winnow_keys: 42-char keys (md5 hex + 10-digit position), nonempty
+    // for an 8-token doc at k=5, and every key's position parses
+    val keys = spark.sql(
+      "SELECT winnow_keys(text, 5, 4) AS ks FROM docs_sql2")
+      .collect()(0).getSeq[String](0)
+    assert(keys.nonEmpty && keys.forall(_.matches("[0-9a-f]{32}[0-9]{10}")))
   }
 }
