@@ -423,6 +423,16 @@ object SparkEntry {
     // so the plan stays parallel at any corpus size
     "q101_training_shards" -> ((s, dir) =>
       Curate.trainingShards(Tables.documents(s, dir))),
+    // the SELF-TUNING capped near-dup entry point (maxDf = 0 derives the
+    // cap from the corpus df histogram): the oracle re-derives the cap in
+    // SQL and applies it, so the plan-time adaptation is hash-checked
+    // end-to-end — the q46 pattern, for the df cap
+    // fanoutBudget = 2 makes the derivation BIND at the driver's sf0.01
+    // (cap 4 vs max_df 7), so the trimming branch — not just the
+    // uncapped fallback — is what the hash-check exercises
+    "q102_jaccard_derived_cap" -> ((s, dir) =>
+      NearDup.ngramJaccardPairsCapped(Tables.documents(s, dir),
+        maxDf = 0, fanoutBudget = 2)),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -731,5 +741,6 @@ object SparkEntry {
     "q99_incremental_dedup" -> NearDup.incrementalDedupSql(),
     "q100_semantic_decontamination" -> Similarity.semanticDecontaminationSql(),
     "q101_training_shards" -> Curate.trainingShardsSql(),
+    "q102_jaccard_derived_cap" -> NearDup.ngramJaccardPairsDerivedSql(fanoutBudget = 2),
   )
 }

@@ -603,12 +603,13 @@ object NearDup {
     */
   def ngramJaccardPairsCapped(
       documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
-      maxDf: Int = 100): DataFrame =
+      maxDf: Int = 100, fanoutBudget: Int = 100): DataFrame =
     // maxDf = 0: derive the cap from the corpus df histogram
-    // ([[derivedDfCap]]) — never tighter than the fan-out budget, and
-    // effectively uncapped when the corpus's uncapped cost already fits
+    // ([[derivedDfCap]], fanoutBudget joined postings per posting) —
+    // never tighter than the fan-out budget, and effectively uncapped
+    // when the corpus's uncapped cost already fits
     cappedCommonCounts(documents, n,
-      if (maxDf > 0) maxDf else derivedDfCap(documents, n),
+      if (maxDf > 0) maxDf else derivedDfCap(documents, n, fanoutBudget),
       mc => mc.cast("double") / (col("n_a") + col("n_b") - mc) >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
@@ -833,6 +834,47 @@ object NearDup {
     val d = dfCapStats(documents, n, fanoutBudget, fanoutBudget)
       .select("derived_cap").head().getLong(0)
     if (d < 0 || d > Int.MaxValue.toLong) Int.MaxValue else d.toInt
+  }
+
+  /** Oracle for `ngramJaccardPairsCapped(maxDf = 0)` — the SELF-TUNING
+    * entry point: the cap itself is DERIVED IN SQL from the same
+    * distinct-df histogram rule as [[derivedDfCap]] (largest cap whose
+    * `Σ_{df≤cap} df²` stays within `fanoutBudget · postings`; cap =
+    * max_df when even uncapped fits, i.e. no trim), then applied by the
+    * same rare-postings candidate pipeline as the constant-cap oracle.
+    * This closes the adaptive loop the way q46 does for the IVF p ≥ 1
+    * branch: the plan-time derivation is hash-checked end-to-end, not
+    * just its statistic (q98).
+    */
+  def ngramJaccardPairsDerivedSql(
+      n: Int = 3, minJaccard: Double = 0.5, fanoutBudget: Int = 100): String = {
+    val gram = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $n
+       |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
+       |      ELSE [] END AS shingles
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents)),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
+       |d AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+       |hist AS (SELECT df, count(*) AS n_words FROM d GROUP BY df),
+       |tot AS (SELECT CAST(SUM(df * n_words) AS BIGINT) AS postings,
+       |               MAX(df) AS max_df FROM hist),
+       |cum AS (SELECT df, SUM(df * df * n_words) OVER (ORDER BY df) AS cum_cost FROM hist),
+       |capv AS (
+       |  SELECT MAX(cum.df) AS cap
+       |  FROM cum, tot WHERE cum.cum_cost <= $fanoutBudget * tot.postings),
+       |rare AS (SELECT shingle FROM d, capv WHERE d.df <= capv.cap),
+       |exc AS (SELECT e.doc_id, e.shingle FROM ex e JOIN rare r ON e.shingle = r.shingle),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+       |      / len(list_distinct(x.shingles || y.shingles)) AS jaccard
+       |  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+       |WHERE jaccard >= $minJaccard ORDER BY doc_a, doc_b""".stripMargin
   }
 
   def ngramJaccardPairsCappedSql(
