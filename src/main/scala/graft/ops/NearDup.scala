@@ -604,13 +604,14 @@ object NearDup {
   def ngramJaccardPairsCapped(
       documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
       maxDf: Int = 100, fanoutBudget: Int = 100): DataFrame =
-    // maxDf = 0: derive the cap from the corpus df histogram
-    // ([[derivedDfCap]], fanoutBudget joined postings per posting) —
+    // maxDf = 0: derive the cap from the corpus df histogram (same rule
+    // as [[derivedDfCap]], fanoutBudget joined postings per posting) —
     // never tighter than the fan-out budget, and effectively uncapped
-    // when the corpus's uncapped cost already fits
-    cappedCommonCounts(documents, n,
-      if (maxDf > 0) maxDf else derivedDfCap(documents, n, fanoutBudget),
-      mc => mc.cast("double") / (col("n_a") + col("n_b") - mc) >= minJaccard)
+    // when the corpus's uncapped cost already fits. The derivation runs
+    // inside the machine, off its cached df table — no extra corpus pass.
+    cappedCommonCounts(documents, n, maxDf,
+      mc => mc.cast("double") / (col("n_a") + col("n_b") - mc) >= minJaccard,
+      fanoutBudget)
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
@@ -627,10 +628,10 @@ object NearDup {
     */
   def ngramContainmentCapped(
       documents: DataFrame, n: Int = 3, minContainment: Double = 0.9,
-      maxDf: Int = 100): DataFrame =
-    cappedCommonCounts(documents, n,
-      if (maxDf > 0) maxDf else derivedDfCap(documents, n),
-      mc => mc.cast("double") / least(col("n_a"), col("n_b")) >= minContainment)
+      maxDf: Int = 100, fanoutBudget: Int = 100): DataFrame =
+    cappedCommonCounts(documents, n, maxDf,
+      mc => mc.cast("double") / least(col("n_a"), col("n_b")) >= minContainment,
+      fanoutBudget)
       .select(explode(array(
         struct(col("doc_a").as("contained"), col("doc_b").as("container"),
           col("n_common"), col("n_a").as("n_contained"), col("n_b").as("n_container")),
@@ -650,8 +651,8 @@ object NearDup {
     * count, so it can only over-keep, never over-drop).
     */
   private def cappedCommonCounts(
-      documents: DataFrame, n: Int, maxDf: Int,
-      prune: Column => Column): DataFrame = {
+      documents: DataFrame, n: Int, maxDf0: Int,
+      prune: Column => Column, fanoutBudget: Int = 100): DataFrame = {
     // Adaptive re-plan (same pattern as Similarity.adaptiveSubPlanes): ONE
     // driver-side statistic — does any shingle exceed the cap? — picks the
     // plan. On a clean corpus (no hot vocabulary, the common case: this
@@ -672,12 +673,32 @@ object NearDup {
       .select(col("doc_id"), graft.functions.ShingleSet.shingles(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .cache()
-    // the df table is cached so the branch statistic and (in the hot
-    // branch) the broadcast flag table are ONE aggregation, not two —
-    // vocabulary-sized, the same relation the hot plan materialized anyway
+    // the df table is cached so the branch statistic, the maxDf = 0 cap
+    // derivation and (in the hot branch) the broadcast flag table are ONE
+    // aggregation, not two or three — vocabulary-sized, the same relation
+    // the hot plan materialized anyway
     val dfTab = sh.select(explode(col("shingles")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .cache()
+    // maxDf = 0: the [[derivedDfCap]] rule, computed on the DISTINCT-df
+    // histogram collected to the driver (≪ vocabulary — dfCapStats'
+    // "driver-trivial at any corpus size" argument, applied literally)
+    val maxDf =
+      if (maxDf0 > 0) maxDf0
+      else {
+        val hist = dfTab.groupBy("df").agg(count(lit(1)).as("n_words"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val postings = hist.map { case (df, nw) => df * nw }.sum
+        var cum = 0L
+        var cap = 0L
+        for ((df, nw) <- hist) {
+          cum += df * df * nw
+          if (cum <= fanoutBudget.toLong * postings) cap = df
+        }
+        if (hist.nonEmpty && cap == hist.last._1) Int.MaxValue
+        else if (cap > Int.MaxValue.toLong) Int.MaxValue
+        else cap.toInt
+      }
     val nHot = dfTab.filter(col("df") > maxDf).count()
     if (nHot == 0) {
       dfTab.unpersist()
