@@ -475,7 +475,15 @@ object Curate {
     * `.repartition(col("shard")).sortWithinPartitions("shard_pos")` —
     * one shuffle, each task streams one output file in final order.
     */
-  def trainingShards(documents: DataFrame, nShards: Int = 16): DataFrame = {
+  def trainingShards(documents: DataFrame, nShards: Int = 16): DataFrame =
+    trainingShardsCore(documents, nShards).orderBy("doc_id")
+
+  /** [[trainingShards]] without the presentation sort — what composition
+    * (the shard WRITER) consumes: a join or repartition right after a
+    * global orderBy would pay the sort and then discard it.
+    */
+  private[graft] def trainingShardsCore(
+      documents: DataFrame, nShards: Int): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("shuffle_key")
     documents
       .select(col("doc_id"),
@@ -487,7 +495,6 @@ object Curate {
           % nShards).cast("int"))
       .withColumn("shard_pos", row_number().over(w).cast("long"))
       .select("doc_id", "shard", "shard_pos", "n_tokens")
-      .orderBy("doc_id")
   }
 
   def trainingShardsSql(nShards: Int = 16): String =

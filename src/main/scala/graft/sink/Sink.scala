@@ -216,6 +216,32 @@ object DatasetWriter {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** The q101 WRITER — shuffled, sharded training files: assigns every
+    * document its deterministic (shard, shard_pos) via
+    * `Curate.trainingShards`' md5 permutation, then writes
+    * `shard=N/part-*.parquet` with rows in shard_pos order INSIDE each
+    * file. One shuffle (repartition by shard), one task-local sort, one
+    * streamed file per (task, shard) — a training job reads shard dirs in
+    * file order and gets the global pseudo-random permutation without any
+    * engine ever running a global sort.
+    */
+  def writeShards(
+      documents: DataFrame, path: String, nShards: Int = 16,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val assigned = graft.ops.Curate
+      .trainingShardsCore(documents, nShards)
+      .select("doc_id", "shard", "shard_pos")
+    documents.join(assigned, Seq("doc_id"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "shard_pos")
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
+  }
 }
 
 /** Test sink: collects rows per table on the driver. Not for production

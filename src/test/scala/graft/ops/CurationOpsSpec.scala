@@ -447,6 +447,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("writeShards publishes shard=N dirs whose files carry shard_pos order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = (0L until 60L).map(d => (d, s"tok$d text", "en", "src", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.sink.DatasetWriter.writeShards(docs, dir, nShards = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 60)
+    assert(back.columns.toSet ==
+      Set("doc_id", "text", "lang", "source", "n_chars", "shard", "shard_pos"))
+    // every shard dir exists and its parquet files, read in order, are
+    // shard_pos-ascending — the training-job read contract
+    val expected = Curate.trainingShards(docs, nShards = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    (0 until 4).foreach { sId =>
+      val d = new java.io.File(s"$dir/shard=$sId")
+      assert(d.exists(), s"missing shard dir $sId")
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val rows = files.flatMap(f =>
+        spark.read.parquet(f.getAbsolutePath)
+          .select("doc_id", "shard_pos").as[(Long, Long)].collect())
+      assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+        s"shard $sId not shard_pos-ordered")
+      rows.foreach { case (docId, pos) =>
+        assert(expected(docId) == ((sId, pos)), s"doc $docId mismatch")
+      }
+    }
+  }
+
   // ------------------------------------------------------------ percentiles
 
   test("length percentiles pick exact discrete order statistics per lang") {
