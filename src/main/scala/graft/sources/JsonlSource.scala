@@ -51,6 +51,22 @@ object JsonlSource {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
+  /** Streaming twin (the S1 shape for corpora): a JSONL file stream with
+    * the same pinned schema, corrupt capture and routing —
+    * `maxFilesPerTrigger` bounds micro-batch size exactly like the CSV
+    * event stream. [[valid]] / [[deadLetter]] are pure projections, so
+    * they apply to this stream unchanged; the valid side feeds
+    * [[graft.streaming.DocIngest]] after event-time stamping.
+    */
+  def readDocumentsStream(
+      spark: SparkSession, path: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
   /** Parsed documents that are structurally sound AND carry the required
     * fields (doc_id, text) — the JSONL analog of the P2 validity flag. A
     * line can parse as valid JSON yet miss required fields; both failure

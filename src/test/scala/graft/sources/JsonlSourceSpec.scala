@@ -47,6 +47,53 @@ class JsonlSourceSpec extends SparkSpec {
     assert(good.length + dead.length == 5)
   }
 
+  test("streaming JSONL: file drops route valid/dead-letter across micro-batches") {
+    val dir = Files.createTempDirectory("jsonl-stream").toFile
+    def drop(name: String, lines: String*): Unit = {
+      // atomic move, same as the S7 generator: the file source must never
+      // see a half-written file
+      val tmp = new java.io.File(dir, s".$name.tmp")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      lines.foreach(w.println)
+      w.close()
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(dir, name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    drop("a.jsonl",
+      """{"doc_id": 1, "text": "first doc", "lang": "en", "source": "s", "n_chars": 9}""",
+      """broken line""")
+    val parsed = JsonlSource.readDocumentsStream(spark, dir.getAbsolutePath)
+    val goodRows = scala.collection.mutable.Buffer[(Long, String)]()
+    val deadRows = scala.collection.mutable.Buffer[(String, String)]()
+    val batches = scala.collection.mutable.Buffer[Long]()
+    val q = parsed.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("jsonl-ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.persist()
+        try {
+          batches += id
+          goodRows ++= JsonlSource.valid(batch).collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          deadRows ++= JsonlSource.deadLetter(batch).collect()
+            .map(r => (r.getString(0), r.getString(1)))
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      drop("b.jsonl",
+        """{"doc_id": 2, "text": "second doc", "lang": "de", "source": "s", "n_chars": 10}""",
+        """{"text": "no id", "lang": "en", "source": "s", "n_chars": 5}""")
+      q.processAllAvailable()
+      assert(goodRows.sortBy(_._1).toSeq == Seq((1L, "first doc"), (2L, "second doc")))
+      assert(deadRows.map(_._2).sorted.toSeq == Seq("malformed_json", "missing_doc_id"))
+      assert(batches.size >= 2) // maxFilesPerTrigger=1: one batch per drop
+    } finally q.stop()
+  }
+
   test("type-mismatched fields corrupt the LINE (raw capture), not the column") {
     val path = writeFixture(
       """{"doc_id": "not-a-number", "text": "x", "lang": "en", "source": "s", "n_chars": 1}""",
