@@ -433,6 +433,11 @@ object SparkEntry {
     "q102_jaccard_derived_cap" -> ((s, dir) =>
       NearDup.ngramJaccardPairsCapped(Tables.documents(s, dir),
         maxDf = 0, fanoutBudget = 2)),
+    // quality-priority keep-list: within a near-dup component the
+    // HIGHEST-quality member survives (ties -> smaller doc_id) - the
+    // canonical-copy rule production curation wants, vs q37's min-id
+    "q103_keeplist_by_quality" -> ((s, dir) =>
+      NearDup.dedupKeepListByQuality(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -742,5 +747,6 @@ object SparkEntry {
     "q100_semantic_decontamination" -> Similarity.semanticDecontaminationSql(),
     "q101_training_shards" -> Curate.trainingShardsSql(),
     "q102_jaccard_derived_cap" -> NearDup.ngramJaccardPairsDerivedSql(fanoutBudget = 2),
+    "q103_keeplist_by_quality" -> NearDup.dedupKeepListByQualitySql,
   )
 }

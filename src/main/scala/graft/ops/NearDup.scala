@@ -572,6 +572,60 @@ object NearDup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** [[dedupKeepList]] with a QUALITY priority — the canonical-copy
+    * selection production curation actually wants: within each near-dup
+    * component the HIGHEST-quality member survives (quality ties → the
+    * smaller doc_id), instead of blindly keeping the smallest id. Same
+    * component machinery (O(log n) large-star/small-star rounds), plus
+    * one quality join and a per-component rank — WindowGroupLimit keeps
+    * the rank-1 scan map-side bounded however large a component is. The
+    * quality score is [[TextAnalysis.qualityScore]]'s hash-exact
+    * arithmetic, so the argmax is engine-deterministic.
+    */
+  def dedupKeepListByQuality(documents: DataFrame): DataFrame = {
+    val labeled = components(minhashNearDups(documents))
+    val scored = labeled.join(
+      TextAnalysis.qualityScore(documents).select("doc_id", "quality_score"),
+      Seq("doc_id"))
+    val w = Window.partitionBy("label")
+      .orderBy(desc("quality_score"), col("doc_id"))
+    val losers = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col("doc_id").as("loser_id"))
+    documents
+      .join(losers, col("doc_id") === col("loser_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  def dedupKeepListByQualitySql: String = {
+    val pairsSql = minhashNearDupsSql.replace("ORDER BY doc_a, doc_b", "")
+    val qualitySql = TextAnalysis.qualityScoreSql.replace("ORDER BY doc_id", "")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a),
+       |label AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS label
+       |  FROM reach GROUP BY src),
+       |q AS ($qualitySql),
+       |losers AS (
+       |  SELECT doc_id FROM (
+       |    SELECT l.doc_id,
+       |      row_number() OVER (PARTITION BY l.label
+       |        ORDER BY q.quality_score DESC, l.doc_id) AS rk
+       |    FROM label l JOIN q ON l.doc_id = q.doc_id)
+       |  WHERE rk > 1)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |LEFT JOIN losers x ON d.doc_id = x.doc_id
+       |WHERE x.doc_id IS NULL
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The documented scale escalation for [[ngramJaccardPairs]]: drop
     * shingles whose document frequency exceeds `maxDf` from the inverted
     * index before the self-join. Candidate recall is exact for any pair

@@ -504,6 +504,26 @@ class TextNearDupSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("quality keep-list keeps the BEST member of a component, not the min id") {
+    // docs 1/2 are near-dups (J = 27/29); doc 2 carries a higher n_chars
+    // (→ higher length_score), so it must survive even though doc 1 has
+    // the smaller id. doc 3 is a singleton and passes through regardless.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val df = Seq(
+      (1L, base, "en", "src", 170L),
+      (2L, nearDup, "en", "src", 600L),
+      (3L, "tiny", "en", "src", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = NearDup.dedupKeepListByQuality(df)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"kept $kept")
+    // and the min-id rule (q37) would have kept doc 1 instead
+    val keptMin = NearDup.dedupKeepList(df)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMin == Set(1L, 3L), s"min-id kept $keptMin")
+  }
+
   test("incremental dedup: batch docs never match EACH OTHER, only the index") {
     // two identical batch docs with no index twin must BOTH be kept —
     // within-batch dedup is q17/q18's job, not the incremental gate's
