@@ -438,6 +438,11 @@ object SparkEntry {
     // canonical-copy rule production curation wants, vs q37's min-id
     "q103_keeplist_by_quality" -> ((s, dir) =>
       NearDup.dedupKeepListByQuality(Tables.documents(s, dir))),
+    // vocab coverage curve (dataset-card table): corpus reduces to the
+    // distinct-count histogram (<< vocabulary), cumulative walk on the
+    // driver - no global vocab sort or single-partition window anywhere
+    "q104_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -748,5 +753,6 @@ object SparkEntry {
     "q101_training_shards" -> Curate.trainingShardsSql(),
     "q102_jaccard_derived_cap" -> NearDup.ngramJaccardPairsDerivedSql(fanoutBudget = 2),
     "q103_keeplist_by_quality" -> NearDup.dedupKeepListByQualitySql,
+    "q104_vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
   )
 }

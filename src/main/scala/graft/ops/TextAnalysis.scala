@@ -843,4 +843,88 @@ object TextAnalysis {
        |  list_reduce(list(inv_p ORDER BY pos), (a, b) -> a + b) / COUNT(*)
        |    AS mean_inv_prob
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Default k cut points for [[vocabCoverage]]. */
+  val CoverageKs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L)
+
+  /** Vocabulary coverage curve — the dataset-card table answering "what
+    * fraction of the corpus's token volume do the top-k word types
+    * cover?": one row per cut point k with the covered token count and
+    * coverage fraction. Words rank by occurrence count descending; a cut
+    * landing INSIDE a tie class takes `(k − types_above)` of its members,
+    * which is well-defined without naming them — so the result needs no
+    * word-level tie-break at all.
+    *
+    * Scale shape: the corpus reduces to the DISTINCT-COUNT histogram
+    * (one map-combined aggregation to word counts, one to the histogram —
+    * histogram size ≪ vocabulary ≪ corpus), which collects to the driver
+    * where the cumulative walk is trivial: no global vocabulary sort, no
+    * single-partition window, ever. Same pattern as the df-cap
+    * derivation.
+    */
+  def vocabCoverage(
+      documents: DataFrame, ks: Seq[Long] = CoverageKs): DataFrame = {
+    val spark = documents.sparkSession
+    val hist = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("n_types"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val totToks = hist.map { case (c, n) => c * n }.sum
+    val totTypes = hist.map(_._2).sum
+    val rows = ks.sorted.map { k =>
+      if (k >= totTypes) (k, totToks)
+      else {
+        var typesBefore = 0L
+        var toksBefore = 0L
+        var covered = 0L
+        var found = false
+        for ((cnt, nTypes) <- hist if !found) {
+          if (k <= typesBefore + nTypes) {
+            covered = toksBefore + (k - typesBefore) * cnt
+            found = true
+          } else {
+            typesBefore += nTypes
+            toksBefore += cnt * nTypes
+          }
+        }
+        (k, covered)
+      }
+    }
+    import spark.implicits._
+    rows.map { case (k, cov) =>
+      (k, cov, cov.toDouble / totToks)
+    }.toDF("k", "covered_tokens", "coverage").orderBy("k")
+  }
+
+  def vocabCoverageSql(ks: Seq[Long] = CoverageKs): String = {
+    val kList = ks.sorted.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |wcnt AS (SELECT w.w AS w, COUNT(*) AS cnt
+       |         FROM t, LATERAL (SELECT unnest(toks) AS w) w GROUP BY 1),
+       |hist AS (SELECT cnt, COUNT(*) AS n_types FROM wcnt GROUP BY cnt),
+       |c AS (
+       |  SELECT cnt, n_types,
+       |    COALESCE(SUM(n_types) OVER (ORDER BY cnt DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS types_before,
+       |    COALESCE(SUM(cnt * n_types) OVER (ORDER BY cnt DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS toks_before
+       |  FROM hist),
+       |tot AS (SELECT SUM(cnt * n_types) AS t_toks, SUM(n_types) AS t_types FROM hist),
+       |ks AS (SELECT unnest($kList) AS k)
+       |SELECT CAST(k AS BIGINT) AS k,
+       |  CAST(CASE WHEN k >= t_types THEN t_toks
+       |       ELSE (SELECT toks_before + (k - types_before) * cnt FROM c
+       |             WHERE types_before < k AND k <= types_before + n_types)
+       |       END AS BIGINT) AS covered_tokens,
+       |  CAST(CASE WHEN k >= t_types THEN t_toks
+       |       ELSE (SELECT toks_before + (k - types_before) * cnt FROM c
+       |             WHERE types_before < k AND k <= types_before + n_types)
+       |       END AS DOUBLE) / t_toks AS coverage
+       |FROM ks, tot ORDER BY k""".stripMargin
+  }
 }

@@ -504,6 +504,19 @@ class TextNearDupSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("vocab coverage: hand-computed curve, cut landing inside a tie class") {
+    // counts: a=4; b=c=2 (tie class); d=e=f=1 (tie class). total = 11.
+    // k=1 → 4/11. k=2 cuts INSIDE the count-2 class → 4+2=6/11.
+    // k=4 → 4+2+2+1=9/11. k=8 ≥ 6 types → 11/11.
+    val df = docs((1L, "a a a a b b c c d e f"))
+    val got = TextAnalysis.vocabCoverage(df, ks = Seq(1L, 2L, 4L, 8L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, 4.0 / 11)))
+    assert(got(2L) == ((6L, 6.0 / 11)))
+    assert(got(4L) == ((9L, 9.0 / 11)))
+    assert(got(8L) == ((11L, 1.0)))
+  }
+
   test("quality keep-list keeps the BEST member of a component, not the min id") {
     // docs 1/2 are near-dups (J = 27/29); doc 2 carries a higher n_chars
     // (→ higher length_score), so it must survive even though doc 1 has
