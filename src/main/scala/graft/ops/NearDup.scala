@@ -1154,24 +1154,41 @@ object NearDup {
       .cache()
     val batch = base.filter(col("is_batch"))
     val index = base.filter(!col("is_batch"))
+    incrementalVerdicts(batch,
+      index.select(col("doc_id").as("ix_id"), col("norm_h")),
+      lshBands(signaturesFrom(index.select("doc_id", "shingles")))
+        .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key")),
+      index.select(col("doc_id").as("ix_id"), col("shingles").as("sh_i")),
+      bucketBudget)
+  }
+
+  /** The shared verdict machine: batch docs (doc_id, norm_h, shingles)
+    * against the three index relations — (ix_id, norm_h), the band
+    * relation, and the per-doc shingle arrays the exact verify reads.
+    * [[incrementalDedup]] derives the index in-plan; the persisted-index
+    * path ([[writeDedupIndex]] / [[incrementalDedupAgainstIndex]]) reads
+    * it from parquet — same joins either way.
+    */
+  private def incrementalVerdicts(
+      batch: DataFrame, ixNorm: DataFrame, ixBands: DataFrame,
+      ixShingles: DataFrame, bucketBudget: Int): DataFrame = {
     // exact: equi-join on the 16-byte normalized-text hash — the index side
     // of this join IS the persistable exact-dup index
     val exact = batch.select(col("doc_id"), col("norm_h"))
-      .join(index.select(col("doc_id").as("ix_id"), col("norm_h")), Seq("norm_h"))
+      .join(ixNorm, Seq("norm_h"))
       .groupBy("doc_id").agg(min("ix_id").as("exact_of"))
     // near: batch bands ⋈ budgeted index-band hubs, exact-Jaccard verified
     val bandsB = lshBands(signaturesFrom(batch.select("doc_id", "shingles")))
-    val bandsI = lshBands(signaturesFrom(index.select("doc_id", "shingles")))
-    val w = Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
-    val hubsI = bandsI
+    val w = Window.partitionBy("band_idx", "band_key").orderBy("ix_id")
+    val hubsI = ixBands
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= bucketBudget)
-      .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key"))
+      .select(col("ix_id"), col("band_idx"), col("band_key"))
     val cand = bandsB.join(hubsI, Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("ix_id")).distinct()
     val near = cand
       .join(batch.select(col("doc_id"), col("shingles").as("sh_b")), Seq("doc_id"))
-      .join(index.select(col("doc_id").as("ix_id"), col("shingles").as("sh_i")), Seq("ix_id"))
+      .join(ixShingles, Seq("ix_id"))
       .withColumn("n_common", graft.functions.SortedIntersectCount
         .sortedIntersectCount(col("sh_b"), col("sh_i")))
       .filter(col("n_common").cast("double") /
@@ -1186,6 +1203,56 @@ object NearDup {
           .otherwise(lit("kept")).as("status"),
         coalesce(col("exact_of"), col("near_of")).as("dup_of"))
       .orderBy("doc_id")
+  }
+
+  /** Per-document index preparation shared by [[writeDedupIndex]] and the
+    * batch side of [[incrementalDedupAgainstIndex]].
+    */
+  private def normShingled(documents: DataFrame): DataFrame =
+    documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", tokens(col("text")))).as("norm_h"),
+        graft.functions.ShingleSet.shingles(col("text"), ShingleN).as("shingles"))
+
+  /** Materialize the incremental-dedup INDEX of a corpus snapshot as three
+    * parquet relations under `path` — what a continuous-crawl pipeline
+    * persists once per snapshot instead of re-deriving per batch:
+    *   - `norm/`     (ix_id, norm_h)                — the exact-dup index;
+    *   - `bands/`    (ix_id, band_idx, band_key)    — the LSH index;
+    *   - `shingles/` (ix_id, sh_i)                  — the verify payload.
+    * The first two are the short-key join sides; the shingle relation is
+    * the per-doc payload only verified CANDIDATES ever read (parquet
+    * column pruning keeps it out of the candidate joins entirely).
+    */
+  def writeDedupIndex(documents: DataFrame, path: String): Unit = {
+    val base = normShingled(documents).cache()
+    base.select(col("doc_id").as("ix_id"), col("norm_h"))
+      .write.mode("overwrite").parquet(s"$path/norm")
+    lshBands(signaturesFrom(base.select("doc_id", "shingles")))
+      .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    base.select(col("doc_id").as("ix_id"), col("shingles").as("sh_i"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    base.unpersist()
+    ()
+  }
+
+  /** [[incrementalDedup]]'s verdicts for an incoming batch against a
+    * PERSISTED index ([[writeDedupIndex]]): identical joins, but the index
+    * side is a parquet read — the batch pays its own shingle pass plus
+    * batch-sized equi-joins, never touching the snapshot corpus. Spec-
+    * pinned equal to [[incrementalDedup]] over the equivalent union.
+    */
+  def incrementalDedupAgainstIndex(
+      batchDocs: DataFrame, indexPath: String,
+      bucketBudget: Int = BucketBudget): DataFrame = {
+    val spark = batchDocs.sparkSession
+    incrementalVerdicts(normShingled(batchDocs).cache(),
+      spark.read.parquet(s"$indexPath/norm"),
+      spark.read.parquet(s"$indexPath/bands"),
+      spark.read.parquet(s"$indexPath/shingles"),
+      bucketBudget)
   }
 
   def incrementalDedupSql(batchMod: Int = 5, batchRem: Int = 0): String = {

@@ -537,6 +537,29 @@ class TextNearDupSpec extends SparkSpec {
     assert(keptMin == Set(1L, 3L), s"min-id kept $keptMin")
   }
 
+  test("persisted dedup index: verdicts equal the in-plan union form") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val unrelated = (100 to 130).map(i => s"w$i").mkString(" ")
+    // index = non-multiples of 5, batch = multiples — the same split
+    // incrementalDedup applies to the union
+    val indexDocs = docs((1L, base), (2L, unrelated))
+    val batchDocs = docs(
+      (5L, "  TOK1  tok2 "), (10L, base.toUpperCase),
+      (15L, nearDup), (20L, unrelated))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupix").toString
+    NearDup.writeDedupIndex(indexDocs, dir)
+    val viaIndex = NearDup.incrementalDedupAgainstIndex(batchDocs, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val viaUnion = NearDup.incrementalDedup(indexDocs.union(batchDocs))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(viaIndex == viaUnion, s"index $viaIndex vs union $viaUnion")
+    assert(viaIndex == Set((5L, "kept", -1L), (10L, "exact_dup", 1L),
+      (15L, "near_dup", 1L), (20L, "exact_dup", 2L)))
+  }
+
   test("incremental dedup: batch docs never match EACH OTHER, only the index") {
     // two identical batch docs with no index twin must BOTH be kept —
     // within-batch dedup is q17/q18's job, not the incremental gate's
