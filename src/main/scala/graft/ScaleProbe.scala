@@ -223,6 +223,24 @@ object ScaleProbe {
           graft.ops.KMeans.ivfTopKTrainedAdaptive(emb).count())
         time(s"$label ngram_jaccard_capped")(
           graft.ops.NearDup.ngramJaccardPairsCapped(docs).count())
+        // the SELF-TUNING form (q102). Two measured findings at 200× clone
+        // multiplicity (SCALEPROBE_r9_200x): the CONSTANT cap 100 has zero
+        // recall there (every original shingle is hot — 27.2 s for 0
+        // rows), and the derived cap (1200) restores the candidates but
+        // the TRUE pair volume is Σ cluster² ≈ 100M pairs over 55.8B
+        // uncapped candidates — the pair relation itself is the wrong
+        // contract at that duplication level (single-node run OOMs); the
+        // hub-budgeted keep-list/minhash forms are the production path.
+        // The stage stays for the ≤50× regimes where pair output is sane.
+        if (mult <= 50)
+          time(s"$label ngram_jaccard_capped derived")(
+            graft.ops.NearDup.ngramJaccardPairsCapped(docs, maxDf = 0).count())
+        // the production dedup contract at extreme duplication: hub-budgeted
+        // minhash candidates closed into a keep-list — output ≤ n however
+        // clone-heavy the corpus (the ≥100× counterpart of the pair stages)
+        if (mult > 50)
+          time(s"$label dedup_keeplist")(
+            graft.ops.NearDup.dedupKeepList(docs).count())
         timeInfo(s"$label ngram_cap_stats")(capStatsJson(docs))
         time(s"$label winnowing_top_partners")(
           graft.ops.TextAnalysis.winnowingTopPartners(docs).count())

@@ -1130,10 +1130,12 @@ object NearDup {
     *  - `kept`       — neither; `dup_of` is null.
     *
     * Scale shape (the reason this is not "re-dedup the union"): the index
-    * side reduces to two SHORT-KEY relations — (md5(norm), doc_id) and the
-    * LSH band relation — both one-time-computable and persistable as the
-    * actual index; each incoming batch then costs two equi-joins sized by
-    * the BATCH, never a corpus×corpus pass. Hot buckets on the index side
+    * side reduces to persistable relations — the (md5(norm), doc_id) and
+    * LSH-band short-key join sides plus the per-doc shingle payload only
+    * verified candidates read ([[writeDedupIndex]] materializes exactly
+    * these; [[incrementalDedupAgainstIndex]] consumes them); each
+    * incoming batch then costs equi-joins sized by the BATCH, never a
+    * corpus×corpus pass. Hot buckets on the index side
     * are budgeted exactly like [[lshCandidates]] ([[BucketBudget]] smallest
     * doc_ids act as representatives — an explicit recall budget, mirrored
     * in the oracle's QUALIFY, so hash-parity holds on hostile corpora too).
