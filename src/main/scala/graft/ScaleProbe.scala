@@ -223,16 +223,18 @@ object ScaleProbe {
           graft.ops.KMeans.ivfTopKTrainedAdaptive(emb).count())
         time(s"$label ngram_jaccard_capped")(
           graft.ops.NearDup.ngramJaccardPairsCapped(docs).count())
-        // the SELF-TUNING form (q102). Two measured findings at 200× clone
-        // multiplicity (SCALEPROBE_r9_200x): the CONSTANT cap 100 has zero
-        // recall there (every original shingle is hot — 27.2 s for 0
-        // rows), and the derived cap (1200) restores the candidates but
-        // the TRUE pair volume is Σ cluster² ≈ 100M pairs over 55.8B
-        // uncapped candidates — the pair relation itself is the wrong
-        // contract at that duplication level (single-node run OOMs); the
-        // hub-budgeted keep-list/minhash forms are the production path.
-        // The stage stays for the ≤50× regimes where pair output is sane.
-        if (mult <= 50)
+        // the SELF-TUNING form (q102). Measured findings on the clone-mult
+        // corpora (SCALEPROBE_r9_200x + attempted 50×/200× runs): the
+        // CONSTANT cap 100 has zero recall at 200× (every original shingle
+        // is hot — 27 s for 0 rows), and the derived cap restores recall
+        // within its budget, but that budget is a COST contract —
+        // fanoutBudget·postings joined rows (1.3B at 50×, 5.3B at 200×) is
+        // a routine cluster shuffle and NOT a single-JVM workload (both
+        // runs OOM'd local[32]); on top of that the true pair volume is
+        // Σ cluster², the wrong output contract at high duplication. So
+        // the pair stage runs ≤10× and the >50× regimes measure the
+        // production path below (hub-budgeted keep-list, output ≤ n).
+        if (mult <= 10)
           time(s"$label ngram_jaccard_capped derived")(
             graft.ops.NearDup.ngramJaccardPairsCapped(docs, maxDf = 0).count())
         // the production dedup contract at extreme duplication: hub-budgeted
