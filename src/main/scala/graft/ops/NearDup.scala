@@ -577,9 +577,9 @@ object NearDup {
     * component the HIGHEST-quality member survives (quality ties → the
     * smaller doc_id), instead of blindly keeping the smallest id. Same
     * component machinery (O(log n) large-star/small-star rounds), plus
-    * one quality join and a per-component rank — WindowGroupLimit keeps
-    * the rank-1 scan map-side bounded however large a component is. The
-    * quality score is [[TextAnalysis.qualityScore]]'s hash-exact
+    * one quality join and a rank ≤ 1 winner selection that lowers to
+    * WindowGroupLimit — map-side bounded however large a component is.
+    * The quality score is [[TextAnalysis.qualityScore]]'s hash-exact
     * arithmetic, so the argmax is engine-deterministic.
     */
   def dedupKeepListByQuality(documents: DataFrame): DataFrame = {
@@ -589,13 +589,22 @@ object NearDup {
       Seq("doc_id"))
     val w = Window.partitionBy("label")
       .orderBy(desc("quality_score"), col("doc_id"))
-    val losers = scored
+    // survivors = non-members ∪ per-component winners. Selecting the
+    // WINNER (rank ≤ 1) rather than filtering out losers (rank > 1) is
+    // what lets the rank lower to WindowGroupLimit — each task keeps one
+    // row per component before the window exchange, so a huge component
+    // never materializes its full ranked membership.
+    val keepers = scored
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") > 1)
-      .select(col("doc_id").as("loser_id"))
+      .filter(col("rk") <= 1)
+      .select(col("doc_id").as("keep_id"))
+    val members = labeled.select(col("doc_id").as("member_id"))
     documents
-      .join(losers, col("doc_id") === col("loser_id"), "left_anti")
+      .join(members, col("doc_id") === col("member_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
+      .unionAll(documents
+        .join(keepers, col("doc_id") === col("keep_id"))
+        .select("doc_id", "lang", "source", "n_chars"))
       .orderBy("doc_id")
   }
 

@@ -275,4 +275,30 @@ class PlanShapeSpec extends SparkSpec {
     // construction) — a second one would mean a corpus-sized nested loop
     assert(countOf(p, "BroadcastNestedLoopJoin") == 1, p)
   }
+
+  test("incremental dedup (q99) is all equi-joins on short keys") {
+    val p = plan("q99_incremental_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the index-hub budget rank lowers to WindowGroupLimit (hot index
+    // buckets never materialize their full ranked membership)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("semantic decontamination (q100) joins eval probes to corpus buckets by key") {
+    val p = plan("q100_semantic_decontamination")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("training shards (q101) windows per shard — the only Sort besides " +
+    "presentation is the shard-window's local sort") {
+    val p = plan("q101_training_shards")
+    // no join, no nested loop; the row_number window partitions by shard
+    assert(!p.contains("Join"), p)
+  }
+
+  test("quality keep-list (q103) selects winners via WindowGroupLimit") {
+    val p = plan("q103_keeplist_by_quality")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
