@@ -443,6 +443,11 @@ object SparkEntry {
     // driver - no global vocab sort or single-partition window anywhere
     "q104_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
+    // duplication profile: near-dup component-size histogram incl. the
+    // singleton row - the dedup dataset-card table; cost = the component
+    // closure the keep-lists already run + two tiny aggregations
+    "q105_dup_cluster_histogram" -> ((s, dir) =>
+      NearDup.dupClusterHistogram(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -754,5 +759,6 @@ object SparkEntry {
     "q102_jaccard_derived_cap" -> NearDup.ngramJaccardPairsDerivedSql(fanoutBudget = 2),
     "q103_keeplist_by_quality" -> NearDup.dedupKeepListByQualitySql,
     "q104_vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
+    "q105_dup_cluster_histogram" -> NearDup.dupClusterHistogramSql,
   )
 }

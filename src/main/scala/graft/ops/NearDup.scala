@@ -635,6 +635,49 @@ object NearDup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Duplication profile — the dataset-card answer to "how duplicated is
+    * this corpus": the histogram of near-dup component sizes, with
+    * singletons (docs in no component) as the cluster_size = 1 row. The
+    * expensive part is the component closure the keep-lists already run;
+    * the histogram itself is two tiny aggregations over the label
+    * relation plus two scalar counts — nothing here grows beyond the
+    * number of DISTINCT cluster sizes.
+    */
+  def dupClusterHistogram(documents: DataFrame): DataFrame = {
+    val labeled = components(minhashNearDups(documents))
+    val hist = labeled.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    // components have ≥2 members by construction, so the singleton row
+    // (total − members) never collides with a computed size
+    val singles = documents.agg(count(lit(1)).as("t"))
+      .crossJoin(labeled.agg(count(lit(1)).as("m")))
+      .select(lit(1L).as("cluster_size"), (col("t") - col("m")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionAll(singles).orderBy("cluster_size")
+  }
+
+  def dupClusterHistogramSql: String = {
+    val pairsSql = minhashNearDupsSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a),
+       |label AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS label
+       |  FROM reach GROUP BY src),
+       |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM label GROUP BY label),
+       |hist AS (SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size),
+       |singles AS (
+       |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM label) AS n_clusters)
+       |SELECT cluster_size, n_clusters FROM hist
+       |UNION ALL
+       |SELECT cluster_size, n_clusters FROM singles WHERE n_clusters > 0
+       |ORDER BY cluster_size""".stripMargin
+  }
+
   /** The documented scale escalation for [[ngramJaccardPairs]]: drop
     * shingles whose document frequency exceeds `maxDf` from the inverted
     * index before the self-join. Candidate recall is exact for any pair

@@ -537,6 +537,17 @@ class TextNearDupSpec extends SparkSpec {
     assert(keptMin == Set(1L, 3L), s"min-id kept $keptMin")
   }
 
+  test("dup cluster histogram: component sizes plus the singleton row") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    // one 2-cluster (1,2) + two singletons (3, 4)
+    val df = docs((1L, base), (2L, nearDup), (3L, other), (4L, "tiny solo"))
+    val got = NearDup.dupClusterHistogram(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L), s"got $got")
+  }
+
   test("persisted dedup index: verdicts equal the in-plan union form") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
