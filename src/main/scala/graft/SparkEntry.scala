@@ -133,7 +133,9 @@ object SparkEntry {
     "q36_ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir))),
     // the curation endpoint: near-dup connected components → keep-list
     "q37_dedup_keeplist" -> ((s, dir) => NearDup.dedupKeepList(Tables.documents(s, dir))),
-    // df-capped inverted index — the hot-key escalation for q32
+    // df-capped inverted index — the hot-key escalation for q32, through
+    // the r10 DEFAULT (maxDf = 0: self-derived cap + plan-time pair-cost
+    // gate), so the oracle checks exactly what production callers run
     "q38_ngram_jaccard_capped" -> ((s, dir) =>
       NearDup.ngramJaccardPairsCapped(Tables.documents(s, dir))),
     // R1 — chained migration v2→v3 (device/geo columns)
@@ -298,7 +300,8 @@ object SparkEntry {
     "q76_trained_cells" -> ((s, dir) =>
       graft.ops.KMeans.trainedCells(Tables.embeddings(s, dir))),
     // df-capped containment — q66's hot-key escalation through the shared
-    // capped machine (candidates need >=1 sub-cap shingle; ratios exact)
+    // capped machine (candidates need >=1 sub-cap shingle; ratios exact),
+    // r10: registered through the derived-cap default like q38
     "q77_containment_capped" -> ((s, dir) =>
       NearDup.ngramContainmentCapped(Tables.documents(s, dir))),
     // the scale path for the embedding keep-list: components over LSH
@@ -639,7 +642,7 @@ object SparkEntry {
     // the weaker rows-only check for it.
     "q36_ann_ivf_topk" -> Similarity.ivfTopKAdaptiveSql(),
     "q37_dedup_keeplist" -> NearDup.dedupKeepListSql,
-    "q38_ngram_jaccard_capped" -> NearDup.ngramJaccardPairsCappedSql(),
+    "q38_ngram_jaccard_capped" -> NearDup.ngramJaccardPairsDerivedSql(),
     "q33_migrate_defaults" ->
       s"""SELECT event_id, ts, user_id, event_type, value, props,
          |  'unknown' AS session_id,
@@ -729,7 +732,7 @@ object SparkEntry {
     "q74_type_correlation" -> Analytics.typeCorrelationSql(enrichedSql),
     "q75_image_pixel_stats" -> Multimodal.imagePixelStatsSql,
     "q76_trained_cells" -> graft.ops.KMeans.trainedCellsSql(),
-    "q77_containment_capped" -> NearDup.ngramContainmentCappedSql(),
+    "q77_containment_capped" -> NearDup.ngramContainmentDerivedSql(),
     "q78_embedding_keeplist_lsh" -> Similarity.embeddingKeepListApproxSql(),
     "q79_audio_sample_stats" -> Multimodal.audioSampleStatsSql,
     "q80_language_mixture" -> Curate.languageMixtureSql(),

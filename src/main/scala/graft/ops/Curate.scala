@@ -197,9 +197,11 @@ object Curate {
   def packSequences(documents: DataFrame, binTokens: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast => bcast}
     val spark = documents.sparkSession
+    // filtered-token count — same convention as trainingShards/q104
     val withTok = documents
       .select(col("doc_id"),
-        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+        size(filter(graft.functions.TextFunctions.tokens(col("text")),
+          t => length(t) > 0)).cast("long")
           .as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
@@ -233,7 +235,7 @@ object Curate {
        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
        |    // $binTokens AS BIGINT) AS bin_id
        |FROM (SELECT doc_id,
-       |        CAST(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
+       |        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS BIGINT)
        |          AS n_tokens
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
@@ -485,9 +487,13 @@ object Curate {
   private[graft] def trainingShardsCore(
       documents: DataFrame, nShards: Int): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("shuffle_key")
+    // n_tokens counts NON-EMPTY tokens (ADVICE r10: the unfiltered count
+    // inflated vtab-edged text and gave empty text 1 token, disagreeing
+    // with the q104/winnowing convention for the same documents)
     documents
       .select(col("doc_id"),
-        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+        size(filter(graft.functions.TextFunctions.tokens(col("text")),
+          t => length(t) > 0)).cast("long")
           .as("n_tokens"),
         md5(col("doc_id").cast("string")).as("shuffle_key"))
       .withColumn("shard",
@@ -506,7 +512,7 @@ object Curate {
        |        md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT
        |          % $nShards AS INTEGER) AS shard,
-       |        CAST(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
+       |        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS BIGINT) AS n_tokens
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 }

@@ -131,6 +131,21 @@ object NearDup {
     */
   val BucketBudget = 64
 
+  /** Plan-time joined-row budget for the derived-cap pair stage
+    * ([[ngramJaccardPairsCapped]] / [[ngramContainmentCapped]] with
+    * `maxDf = 0`, the default): the posting self-join over the capped
+    * vocabulary produces EXACTLY `Σ_{df≤cap} df·(df−1)/2` rows (shingles
+    * are distinct per document), and on clone-heavy corpora that pair
+    * volume is inherently quadratic in the duplication factor — unbounded
+    * where the keep-list's output is ≤ n. The entry points compute this
+    * estimate from the already-collected df histogram BEFORE launching
+    * the join and refuse above the budget (the [[lshBudgetPressure]]
+    * pattern applied at plan time, with the keep-list redirect in the
+    * error). 2e9 joined rows ≈ a routine cluster shuffle but far past a
+    * single JVM — the regime the r9 200× probe OOM'd in.
+    */
+  val PairBudget = 2000000000L
+
   /** Candidate pairs: docs sharing any LSH band bucket, restricted to
     * pairs whose smaller endpoint is a bucket hub (doc_a < doc_b).
     */
@@ -707,17 +722,39 @@ object NearDup {
     *     (tiny — just the over-cap vocabulary) for the exact hot
     *     correction. The full arrays never leave the document scan.
     */
+  /** DEFAULT CONTRACT (r10, after the r9 200× probe): `maxDf = 0` — the
+    * SELF-TUNING derived cap — is the default. The cap is derived from the
+    * corpus df histogram (same rule as [[derivedDfCap]]: largest cap whose
+    * capped join cost stays within `fanoutBudget` joined postings per
+    * posting), so recall adapts to the corpus: never tighter than the
+    * budget, effectively uncapped when the uncapped cost already fits.
+    *
+    * Passing a CONSTANT `maxDf > 0` is the explicit override, and it
+    * carries a documented footgun: under heavy duplication a constant cap
+    * has ZERO recall — at 200× duplication every original shingle exceeds
+    * df 100, the capped inverted index EMPTIES, and the op returns 0 rows
+    * while real near-dup structure exists (measured:
+    * `SCALEPROBE_r9_200x.json`). Use the constant form only when the cap
+    * is a deliberate, corpus-informed recall trade — or reach for the
+    * keep-list ops ([[dedupKeepList]] / [[minhashNearDups]]), whose hub
+    * budget degrades gracefully and whose output is ≤ n by construction.
+    *
+    * The derived default additionally COST-GATES the pair stage: the
+    * joined-row count is computed exactly from the df histogram before the
+    * self-join launches, and the call refuses above `pairBudget` with a
+    * keep-list redirect (see [[PairBudget]]) — the pair relation is
+    * inherently quadratic on clone-heavy corpora, and that must fail at
+    * plan time, not as an executor OOM mid-shuffle. The constant-cap
+    * override stays fully LAZY (no job at construction time), so it
+    * cannot be cost-gated — documented trade.
+    */
   def ngramJaccardPairsCapped(
       documents: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
-      maxDf: Int = 100, fanoutBudget: Int = 100): DataFrame =
-    // maxDf = 0: derive the cap from the corpus df histogram (same rule
-    // as [[derivedDfCap]], fanoutBudget joined postings per posting) —
-    // never tighter than the fan-out budget, and effectively uncapped
-    // when the corpus's uncapped cost already fits. The derivation runs
-    // inside the machine, off its cached df table — no extra corpus pass.
+      maxDf: Int = 0, fanoutBudget: Int = 100,
+      pairBudget: Long = PairBudget): DataFrame =
     cappedCommonCounts(documents, n, maxDf,
       mc => mc.cast("double") / (col("n_a") + col("n_b") - mc) >= minJaccard,
-      fanoutBudget)
+      fanoutBudget, pairBudget)
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
@@ -731,13 +768,18 @@ object NearDup {
     * prune. Shares q38's documented recall contract: pairs overlapping
     * ONLY in over-cap shingles are not candidates — which is exactly the
     * hot-boilerplate overlap containment detection exists to ignore.
+    * Default/override/cost-gate contract identical to
+    * [[ngramJaccardPairsCapped]]: `maxDf = 0` (default) self-derives the
+    * cap and refuses past `pairBudget`; a constant `maxDf` is the lazy,
+    * ungated override with the 200×-measured zero-recall footgun.
     */
   def ngramContainmentCapped(
       documents: DataFrame, n: Int = 3, minContainment: Double = 0.9,
-      maxDf: Int = 100, fanoutBudget: Int = 100): DataFrame =
+      maxDf: Int = 0, fanoutBudget: Int = 100,
+      pairBudget: Long = PairBudget): DataFrame =
     cappedCommonCounts(documents, n, maxDf,
       mc => mc.cast("double") / least(col("n_a"), col("n_b")) >= minContainment,
-      fanoutBudget)
+      fanoutBudget, pairBudget)
       .select(explode(array(
         struct(col("doc_a").as("contained"), col("doc_b").as("container"),
           col("n_common"), col("n_a").as("n_contained"), col("n_b").as("n_container")),
@@ -758,56 +800,70 @@ object NearDup {
     */
   private def cappedCommonCounts(
       documents: DataFrame, n: Int, maxDf0: Int,
-      prune: Column => Column, fanoutBudget: Int = 100): DataFrame = {
-    // Adaptive re-plan (same pattern as Similarity.adaptiveSubPlanes): ONE
-    // driver-side statistic — does any shingle exceed the cap? — picks the
-    // plan. On a clean corpus (no hot vocabulary, the common case: this
-    // testdata's 3-grams peak at df 25 vs cap 100) the hot machinery is
-    // pure overhead: the broadcast flag join, the per-doc hot arrays
-    // (sort_array ∘ collect_list), and both correction joins compute
-    // nothing, but still shuffle. There, n_common = n_rare EXACTLY and the
-    // "upper-bound prune" is the exact predicate, so the whole machine
-    // collapses to posting join → pair counts → row-wise set sizes. The
-    // statistic costs one map-side-combined aggregation over the postings
-    // — the same pass the hot branch pays again for its flag table — so
-    // hot corpora pay ≤ one extra agg job, clean corpora skip three joins
-    // and the array build. Both branches return identical relations by
-    // construction; the oracle SQL (which always models the cap) agrees
-    // on either.
+      prune: Column => Column, fanoutBudget: Int = 100,
+      pairBudget: Long = Long.MaxValue): DataFrame = {
     val sh = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), graft.functions.ShingleSet.shingles(col("text"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .cache()
-    // the df table is cached so the branch statistic, the maxDf = 0 cap
-    // derivation and (in the hot branch) the broadcast flag table are ONE
-    // aggregation, not two or three — vocabulary-sized, the same relation
-    // the hot plan materialized anyway
     val dfTab = sh.select(explode(col("shingles")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .cache()
-    // maxDf = 0: the [[derivedDfCap]] rule, computed on the DISTINCT-df
-    // histogram collected to the driver (≪ vocabulary — dfCapStats'
-    // "driver-trivial at any corpus size" argument, applied literally)
+    if (maxDf0 > 0) {
+      // Explicit constant cap: fully LAZY — no Spark job runs at
+      // DataFrame-construction time, so plan-only consumers (Explain,
+      // plan-shape specs, composition into bigger dataflows) cost
+      // nothing (ADVICE r9). The price: no clean-corpus fast path and no
+      // plan-time cost gate — both need driver statistics. The hot-flag
+      // relation is derived in-plan from the uncached df aggregation.
+      return hotCappedCounts(sh,
+        dfTab.filter(col("df") > maxDf0)
+          .select(col("shingle"), lit(true).as("hot_flag")),
+        prune)
+    }
+    // maxDf = 0 (the default): the [[derivedDfCap]] rule, computed on the
+    // DISTINCT-df histogram collected to the driver (≪ vocabulary —
+    // dfCapStats' "driver-trivial at any corpus size" argument, applied
+    // literally). The same histogram then answers, with NO further Spark
+    // jobs: (a) the plan-time pair-cost gate (exact, since shingles are
+    // distinct per doc), and (b) the clean/hot branch statistic — on a
+    // corpus with no over-cap vocabulary the hot machinery (broadcast
+    // flag join, per-doc hot arrays, both correction joins) computes
+    // nothing but still shuffles, so the plan collapses to posting join →
+    // pair counts → row-wise set sizes, with n_common = n_rare exact.
+    val dfc = dfTab.cache()
+    val hist = dfc.groupBy("df").agg(count(lit(1)).as("n_words"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val postings = hist.map { case (df, nw) => df * nw }.sum
+    var cum = 0L
+    var cap = 0L
+    for ((df, nw) <- hist) {
+      cum += df * df * nw
+      if (cum <= fanoutBudget.toLong * postings) cap = df
+    }
     val maxDf =
-      if (maxDf0 > 0) maxDf0
-      else {
-        val hist = dfTab.groupBy("df").agg(count(lit(1)).as("n_words"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-        val postings = hist.map { case (df, nw) => df * nw }.sum
-        var cum = 0L
-        var cap = 0L
-        for ((df, nw) <- hist) {
-          cum += df * df * nw
-          if (cum <= fanoutBudget.toLong * postings) cap = df
-        }
-        if (hist.nonEmpty && cap == hist.last._1) Int.MaxValue
-        else if (cap > Int.MaxValue.toLong) Int.MaxValue
-        else cap.toInt
-      }
-    val nHot = dfTab.filter(col("df") > maxDf).count()
+      if (hist.nonEmpty && cap == hist.last._1) Int.MaxValue
+      else if (cap > Int.MaxValue.toLong) Int.MaxValue
+      else cap.toInt
+    // cost gate: the capped posting self-join emits EXACTLY
+    // Σ_{df≤cap} df·(df−1)/2 rows; refuse at plan time rather than OOM
+    // mid-shuffle (the r9 200× regime). Exact, so a probe can check the
+    // estimate against the measured join output 1:1.
+    val joinedPairs = hist.collect {
+      case (df, nw) if df <= maxDf => df * (df - 1) / 2 * nw
+    }.sum
+    if (joinedPairs > pairBudget) {
+      dfc.unpersist(); sh.unpersist()
+      throw new IllegalArgumentException(
+        s"derived-cap pair stage refused at plan time: the capped posting " +
+        s"self-join would emit $joinedPairs rows (> pairBudget $pairBudget). " +
+        "Pair output is inherently quadratic on clone-heavy corpora; use the " +
+        "keep-list ops (NearDup.dedupKeepList / minhashNearDups — output <= n " +
+        "by construction) or raise pairBudget for a cluster-sized run.")
+    }
+    val nHot = hist.collect { case (df, nw) if df > maxDf => nw }.sum
     if (nHot == 0) {
-      dfTab.unpersist()
+      dfc.unpersist()
       val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
       val exR = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
         .repartition(col("shingle"))
@@ -822,6 +878,26 @@ object NearDup {
         .filter(prune(col("n_common")))
         .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"))
     }
+    // hot branch: materialize the (small by construction) hot vocabulary
+    // out of the cached df table via an eager localCheckpoint, then
+    // release the vocabulary-sized cache immediately (ADVICE r9: it used
+    // to pin until session end).
+    val hotSet = dfc.filter(col("df") > maxDf)
+      .select(col("shingle"), lit(true).as("hot_flag"))
+      .localCheckpoint(true)
+    dfc.unpersist()
+    hotCappedCounts(sh, hotSet, prune)
+  }
+
+  /** The hot-vocabulary capped machine shared by the lazy constant-cap
+    * path and the derived path's hot branch: flag postings against the
+    * broadcast hot set, one capped posting self-join for candidates +
+    * exact rare counts, per-doc scalar upper-bound prune, exact hot
+    * correction for survivors only.
+    */
+  private def hotCappedCounts(
+      sh: DataFrame, hotSet: DataFrame,
+      prune: Column => Column): DataFrame = {
     val ex = sh
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .cache()
@@ -829,8 +905,6 @@ object NearDup {
     // distinct shingles can exceed the cap), so it broadcasts — flagging
     // the postings costs a map-side hash lookup, not a full shuffle of the
     // posting relation against the df table.
-    val hotSet = dfTab.filter(col("df") > maxDf)
-      .select(col("shingle"), lit(true).as("hot_flag"))
     val flagged = ex.join(broadcast(hotSet), Seq("shingle"), "left")
       .select(col("doc_id"), col("shingle"), coalesce(col("hot_flag"), lit(false)).as("is_hot"))
     // One row per doc: set size, hot count, and the hot-only shingle array
@@ -1002,6 +1076,55 @@ object NearDup {
        |      / len(list_distinct(x.shingles || y.shingles)) AS jaccard
        |  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
        |WHERE jaccard >= $minJaccard ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle for `ngramContainmentCapped(maxDf = 0)` — the derived-cap
+    * default: same in-SQL cap derivation as
+    * [[ngramJaccardPairsDerivedSql]], same directed containment output as
+    * [[ngramContainmentCappedSql]].
+    */
+  def ngramContainmentDerivedSql(
+      n: Int = 3, minContainment: Double = 0.9,
+      fanoutBudget: Int = 100): String = {
+    val gram = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $n
+       |      THEN list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}), i -> $gram))
+       |      ELSE [] END AS shingles
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents)),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
+       |d AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+       |hist AS (SELECT df, count(*) AS n_words FROM d GROUP BY df),
+       |tot AS (SELECT CAST(SUM(df * n_words) AS BIGINT) AS postings,
+       |               MAX(df) AS max_df FROM hist),
+       |cum AS (SELECT df, SUM(df * df * n_words) OVER (ORDER BY df) AS cum_cost FROM hist),
+       |capv AS (
+       |  SELECT MAX(cum.df) AS cap
+       |  FROM cum, tot WHERE cum.cum_cost <= $fanoutBudget * tot.postings),
+       |rare AS (SELECT shingle FROM d, capv WHERE d.df <= capv.cap),
+       |exc AS (SELECT e.doc_id, e.shingle FROM ex e JOIN rare r ON e.shingle = r.shingle),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |pc AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(x.shingles, y.shingles)) AS n_common,
+       |    len(x.shingles) AS n_a, len(y.shingles) AS n_b
+       |  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id),
+       |directed AS (
+       |  SELECT doc_a AS contained, doc_b AS container, n_common,
+       |    n_a AS n_contained, n_b AS n_container FROM pc
+       |  UNION ALL
+       |  SELECT doc_b AS contained, doc_a AS container, n_common,
+       |    n_b AS n_contained, n_a AS n_container FROM pc)
+       |SELECT contained, container, CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(n_contained AS BIGINT) AS n_contained,
+       |  CAST(n_container AS BIGINT) AS n_container,
+       |  CAST(n_common AS DOUBLE) / n_contained AS containment
+       |FROM directed
+       |WHERE CAST(n_common AS DOUBLE) / n_contained >= $minContainment
+       |ORDER BY contained, container""".stripMargin
   }
 
   def ngramJaccardPairsCappedSql(
@@ -1194,6 +1317,19 @@ object NearDup {
     * The q47 Bloom gate is this op's probabilistic fast path; this is the
     * exact verdict it approximates.
     */
+  /** Normalized-text hash for the exact-dup verdict: md5 over the
+    * space-joined NON-EMPTY tokens, NULL for NULL text. Both guards are
+    * fuzz-harness finds (ADVICE r9, regressing the
+    * [[graft.ops.TextAnalysis.fingerprints]] guard): `concat_ws` maps NULL
+    * to "" — so an unguarded hash would alias a NULL-text doc as an exact
+    * dup of every empty-text doc — and `tokens` keeps the empty tokens
+    * that leading/trailing non-space whitespace produces, which the
+    * oracle's `list_filter(…, t -> t <> '')` norm drops.
+    */
+  private def normHash: Column =
+    when(col("text").isNotNull,
+      md5(concat_ws(" ", filter(tokens(col("text")), t => length(t) > 0))))
+
   def incrementalDedup(
       documents: DataFrame, batchMod: Int = 5, batchRem: Int = 0,
       bucketBudget: Int = BucketBudget): DataFrame = {
@@ -1202,7 +1338,7 @@ object NearDup {
     val base = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", tokens(col("text")))).as("norm_h"),
+        normHash.as("norm_h"),
         graft.functions.ShingleSet.shingles(col("text"), ShingleN).as("shingles"),
         (pmod(col("doc_id"), lit(batchMod)) === batchRem).as("is_batch"))
       .cache()
@@ -1266,7 +1402,7 @@ object NearDup {
     documents
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", tokens(col("text")))).as("norm_h"),
+        normHash.as("norm_h"),
         graft.functions.ShingleSet.shingles(col("text"), ShingleN).as("shingles"))
 
   /** Materialize the incremental-dedup INDEX of a corpus snapshot as three
@@ -1309,7 +1445,9 @@ object NearDup {
       bucketBudget)
   }
 
-  def incrementalDedupSql(batchMod: Int = 5, batchRem: Int = 0): String = {
+  def incrementalDedupSql(
+      batchMod: Int = 5, batchRem: Int = 0,
+      bucketBudget: Int = BucketBudget): String = {
     val minExprs = (0 until NumHashes).map(i =>
       s"min(${sliceHashSql(i, "shingle")}) AS mh_$i").mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
@@ -1333,7 +1471,7 @@ object NearDup {
        |hubs_i AS (
        |  SELECT * FROM (SELECT b.* FROM bands b JOIN docs d ON b.doc_id = d.doc_id WHERE NOT d.is_batch)
        |  QUALIFY row_number() OVER (PARTITION BY band_idx, band_key ORDER BY doc_id)
-       |    <= $BucketBudget),
+       |    <= $bucketBudget),
        |cand AS (
        |  SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS ix_id
        |  FROM bands_b b JOIN hubs_i h

@@ -580,4 +580,65 @@ class TextNearDupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(5L -> "kept", 10L -> "kept"))
   }
+
+  test("incremental dedup norm edges: NULL text never aliases empty text, " +
+    "and non-space whitespace normalizes away (ADVICE r10)") {
+    // index: 1 = empty text, 2 = NULL text, 3 = "foo bar"
+    // batch: 5 = NULL (must be KEPT — a NULL doc is not a dup of the empty
+    // doc), 10 = "\tfoo  bar \n" (exact dup of 3 — the leading tab's empty
+    // token must not poison the norm), 15 = "" (exact dup of 1)
+    val df = Seq(
+      (1L, ""), (2L, null.asInstanceOf[String]), (3L, "foo bar"),
+      (5L, null.asInstanceOf[String]), (10L, "\tfoo  bar \n"), (15L, ""))
+      .map { case (id, t) => (id, t, "en", "src", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = NearDup.incrementalDedup(df)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(5L) == (("kept", -1L)), s"NULL-text verdict: ${got(5L)}")
+    assert(got(10L) == (("exact_dup", 3L)), s"whitespace verdict: ${got(10L)}")
+    assert(got(15L) == (("exact_dup", 1L)), s"empty verdict: ${got(15L)}")
+  }
+
+  test("derived-cap pair stage refuses at plan time past pairBudget, with " +
+    "the keep-list redirect in the message") {
+    // clone-heavy corpus (the r9 200×-probe shape): 40 copies of one
+    // 10-token text → every shingle df=40, histogram {40 → 8 shingles},
+    // exact joined-pair count 8 · 40·39/2 = 6240
+    val t = (1 to 10).map(i => s"c$i").mkString(" ")
+    val clones = docs((1L to 40L).map(i => (i, t)): _*)
+    val ex = intercept[IllegalArgumentException] {
+      NearDup.ngramJaccardPairsCapped(clones, pairBudget = 1000L)
+    }
+    assert(ex.getMessage.contains("6240"), ex.getMessage)
+    assert(ex.getMessage.contains("pairBudget"), ex.getMessage)
+    assert(ex.getMessage.contains("dedupKeepList"), ex.getMessage)
+    // same corpus under the default budget: runs, and finds the clones
+    val ok = NearDup.ngramJaccardPairsCapped(clones)
+    assert(ok.count() == 40L * 39 / 2)
+  }
+
+  test("constant-cap override is LAZY: constructing the DataFrame runs no " +
+    "Spark job; the derived default is eager by design") {
+    val df = docs(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w v"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val planOnly = NearDup.ngramJaccardPairsCapped(df, maxDf = 100)
+      planOnly.explain() // plan consumers must stay job-free too
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"constant-cap construction launched ${jobs.get()} job(s)")
+      NearDup.ngramJaccardPairsCapped(df) // derived default: jobs expected
+      Thread.sleep(500)
+      assert(jobs.get() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
