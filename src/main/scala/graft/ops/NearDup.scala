@@ -1457,7 +1457,14 @@ object NearDup {
     s"""WITH sh0 AS ($shingledSql),
        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS toks FROM documents),
        |docs AS (
-       |  SELECT s.doc_id, array_to_string(t.toks, ' ') AS norm, s.shingles,
+       |  -- norm mirrors the Scala normHash: NULL text -> NULL (never a
+       |  -- dup of anything), EMPTY-after-filter -> '' (all empty docs are
+       |  -- exact dups of each other). DuckDB's array_to_string([], ' ')
+       |  -- is NULL, not '' — hence the COALESCE (r10 fuzz find).
+       |  SELECT s.doc_id,
+       |    CASE WHEN t.toks IS NULL THEN NULL
+       |         ELSE COALESCE(array_to_string(t.toks, ' '), '') END AS norm,
+       |    s.shingles,
        |    (s.doc_id % $batchMod = $batchRem) AS is_batch
        |  FROM sh0 s JOIN toks t ON s.doc_id = t.doc_id),
        |exact AS (
