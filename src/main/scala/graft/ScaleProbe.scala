@@ -221,22 +221,40 @@ object ScaleProbe {
           graft.ops.Similarity.ivfTopKAdaptive(emb, budget = 125L).count())
         time(s"$label ann_ivf_trained")(
           graft.ops.KMeans.ivfTopKTrainedAdaptive(emb).count())
-        time(s"$label ngram_jaccard_capped")(
-          graft.ops.NearDup.ngramJaccardPairsCapped(docs).count())
-        // the SELF-TUNING form (q102). Measured findings on the clone-mult
-        // corpora (SCALEPROBE_r9_200x + attempted 50×/200× runs): the
-        // CONSTANT cap 100 has zero recall at 200× (every original shingle
-        // is hot — 27 s for 0 rows), and the derived cap restores recall
-        // within its budget, but that budget is a COST contract —
-        // fanoutBudget·postings joined rows (1.3B at 50×, 5.3B at 200×) is
-        // a routine cluster shuffle and NOT a single-JVM workload (both
-        // runs OOM'd local[32]); on top of that the true pair volume is
-        // Σ cluster², the wrong output contract at high duplication. So
-        // the pair stage runs ≤10× and the >50× regimes measure the
-        // production path below (hub-budgeted keep-list, output ≤ n).
+        // the explicit CONSTANT-cap override (r10: no longer the default —
+        // the 200× probe proved its zero-recall footgun under heavy
+        // duplication, so maxDf = 0 self-derivation is what q38/q77 run)
+        time(s"$label ngram_jaccard_capped maxDf=100")(
+          graft.ops.NearDup.ngramJaccardPairsCapped(docs, maxDf = 100).count())
+        // the SELF-TUNING DEFAULT (q102/q38/q77). Measured findings on the
+        // clone-mult corpora (SCALEPROBE_r9_200x + attempted 50×/200×
+        // runs): the constant cap 100 has zero recall at 200× (every
+        // original shingle is hot — 27 s for 0 rows), and the derived cap
+        // restores recall within its budget, but that budget is a COST
+        // contract — fanoutBudget·postings joined rows (1.3B at 50×, 5.3B
+        // at 200×) is a routine cluster shuffle and NOT a single-JVM
+        // workload (both runs OOM'd local[32]); on top of that the true
+        // pair volume is Σ cluster², the wrong output contract at high
+        // duplication. So the pair stage runs ≤10×, and at >10× the probe
+        // instead demonstrates the r10 PLAN-TIME GATE: with a single-JVM
+        // pairBudget the derived default REFUSES (with the keep-list
+        // redirect) instead of OOMing mid-shuffle — and the keep-list
+        // stage below is that redirect, measured.
         if (mult <= 10)
           time(s"$label ngram_jaccard_capped derived")(
             graft.ops.NearDup.ngramJaccardPairsCapped(docs, maxDf = 0).count())
+        else
+          timeInfo(s"$label derived_default_pair_gate")({
+            try {
+              val n = graft.ops.NearDup
+                .ngramJaccardPairsCapped(docs, pairBudget = 200000000L).count()
+              (n, """{"refused": false}""")
+            } catch {
+              case e: IllegalArgumentException =>
+                val msg = e.getMessage.replace("\"", "'")
+                (0L, s"""{"refused": true, "message": "$msg"}""")
+            }
+          })
         // the production dedup contract at extreme duplication: hub-budgeted
         // minhash candidates closed into a keep-list — output ≤ n however
         // clone-heavy the corpus (the ≥100× counterpart of the pair stages)
@@ -350,6 +368,33 @@ object ScaleProbe {
         }
       }
       }
+      // r10 VERDICT #3 — the continuous-crawl contract at probe scale:
+      // persist the snapshot index ONCE (hub budget baked into bands/ at
+      // write time), then run successive 1%-sized batches against the
+      // parquet. Per-batch seconds must stay flat across batches and
+      // near-flat in index size (each increment = one streaming scan of
+      // the index relations + batch-sized shuffles; no index-sized
+      // window/sort/exchange survives in the per-batch plan).
+      val ixPath = s"$out/dedup_index_$label"
+      time(s"$label dedup_index_write")({
+        graft.ops.NearDup.writeDedupIndex(docs, ixPath)
+        spark.read.parquet(s"$ixPath/norm").count()
+      })
+      for (b <- 1 to 3)
+        time(s"$label incremental_batch_$b")(
+          graft.ops.NearDup.incrementalDedupAgainstIndex(
+            docs.filter(pmod(col("doc_id"), lit(100)) === b)
+              .withColumn("doc_id", col("doc_id") + lit(100000000L)),
+            ixPath).count())
+      // r10 VERDICT #2 — the pair-cost gate's estimate vs the join it
+      // gates, both recorded in the artifact (they must be EQUAL: the
+      // estimate is exact, not a model). ≤10× only — at 50×+ the audited
+      // join is the documented cluster-only regime the gate refuses.
+      if (mult <= 10)
+        timeInfo(s"$label derived_cap_join_audit")({
+          val r = graft.ops.NearDup.derivedCapJoinAudit(docs).head()
+          (1L, s"""{"derived_cap": ${r.getLong(0)}, "est_joined_rows": ${r.getLong(1)}, "measured_joined_rows": ${r.getLong(2)}}""")
+        })
     }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALEPROBE_OUT", "SCALEPROBE.json")
     val rows = measurements.map { case (name, n, dt, info) =>

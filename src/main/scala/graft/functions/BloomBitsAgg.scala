@@ -28,6 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class BloomBitsAgg(
     child: Expression,
+    width: Int = 5,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
@@ -43,7 +44,7 @@ case class BloomBitsAgg(
       s"bloom_bits_agg expects a string input, got ${child.dataType.simpleString}")
 
   override def createAggregationBuffer(): Array[Long] =
-    new Array[Long](graft.ops.Bloom.NumWords)
+    new Array[Long](graft.ops.Bloom.numWords(1L << (4 * width)))
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val t = child.eval(input)
@@ -51,7 +52,7 @@ case class BloomBitsAgg(
       val dig = BloomProbeHits.digest(t.asInstanceOf[UTF8String])
       var i = 0
       while (i < graft.ops.Bloom.NumHashes) {
-        val pos = BloomProbeHits.position(dig, i)
+        val pos = BloomProbeHits.position(dig, i, width)
         val w = (pos / graft.ops.Bloom.BitsPerWord).toInt
         val bit = (pos % graft.ops.Bloom.BitsPerWord).toInt
         buf(w) |= 1L << bit
@@ -90,10 +91,12 @@ case class BloomBitsAgg(
 }
 
 object BloomBitsAgg {
-  /** Aggregate Column: the serialized Bloom word array of a text column. */
-  def bloomBitsAgg(text: Column): Column =
+  /** Aggregate Column: the serialized Bloom word array of a text column.
+    * `width` is the md5-slice width — MUST match the probing filter's
+    * ([[graft.ops.Bloom.widthOfWords]]). */
+  def bloomBitsAgg(text: Column, width: Int = 5): Column =
     ColumnBridge.column(
-      BloomBitsAgg(ColumnBridge.expression(text)).toAggregateExpression())
+      BloomBitsAgg(ColumnBridge.expression(text), width).toAggregateExpression())
 
   /** Decode the aggregate's binary result back to the word array. */
   def decode(bytes: Array[Byte]): Array[Long] = {

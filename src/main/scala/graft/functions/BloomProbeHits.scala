@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * positions are computed from the md5 digest nibbles directly — no hex
   * string materializes per row.
   */
-case class BloomProbeHits(child: Expression, words: Array[Long])
+case class BloomProbeHits(child: Expression, words: Array[Long], width: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -39,12 +39,12 @@ case class BloomProbeHits(child: Expression, words: Array[Long])
   override def prettyName: String = "bloom_probe_hits"
 
   override def nullSafeEval(input: Any): Any =
-    BloomProbeHits.hits(input.asInstanceOf[UTF8String], words)
+    BloomProbeHits.hits(input.asInstanceOf[UTF8String], words, width)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BloomProbeHits.hits($c, $wordsRef);")
+      s"${ev.value} = graft.functions.BloomProbeHits.hits($c, $wordsRef, $width);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomProbeHits =
@@ -53,8 +53,9 @@ case class BloomProbeHits(child: Expression, words: Array[Long])
 
 object BloomProbeHits {
 
-  def apply(text: Column, words: Array[Long]): Column =
-    ColumnBridge.column(BloomProbeHits(ColumnBridge.expression(text), words))
+  def apply(text: Column, words: Array[Long], width: Int = 5): Column =
+    ColumnBridge.column(
+      BloomProbeHits(ColumnBridge.expression(text), words, width))
 
   private val md5Local: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
@@ -65,12 +66,13 @@ object BloomProbeHits {
     md.digest(text.getBytes)
   }
 
-  /** Slice i's 20-bit position = hex chars [5i, 5i+5) of the digest, read
-    * straight from the nibbles (no hex string materializes per row). */
-  private[functions] def position(dig: Array[Byte], i: Int): Long = {
+  /** Slice i's position = hex chars [w·i, w·i+w) of the digest (w = slice
+    * width, 5/6/7 for 2^20/2^24/2^28-bit filters), read straight from the
+    * nibbles (no hex string materializes per row). */
+  private[functions] def position(dig: Array[Byte], i: Int, width: Int): Long = {
     var pos = 0L
-    var k = 5 * i
-    val end = k + 5
+    var k = width * i
+    val end = k + width
     while (k < end) {
       // hex char k = high nibble of byte k/2 when k even, else low nibble
       val b = dig(k >> 1) & 0xFF
@@ -86,12 +88,12 @@ object BloomProbeHits {
     * bits. Layout mirrors `Bloom.positions`: slice i = hex chars
     * [5i, 5i+5) of the digest, word = pos / 63, bit = pos % 63.
     */
-  def hits(text: UTF8String, words: Array[Long]): Int = {
+  def hits(text: UTF8String, words: Array[Long], width: Int): Int = {
     val dig = digest(text)
     var n = 0
     var i = 0
     while (i < graft.ops.Bloom.NumHashes) {
-      val pos = position(dig, i)
+      val pos = position(dig, i, width)
       val w = (pos / graft.ops.Bloom.BitsPerWord).toInt
       val bit = (pos % graft.ops.Bloom.BitsPerWord).toInt
       if (w < words.length && ((words(w) >>> bit) & 1L) == 1L) n += 1

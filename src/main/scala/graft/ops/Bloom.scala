@@ -32,9 +32,19 @@ import org.apache.spark.sql.functions._
   * index cannot be the gate.
   */
 object Bloom {
-  /** Bloom bitmap size in bits (2^20) — ~16 K longs, always broadcastable. */
+  /** DEFAULT Bloom bitmap size in bits (2^20) — ~16 K longs, always
+    * broadcastable. SIZED PER DEPLOYMENT via the `bits` parameters below
+    * (r10: the end-to-end pipeline probe measured the cost of treating
+    * this as a constant — at ~450 K inserted contents a 2^20-bit filter
+    * runs at ≈48% false-positive rate and silently rejects 40% of a NOVEL
+    * corpus as "duplicates"). Capacity rule at K=4: FP ≈ (1−e^(−4n/m))^4,
+    * so keep m ≥ ~16·n bits for sub-1% FP — 2^24 bits (2 MB of words)
+    * covers ~1 M documents, 2^28 (34 MB) covers ~16 M per executor-
+    * broadcast filter. Check [[fillRatio]] in production: a filter past
+    * ~0.5 fill is saturating.
+    */
   val BloomBits: Int = 1 << 20
-  /** Hash functions = disjoint 5-hex-char (20-bit) slices of one md5. */
+  /** Hash functions = disjoint equal-width hex slices of one md5. */
   val NumHashes: Int = 4
   /** Bits packed per 64-bit word. 63, not 64: engines with checked
     * arithmetic (DuckDB) reject `1::BIGINT << 63` as signed overflow, so
@@ -42,10 +52,23 @@ object Bloom {
     */
   val BitsPerWord: Int = 63
 
+  /** Slice width in hex chars for a filter of `bits` bits. Only powers of
+    * 16 are representable (each slice is a whole hex substring of the
+    * md5, so the SAME bitmap is computable in any engine): 2^20 → 5,
+    * 2^24 → 6, 2^28 → 7 (NumHashes·7 = 28 ≤ 32 md5 hex chars).
+    */
+  def sliceWidth(bits: Long): Int = {
+    val w = (java.lang.Long.numberOfTrailingZeros(bits) / 4)
+    require(bits >= BloomBits && bits == (1L << (4 * w)) && w <= 7,
+      s"bloom bits must be 16^w for w in 5..7 (2^20/2^24/2^28), got $bits")
+    w
+  }
+
   /** (doc_id, pos) — K bit positions per non-null-text document. */
-  private def positions(documents: DataFrame): DataFrame = {
+  private def positions(documents: DataFrame, bits: Long): DataFrame = {
+    val w = sliceWidth(bits)
     val slices = (0 until NumHashes).map { i =>
-      conv(substring(col("h"), 1 + 5 * i, 5), 16, 10).cast("long")
+      conv(substring(col("h"), 1 + w * i, w), 16, 10).cast("long")
     }
     documents.filter(col("text").isNotNull)
       .select(col("doc_id"), md5(col("text")).as("h"))
@@ -56,9 +79,9 @@ object Bloom {
   private def mask = // SQL form: the Scala shiftleft() only takes a literal shift
     expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BitsPerWord AS INT))").as("mask")
 
-  /** The bitmap as (word_idx, word) rows — ≤ BloomBits/BitsPerWord+1. */
-  def build(history: DataFrame): DataFrame =
-    positions(history)
+  /** The bitmap as (word_idx, word) rows — ≤ bits/BitsPerWord+1. */
+  def build(history: DataFrame, bits: Long = BloomBits): DataFrame =
+    positions(history, bits)
       .select(wordIdx, mask)
       .groupBy("word_idx")
       .agg(expr("bit_or(mask)").as("word"))
@@ -71,8 +94,9 @@ object Bloom {
     * pure overhead there — [[bloomNewDocs]] adds the ORDER BY the oracle
     * compare wants.
     */
-  def probe(batch: DataFrame, filter: DataFrame): DataFrame =
-    positions(batch)
+  def probe(batch: DataFrame, filter: DataFrame,
+      bits: Long = BloomBits): DataFrame =
+    positions(batch, bits)
       .select(col("doc_id"), wordIdx, mask)
       .join(F.broadcast(filter), Seq("word_idx"), "left")
       .groupBy("doc_id")
@@ -83,16 +107,42 @@ object Bloom {
   /** Word count of the packed bitmap: indices 0..BloomBits/BitsPerWord. */
   val NumWords: Int = BloomBits / BitsPerWord + 1
 
+  /** Word count for a `bits`-sized bitmap. */
+  def numWords(bits: Long): Int = (bits / BitsPerWord + 1).toInt
+
   /** The bitmap as a driver array — the streaming-ingest representation.
-    * 16,645 longs ≈ 130 KB: small enough to live on the driver between
-    * micro-batches and ride the task binary into codegen, which is what
-    * lets [[probeHits]] run with zero per-batch shuffles.
+    * At the default size, 16,645 longs ≈ 130 KB: small enough to live on
+    * the driver between micro-batches and ride the task binary into
+    * codegen, which is what lets [[probeHits]] run with zero per-batch
+    * shuffles. (2^24 → 2 MB, 2^28 → 34 MB — the last wants a real
+    * broadcast, not the task binary.)
     */
   def emptyWords: Array[Long] = new Array[Long](NumWords)
 
+  /** [[emptyWords]] for a deployment-sized filter. */
+  def emptyWords(bits: Long): Array[Long] = new Array[Long](numWords(bits))
+
+  /** Recover the slice width from a words array's length — the arrays are
+    * only ever built by [[emptyWords]]/[[collectWords]], whose lengths are
+    * distinct per legal width. */
+  def widthOfWords(words: Array[Long]): Int =
+    (5 to 7).find(w => numWords(1L << (4 * w)) == words.length)
+      .getOrElse(sys.error(
+        s"words array length ${words.length} matches no legal bloom size"))
+
+  /** Set-bit fraction of a filter — the saturation signal (~0.5 means the
+    * false-positive rate is heading for (1/2)^K and novel content starts
+    * flagging as duplicate; resize per the capacity rule above). */
+  def fillRatio(words: Array[Long]): Double = {
+    var set = 0L
+    var i = 0
+    while (i < words.length) { set += java.lang.Long.bitCount(words(i)); i += 1 }
+    set.toDouble / (words.length.toLong * BitsPerWord)
+  }
+
   /** Materialize a (word_idx, word) filter frame as the packed array. */
-  def collectWords(filter: DataFrame): Array[Long] = {
-    val words = emptyWords
+  def collectWords(filter: DataFrame, bits: Long = BloomBits): Array[Long] = {
+    val words = emptyWords(bits)
     filter.select("word_idx", "word").collect().foreach { r =>
       words(r.getLong(0).toInt) = r.getLong(1)
     }
@@ -106,7 +156,7 @@ object Bloom {
     */
   def foldInto(words: Array[Long], batch: DataFrame): Array[Long] = {
     val next = words.clone()
-    build(batch).collect().foreach { r =>
+    build(batch, 1L << (4 * widthOfWords(words))).collect().foreach { r =>
       next(r.getLong(0).toInt) |= r.getLong(1)
     }
     next
@@ -126,7 +176,7 @@ object Bloom {
     * Equality with the declarative [[probe]] is spec-pinned.
     */
   def probeHits(text: Column, words: Array[Long]): Column =
-    graft.functions.BloomProbeHits(text, words)
+    graft.functions.BloomProbeHits(text, words, widthOfWords(words))
 
   /** [[probe]]-shaped output (doc_id, n_hits, maybe_dup) computed via
     * [[probeHits]] — the spec-comparison form. */

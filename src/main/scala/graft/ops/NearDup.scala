@@ -858,7 +858,7 @@ object NearDup {
         s"derived-cap pair stage refused at plan time: the capped posting " +
         s"self-join would emit $joinedPairs rows (> pairBudget $pairBudget). " +
         "Pair output is inherently quadratic on clone-heavy corpora; use the " +
-        "keep-list ops (NearDup.dedupKeepList / minhashNearDups — output <= n " +
+        "keep-list ops (NearDup.dedupKeepList / minhashNearDups, output <= n " +
         "by construction) or raise pairBudget for a cluster-sized run.")
     }
     val nHot = hist.collect { case (df, nw) if df > maxDf => nw }.sum
@@ -1035,6 +1035,42 @@ object NearDup {
     val d = dfCapStats(documents, n, fanoutBudget, fanoutBudget)
       .select("derived_cap").head().getLong(0)
     if (d < 0 || d > Int.MaxValue.toLong) Int.MaxValue else d.toInt
+  }
+
+  /** Audit for the plan-time pair-cost gate (r10 VERDICT #2): one row
+    * with the derived cap, the histogram ESTIMATE of the capped posting
+    * self-join's output (`Σ_{df≤cap} df·(df−1)/2` — what the gate
+    * compares against `pairBudget`), and the MEASURED row count of that
+    * join actually executed. The two must be EQUAL (shingles are distinct
+    * per document, so each rare shingle contributes exactly df·(df−1)/2
+    * ordered pairs); the probe records both so the gate's contract is
+    * evidence, not argument. Diagnostic-only: it pays the join it audits.
+    */
+  def derivedCapJoinAudit(
+      documents: DataFrame, n: Int = 3, fanoutBudget: Int = 100): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sh = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.ShingleSet.shingles(col("text"), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .cache()
+    val dfTab = ex.groupBy("shingle").agg(count(lit(1)).as("df")).cache()
+    val cap = derivedDfCap(documents, n, fanoutBudget).toLong
+    val est = dfTab.filter(col("df") <= cap)
+      .agg(coalesce(sum(shiftright(col("df") * (col("df") - 1), 1)), lit(0L)))
+      .head().getLong(0)
+    val exRare = ex
+      .join(dfTab.filter(col("df") <= cap).select("shingle"), Seq("shingle"))
+    val measured = exRare.toDF("shingle", "doc_a")
+      .join(exRare.toDF("shingle_b", "doc_b"),
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .count()
+    ex.unpersist(); dfTab.unpersist()
+    Seq((cap, est, measured))
+      .toDF("derived_cap", "est_joined_rows", "measured_joined_rows")
   }
 
   /** Oracle for `ngramJaccardPairsCapped(maxDf = 0)` — the SELF-TUNING
@@ -1346,22 +1382,43 @@ object NearDup {
     val index = base.filter(!col("is_batch"))
     incrementalVerdicts(batch,
       index.select(col("doc_id").as("ix_id"), col("norm_h")),
-      lshBands(signaturesFrom(index.select("doc_id", "shingles")))
-        .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key")),
-      index.select(col("doc_id").as("ix_id"), col("shingles").as("sh_i")),
-      bucketBudget)
+      budgetedHubs(
+        lshBands(signaturesFrom(index.select("doc_id", "shingles")))
+          .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key")),
+        bucketBudget),
+      index.select(col("doc_id").as("ix_id"), col("shingles").as("sh_i")))
+  }
+
+  /** The [[BucketBudget]] hub selection over an index band relation —
+    * `bucketBudget` smallest ix_ids per (band_idx, band_key) bucket, via
+    * WindowGroupLimit-friendly row_number ≤ k. Applied ONCE per index
+    * derivation: in-plan by [[incrementalDedup]], at WRITE time by
+    * [[writeDedupIndex]] — so the per-batch path never re-windows the
+    * index (r10: the budget used to be applied per batch, an index-sized
+    * shuffle+sort on every increment).
+    */
+  private def budgetedHubs(ixBands: DataFrame, bucketBudget: Int): DataFrame = {
+    val w = Window.partitionBy("band_idx", "band_key").orderBy("ix_id")
+    ixBands
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= bucketBudget)
+      .select(col("ix_id"), col("band_idx"), col("band_key"))
   }
 
   /** The shared verdict machine: batch docs (doc_id, norm_h, shingles)
-    * against the three index relations — (ix_id, norm_h), the band
-    * relation, and the per-doc shingle arrays the exact verify reads.
-    * [[incrementalDedup]] derives the index in-plan; the persisted-index
-    * path ([[writeDedupIndex]] / [[incrementalDedupAgainstIndex]]) reads
-    * it from parquet — same joins either way.
+    * against the three index relations — (ix_id, norm_h), the ALREADY
+    * hub-budgeted band relation, and the per-doc shingle arrays the exact
+    * verify reads. [[incrementalDedup]] derives the index in-plan; the
+    * persisted-index path ([[writeDedupIndex]] /
+    * [[incrementalDedupAgainstIndex]]) reads it from parquet — same joins
+    * either way. Every join's small side is the BATCH (or candidates
+    * derived from it), so each increment costs one streaming scan of the
+    * index relations plus batch-sized shuffles — no window, no sort, no
+    * index-sized exchange.
     */
   private def incrementalVerdicts(
-      batch: DataFrame, ixNorm: DataFrame, ixBands: DataFrame,
-      ixShingles: DataFrame, bucketBudget: Int): DataFrame = {
+      batch: DataFrame, ixNorm: DataFrame, ixHubs: DataFrame,
+      ixShingles: DataFrame): DataFrame = {
     // exact: equi-join on the 16-byte normalized-text hash — the index side
     // of this join IS the persistable exact-dup index
     val exact = batch.select(col("doc_id"), col("norm_h"))
@@ -1369,12 +1426,7 @@ object NearDup {
       .groupBy("doc_id").agg(min("ix_id").as("exact_of"))
     // near: batch bands ⋈ budgeted index-band hubs, exact-Jaccard verified
     val bandsB = lshBands(signaturesFrom(batch.select("doc_id", "shingles")))
-    val w = Window.partitionBy("band_idx", "band_key").orderBy("ix_id")
-    val hubsI = ixBands
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= bucketBudget)
-      .select(col("ix_id"), col("band_idx"), col("band_key"))
-    val cand = bandsB.join(hubsI, Seq("band_idx", "band_key"))
+    val cand = bandsB.join(ixHubs, Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("ix_id")).distinct()
     val near = cand
       .join(batch.select(col("doc_id"), col("shingles").as("sh_b")), Seq("doc_id"))
@@ -1409,18 +1461,25 @@ object NearDup {
     * parquet relations under `path` — what a continuous-crawl pipeline
     * persists once per snapshot instead of re-deriving per batch:
     *   - `norm/`     (ix_id, norm_h)                — the exact-dup index;
-    *   - `bands/`    (ix_id, band_idx, band_key)    — the LSH index;
+    *   - `bands/`    (ix_id, band_idx, band_key)    — the LSH index,
+    *     hub-budgeted AT WRITE TIME (`bucketBudget` smallest ix_ids per
+    *     bucket — the recall trade is fixed when the snapshot is built,
+    *     and no increment ever pays the window again);
     *   - `shingles/` (ix_id, sh_i)                  — the verify payload.
     * The first two are the short-key join sides; the shingle relation is
     * the per-doc payload only verified CANDIDATES ever read (parquet
     * column pruning keeps it out of the candidate joins entirely).
     */
-  def writeDedupIndex(documents: DataFrame, path: String): Unit = {
+  def writeDedupIndex(
+      documents: DataFrame, path: String,
+      bucketBudget: Int = BucketBudget): Unit = {
     val base = normShingled(documents).cache()
     base.select(col("doc_id").as("ix_id"), col("norm_h"))
       .write.mode("overwrite").parquet(s"$path/norm")
-    lshBands(signaturesFrom(base.select("doc_id", "shingles")))
-      .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key"))
+    budgetedHubs(
+      lshBands(signaturesFrom(base.select("doc_id", "shingles")))
+        .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key")),
+      bucketBudget)
       .write.mode("overwrite").parquet(s"$path/bands")
     base.select(col("doc_id").as("ix_id"), col("shingles").as("sh_i"))
       .write.mode("overwrite").parquet(s"$path/shingles")
@@ -1431,18 +1490,18 @@ object NearDup {
   /** [[incrementalDedup]]'s verdicts for an incoming batch against a
     * PERSISTED index ([[writeDedupIndex]]): identical joins, but the index
     * side is a parquet read — the batch pays its own shingle pass plus
-    * batch-sized equi-joins, never touching the snapshot corpus. Spec-
-    * pinned equal to [[incrementalDedup]] over the equivalent union.
+    * batch-sized equi-joins and one streaming scan of the index relations,
+    * never a corpus-sized shuffle (the hub budget is baked into `bands/`
+    * at write time). Spec-pinned equal to [[incrementalDedup]] over the
+    * equivalent union.
     */
   def incrementalDedupAgainstIndex(
-      batchDocs: DataFrame, indexPath: String,
-      bucketBudget: Int = BucketBudget): DataFrame = {
+      batchDocs: DataFrame, indexPath: String): DataFrame = {
     val spark = batchDocs.sparkSession
     incrementalVerdicts(normShingled(batchDocs).cache(),
       spark.read.parquet(s"$indexPath/norm"),
       spark.read.parquet(s"$indexPath/bands"),
-      spark.read.parquet(s"$indexPath/shingles"),
-      bucketBudget)
+      spark.read.parquet(s"$indexPath/shingles"))
   }
 
   def incrementalDedupSql(

@@ -69,7 +69,11 @@ object DocIngest {
     * [[Bloom.probeHits]] over the driver-array filter) — no join back on
     * doc_id, no per-batch sort, no probe shuffle at all; the only
     * per-batch shuffle left is the filter update's fixed-size word
-    * aggregation.
+    * aggregation. Round 10: the metrics + Bloom-bit aggregation rides the
+    * accepted append itself via `Dataset.observe` (collect point above
+    * the route filter sees every row), so a micro-batch costs exactly TWO
+    * cache scans — accepted (materializing) and rejected — instead of
+    * three.
     */
   def processBatch(
       batchDf: DataFrame,
@@ -96,33 +100,37 @@ object DocIngest {
           .when(col("text").isNull, "no_text") // extraction failures
           .when(col("quality_score") < minQuality, "low_quality"))
       .cache()
-    // ONE action materializes the cache — upstream stateful dedup + quality
-    // + probe all run here; the route/update stages below read the cache
-    // and time only their own work. The metrics agg doubles as that action.
+    // ONE action materializes the cache AND produces the metrics + the
+    // batch's Bloom bit contribution: the accepted append carries an
+    // Observation whose collect point sits ABOVE the route filter, so it
+    // aggregates over EVERY batch row while the action writes only the
+    // accepted slice (r10 — the previous separate metrics aggregation was
+    // a full extra cache scan per batch). BloomBitsAgg keeps its fixed
+    // 130 KB partial buffers; folding first-seen content into the filter
+    // still costs no dedicated per-batch job.
     try {
-      // the batch's Bloom contribution rides the SAME aggregation job as
-      // the metrics (BloomBitsAgg: fixed 130 KB partial buffers, word-wise
-      // OR merge) — folding first-seen content into the filter costs no
-      // extra per-batch job at all
-      val counts = timings.time("flag_compute")(flags.agg(
-        count(lit(1)),
-        count(when(col("reject_reason") === "duplicate_content", 1)),
-        count(when(col("reject_reason").isin("low_quality", "no_text"), 1)),
-        count(when(col("reject_reason").isNull, 1)),
+      val obs = new org.apache.spark.sql.Observation(s"doc_ingest_$batchId")
+      val observed = flags.observe(obs,
+        count(lit(1)).as("n_in"),
+        count(when(col("reject_reason") === "duplicate_content", 1)).as("n_dup"),
+        count(when(col("reject_reason").isin("low_quality", "no_text"), 1)).as("n_lowq"),
+        count(when(col("reject_reason").isNull, 1)).as("n_acc"),
         graft.functions.BloomBitsAgg.bloomBitsAgg(
-          when(!col("maybe_dup"), col("text")))
-      ).head())
-      val m = DocBatchMetrics(batchId, counts.getLong(0), counts.getLong(1),
-        counts.getLong(2), counts.getLong(3))
+          when(!col("maybe_dup"), col("text")),
+          Bloom.widthOfWords(filter)).as("bloom_bits"))
+      timings.time("flag_compute")(
+        sink.append(observed.filter(col("reject_reason").isNull)
+          .select("doc_id", "text", "quality_score"),
+          "accepted_documents"))
+      val counts = obs.get
+      val m = DocBatchMetrics(batchId, counts("n_in").asInstanceOf[Long],
+        counts("n_dup").asInstanceOf[Long], counts("n_lowq").asInstanceOf[Long],
+        counts("n_acc").asInstanceOf[Long])
       if (m.nIn == 0) (None, filter)
       else {
-        val accepted = flags.filter(col("reject_reason").isNull)
-        val rejected = flags.filter(col("reject_reason").isNotNull)
-        timings.time("accepted_append")(
-          sink.append(accepted.select("doc_id", "text", "quality_score"),
-            "accepted_documents"))
         timings.time("rejected_append")(
-          sink.append(rejected.select("doc_id", "reject_reason"),
+          sink.append(flags.filter(col("reject_reason").isNotNull)
+            .select("doc_id", "reject_reason"),
             "rejected_documents"))
         import spark.implicits._
         timings.time("metrics_append")(sink.append(
@@ -135,7 +143,8 @@ object DocIngest {
         // already represented; re-adding it would be a no-op anyway). The
         // bits were already aggregated above; this is a driver-side OR.
         val next = timings.time("bloom_update")(Bloom.orWords(filter,
-          graft.functions.BloomBitsAgg.decode(counts.getAs[Array[Byte]](4))))
+          graft.functions.BloomBitsAgg.decode(
+            counts("bloom_bits").asInstanceOf[Array[Byte]])))
         (Some(m), next)
       }
     } finally flags.unpersist()
@@ -153,14 +162,23 @@ object DocIngest {
       watermarkDelay: String = "10 minutes",
       minQuality: Double = 0.4,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      timings: StageTimings = new StageTimings): StreamingQuery = {
-    var filter = Bloom.emptyWords
+      timings: StageTimings = new StageTimings,
+      // SIZE PER DEPLOYMENT (see Bloom.BloomBits): ≥ ~16 bits per expected
+      // corpus document, or the gate saturates and novel content starts
+      // rejecting as duplicate — measured in PIPELINE.json's first run
+      bloomBits: Long = Bloom.BloomBits,
+      // observability hook: receives the filter after every batch, so the
+      // caller can watch Bloom.fillRatio approach saturation in production
+      filterOut: java.util.concurrent.atomic.AtomicReference[Array[Long]] = null)
+      : StreamingQuery = {
+    var filter = Bloom.emptyWords(bloomBits)
     val writer = Dedup.streamingContentDedup(docs, watermark = watermarkDelay)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (_, next) = processBatch(batch, id, filter, sink, minQuality, timings)
         filter = next
+        if (filterOut != null) filterOut.set(filter)
       }
     trigger.fold(writer)(writer.trigger).start()
   }
@@ -170,8 +188,11 @@ object DocIngest {
     * and backfills use. */
   def startAvailableNow(
       spark: SparkSession, docs: DataFrame, checkpointDir: String,
-      sink: Sink, timings: StageTimings = new StageTimings): StreamingQuery =
+      sink: Sink, timings: StageTimings = new StageTimings,
+      bloomBits: Long = Bloom.BloomBits,
+      filterOut: java.util.concurrent.atomic.AtomicReference[Array[Long]] = null)
+      : StreamingQuery =
     start(spark, docs, checkpointDir, sink,
       trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
-      timings = timings)
+      timings = timings, bloomBits = bloomBits, filterOut = filterOut)
 }

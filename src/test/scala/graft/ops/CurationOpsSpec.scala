@@ -100,6 +100,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(!fromWords.exists(_._1 == 17L)) // null text never probes
   }
 
+  test("deployment-sized bloom (2^24 bits): frame/array/agg parity at " +
+    "width 6, fill ratio tracks inserts") {
+    // the r10 sizing knob: same machinery, wider md5 slices — the three
+    // representations must stay bit-identical at the non-default size,
+    // and fillRatio exposes the saturation signal the default hid
+    val bits = 1L << 24
+    val history = (1L to 200L).map(i => (i, s"historical doc $i body"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (301L, "historical doc 7 body"), // dup
+      (302L, "entirely new content never inserted")).toDF("doc_id", "text")
+    val frame = Bloom.build(history, bits).localCheckpoint()
+    val words = Bloom.foldInto(Bloom.emptyWords(bits), history)
+    assert(Bloom.widthOfWords(words) == 6)
+    assert(Bloom.collectWords(frame, bits).toSeq == words.toSeq)
+    val viaAgg = graft.functions.BloomBitsAgg.decode(
+      history.agg(graft.functions.BloomBitsAgg.bloomBitsAgg(col("text"), 6))
+        .head().getAs[Array[Byte]](0))
+    assert(viaAgg.toSeq == words.toSeq)
+    val fromFrame = Bloom.probe(batch, frame, bits).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val fromWords = Bloom.probeWords(batch, words).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(fromFrame == fromWords)
+    assert(fromWords == Set((301L, true), (302L, false)))
+    // 200 docs × ≤4 distinct bits in 2^24: fill is tiny but non-zero, and
+    // bounded by the insert count
+    val fill = Bloom.fillRatio(words)
+    assert(fill > 0.0 && fill <= 800.0 / (1 << 24).toDouble)
+    assert(Bloom.fillRatio(Bloom.emptyWords(bits)) == 0.0)
+  }
+
   test("BloomBitsAgg aggregate equals build()'s word table bit-for-bit") {
     // the one-job streaming update path: the aggregate's packed array must
     // be exactly the declarative build's bitmap, null texts skipped
