@@ -71,7 +71,10 @@ object Dedup {
     // silently discarded as a "duplicate".
     val withText = documents.filter(col("text").isNotNull)
     val nullText = documents.filter(col("text").isNull)
-    val hashed = withText.withColumn("text_hash", md5(col("text")))
+    // 16-byte binary key, not the 32-char hex string: the hash is state
+    // (every live watermark row carries it) and shuffle key — half the
+    // bytes for identical dedup semantics (r10; it never leaves the plan)
+    val hashed = withText.withColumn("text_hash", unhex(md5(col("text"))))
     val deduped =
       if (documents.isStreaming)
         hashed.withWatermark(tsCol, watermark)
