@@ -301,4 +301,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("persisted-index incremental dedup plans NO window — the hub " +
+    "budget is baked in at write time (r10)") {
+    // the flat-per-batch contract SCALEPROBE_r10 measures: each increment
+    // is streaming scans of the parquet index + batch-sized joins. A
+    // Window (or its required sort) over the index band relation in the
+    // per-batch plan would silently reintroduce the index-sized
+    // shuffle+sort every batch.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ixplan").toString
+    import spark.implicits._
+    val docs = (1L to 50L)
+      .map(i => (i, s"index doc $i ${"w " * 20}", "en", "src", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.ops.NearDup.writeDedupIndex(docs, tmp)
+    val batch = Seq((1001L, s"index doc 7 ${"w " * 20}", "en", "src", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = graft.ops.NearDup.incrementalDedupAgainstIndex(batch, tmp)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("constant-cap capped Jaccard stays lazy AND its plan keeps the " +
+    "posting equi-join shape (r10 override contract)") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val p = graft.ops.NearDup.ngramJaccardPairsCapped(docs, maxDf = 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning(shingle"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
