@@ -1487,6 +1487,38 @@ object NearDup {
     ()
   }
 
+  /** Append a new batch's KEPT documents to a persisted index — the
+    * continuous-crawl loop's write-back: run
+    * [[incrementalDedupAgainstIndex]] on batch N, filter its `kept`
+    * doc_ids, append them here, and batch N+1's verdicts see them. A
+    * batch-sized parquet append of the same three relations; the full
+    * index is never rewritten.
+    *
+    * Budget semantics: the hub budget applies WITHIN each appended
+    * snapshot (an LSH bucket's total membership can exceed the budget by
+    * one budget per append). Recall only improves vs a fresh
+    * [[writeDedupIndex]] of the union; per-bucket candidate cost is
+    * bounded by appends·budget — re-index (writeDedupIndex over the
+    * compacted corpus) when append count grows large, exactly like any
+    * LSM-shaped index maintenance.
+    */
+  def appendDedupIndex(
+      keptDocs: DataFrame, path: String,
+      bucketBudget: Int = BucketBudget): Unit = {
+    val base = normShingled(keptDocs).cache()
+    base.select(col("doc_id").as("ix_id"), col("norm_h"))
+      .write.mode("append").parquet(s"$path/norm")
+    budgetedHubs(
+      lshBands(signaturesFrom(base.select("doc_id", "shingles")))
+        .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key")),
+      bucketBudget)
+      .write.mode("append").parquet(s"$path/bands")
+    base.select(col("doc_id").as("ix_id"), col("shingles").as("sh_i"))
+      .write.mode("append").parquet(s"$path/shingles")
+    base.unpersist()
+    ()
+  }
+
   /** [[incrementalDedup]]'s verdicts for an incoming batch against a
     * PERSISTED index ([[writeDedupIndex]]): identical joins, but the index
     * side is a parquet read — the batch pays its own shingle pass plus

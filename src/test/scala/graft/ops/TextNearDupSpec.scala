@@ -581,6 +581,39 @@ class TextNearDupSpec extends SparkSpec {
     assert(got == Map(5L -> "kept", 10L -> "kept"))
   }
 
+  test("continuous-crawl loop: verdicts -> append kept docs -> next batch " +
+    "sees them (exact AND near), equal to the in-plan union form") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    val nearBase = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl").toString
+    NearDup.writeDedupIndex(docs((1L, other)), dir)
+    // batch 1: novel doc -> kept -> appended (id 11 is index-side under
+    // the in-plan form's doc_id % 5 split, so the union check below holds)
+    val b1 = docs((11L, base))
+    val v1 = NearDup.incrementalDedupAgainstIndex(b1, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 == Map(11L -> "kept"))
+    NearDup.appendDedupIndex(b1, dir)
+    // batch 2: an exact copy AND a near copy of the batch-1 doc must now
+    // both resolve against the APPENDED index entry, not come back kept
+    val b2 = docs((20L, base.toUpperCase), (25L, nearBase))
+    val v2 = NearDup.incrementalDedupAgainstIndex(b2, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(v2(20L) == (("exact_dup", 11L)), s"got ${v2(20L)}")
+    assert(v2(25L) == (("near_dup", 11L)), s"got ${v2(25L)}")
+    // and (budget non-binding here) the loop's verdicts equal the in-plan
+    // form over the union of everything indexed so far
+    val viaUnion = NearDup.incrementalDedup(
+        docs((1L, other), (11L, base)).union(b2))
+      .filter(col("doc_id").isin(20L, 25L))
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(viaUnion == v2.filter(kv => Set(20L, 25L)(kv._1)),
+      s"union $viaUnion vs index $v2")
+  }
+
   test("incremental dedup norm edges: NULL text never aliases empty text, " +
     "and non-space whitespace normalizes away (ADVICE r10)") {
     // index: 1 = empty text, 2 = NULL text, 3 = "foo bar"
