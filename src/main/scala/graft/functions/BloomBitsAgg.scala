@@ -25,6 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.streaming.DocIngest.processBatch]]. Bit layout is EXACTLY
   * `Bloom.build`'s (spec-pinned), so the result ORs straight into a
   * driver-array filter probed by [[BloomProbeHits]].
+  *
+  * Buffer size scales with the filter: width 5 (2^20 bits) → 130 KB per
+  * partial buffer, width 6 → 2 MB. At width 7 (2^28 bits) each partial
+  * buffer is 34 MB — prefer the frame form (`Bloom.build`, ≤ bits/63
+  * ROWS map-side) at that size rather than per-partition 34 MB arrays.
   */
 case class BloomBitsAgg(
     child: Expression,

@@ -834,12 +834,23 @@ object NearDup {
     val dfc = dfTab.cache()
     val hist = dfc.groupBy("df").agg(count(lit(1)).as("n_words"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val postings = hist.map { case (df, nw) => df * nw }.sum
+    // saturating arithmetic: at 100 TB corpus sizes df can reach ~3e9
+    // docs, where df²·n_words crosses Long.MaxValue (9.2e18). Overflow
+    // would wrap NEGATIVE and admit an astronomically-over-budget cap;
+    // saturation keeps the comparison monotone (anything that overflows
+    // is above every budget).
+    def satMul(a: Long, b: Long): Long =
+      try Math.multiplyExact(a, b)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    def satAdd(a: Long, b: Long): Long =
+      try Math.addExact(a, b)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    val postings = hist.foldLeft(0L) { case (s, (df, nw)) => satAdd(s, satMul(df, nw)) }
     var cum = 0L
     var cap = 0L
     for ((df, nw) <- hist) {
-      cum += df * df * nw
-      if (cum <= fanoutBudget.toLong * postings) cap = df
+      cum = satAdd(cum, satMul(satMul(df, df), nw))
+      if (cum <= satMul(fanoutBudget.toLong, postings)) cap = df
     }
     val maxDf =
       if (hist.nonEmpty && cap == hist.last._1) Int.MaxValue
@@ -849,9 +860,11 @@ object NearDup {
     // Σ_{df≤cap} df·(df−1)/2 rows; refuse at plan time rather than OOM
     // mid-shuffle (the r9 200× regime). Exact, so a probe can check the
     // estimate against the measured join output 1:1.
-    val joinedPairs = hist.collect {
-      case (df, nw) if df <= maxDf => df * (df - 1) / 2 * nw
-    }.sum
+    val joinedPairs = hist.foldLeft(0L) {
+      case (s, (df, nw)) if df <= maxDf =>
+        satAdd(s, satMul(satMul(df, df - 1) / 2, nw))
+      case (s, _) => s
+    }
     if (joinedPairs > pairBudget) {
       dfc.unpersist(); sh.unpersist()
       throw new IllegalArgumentException(
