@@ -451,6 +451,12 @@ object SparkEntry {
     // closure the keep-lists already run + two tiny aggregations
     "q105_dup_cluster_histogram" -> ((s, dir) =>
       NearDup.dupClusterHistogram(Tables.documents(s, dir))),
+    // recall@k of the adaptive IVF vs exact brute-force ground truth -
+    // the evaluation every ANN knob change must be judged by; both input
+    // pipelines are the already-oracle-checked q27/q36, so recall itself
+    // is hash-checked cross-engine, not spot-checked
+    "q106_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -763,5 +769,6 @@ object SparkEntry {
     "q103_keeplist_by_quality" -> NearDup.dedupKeepListByQualitySql,
     "q104_vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "q105_dup_cluster_histogram" -> NearDup.dupClusterHistogramSql,
+    "q106_ann_recall" -> Similarity.annRecallSql(),
   )
 }

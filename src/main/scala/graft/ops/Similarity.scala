@@ -301,6 +301,56 @@ object Similarity {
        |  WHERE q.vec_id < $nQueries)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Recall@k of the adaptive-IVF search against exact brute-force ground
+    * truth over the same query set — the evaluation every approximate
+    * index owes its users (an ANN knob without a measured recall is a
+    * guess). One row per query: how many of the true top-k the index
+    * returned, and the fraction. Cost is the two searches themselves plus
+    * a (nQueries·k)-row join — negligible beside either search; run it on
+    * a sampled query set in production and alongside every
+    * nprobe/budget/planes change.
+    *
+    * Determinism: both input relations are the oracle-checked q27/q36
+    * pipelines (exact integer-quantized cosines, pinned tie order), so
+    * the intersection count is cross-engine exact — recall itself is
+    * hash-checked, not just spot-checked.
+    */
+  def annRecall(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nprobe: Int = 1): DataFrame = {
+    val truth = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopKAdaptive(embeddings, k = k, nprobe = nprobe)
+      .filter(col("query_id") < nQueries)
+      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+    truth
+      .join(approx,
+        col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(col("a_nid")).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Oracle for [[annRecall]]: the same two search pipelines as CTE
+    * subqueries (DuckDB allows a WITH inside a parenthesized subquery),
+    * joined and counted identically.
+    */
+  def annRecallSql(nQueries: Int = 10, k: Int = 5, nprobe: Int = 1): String =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (${bruteForceTopKSql(nQueries, k)})),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (${ivfTopKAdaptiveSql(k, nprobe)})
+       |  WHERE query_id < $nQueries)
+       |SELECT t.query_id,
+       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / $k AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
   /** The bucket signature as a Column over an `embedding` column: bit j is
     * the sign of the quantized dot with plane j (planes are ±1 vectors, so
     * their quantization is exact: ±1e6). `planes` scales the bucket count

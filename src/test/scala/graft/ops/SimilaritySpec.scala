@@ -39,6 +39,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(10L, 11L))
   }
 
+  test("ann recall: 1.0 when IVF search is exhaustive, counts misses when " +
+    "cells split the true neighbors away") {
+    // one label => one IVF cell => in-cell search IS brute force => every
+    // query's recall must be exactly 1.0
+    val oneCell = emb(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.8f, 0.2f), 0), (3L, Seq(0.0f, 1.0f), 0),
+      (4L, Seq(0.1f, 0.9f), 0))
+    val r1 = Similarity.annRecall(oneCell, nQueries = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r1.toSeq == Seq((0L, 2L, 1.0), (1L, 2L, 1.0)), r1.toSeq)
+    // split cells: query 0's TRUE top-1 (12, dot 0.8) stays routed to the
+    // other cell (centroid assignment keeps it there: 12·cB = 0.77 >
+    // 12·cA = 0.63), so the in-cell search can only find doc 1 (dot 0.5)
+    // — the index must miss 12 and recall must say so
+    val split = emb(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.5f, 0.1f), 0),
+      (10L, Seq(0.0f, 1.0f), 1),
+      (11L, Seq(0.2f, 0.9f), 1),
+      (12L, Seq(0.8f, 0.6f), 1))
+    val r2 = Similarity.annRecall(split, nQueries = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r2.toSeq == Seq((0L, 1L, 0.5)), r2.toSeq)
+  }
+
   test("lsh buckets are deterministic and bucketed top-k only pairs within a bucket") {
     val df = emb(
       (1L, Seq.fill(64)(0.1f), 0),
