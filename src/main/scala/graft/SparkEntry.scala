@@ -457,6 +457,10 @@ object SparkEntry {
     // is hash-checked cross-engine, not spot-checked
     "q106_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.embeddings(s, dir))),
+    // recall@k for the LOSSY quantizer (PQ/ADC vs exact truth) - where
+    // the approximation error lives in the codebook, not the pruning
+    "q107_pq_recall" -> ((s, dir) =>
+      graft.ops.PQ.pqRecall(Tables.embeddings(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -770,5 +774,6 @@ object SparkEntry {
     "q104_vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "q105_dup_cluster_histogram" -> NearDup.dupClusterHistogramSql,
     "q106_ann_recall" -> Similarity.annRecallSql(),
+    "q107_pq_recall" -> graft.ops.PQ.pqRecallSql(),
   )
 }

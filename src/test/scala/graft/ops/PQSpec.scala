@@ -115,4 +115,25 @@ class PQSpec extends SparkSpec {
       assert(perCode.sum == 64L)
     }
   }
+
+  test("pq recall: an exactly-representable corpus scores 1.0 per query") {
+    // corpus = copies of 4 distinct unit axis vectors: every subvector
+    // takes ≤ 4 distinct values, so the 8-code subquantizers reconstruct
+    // them EXACTLY, ADC ordering equals the exact ordering (ties broken
+    // by neighbor_id in both), and recall must be exactly 1.0 everywhere.
+    // The interesting half of the contract lives in the ARTIFACT, not a
+    // spec: on the real (jittered, unit-norm) embeddings table the
+    // default M=4/Codes=8 codebook measures recall 0.0-0.2 (q107 at
+    // sf0.01) — which is the op's point: the codebook knob now has a
+    // hash-checked number attached instead of a guess.
+    val base = (0 until 4).map { c =>
+      Seq.tabulate(dim)(i => if (i == c) 1.0f else 0.0f)
+    }
+    val rows = (0L until 40L).map(i => (i, base((i % 4).toInt), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = PQ.pqRecall(df, nQueries = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 4)
+    assert(got.forall(g => g._2 == 3L && g._3 == 1.0), got.toSeq)
+  }
 }
