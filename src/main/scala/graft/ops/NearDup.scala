@@ -1532,6 +1532,44 @@ object NearDup {
     ()
   }
 
+  /** Compact an appended index: rebuild `bands/` from the STORED shingle
+    * payload — no re-tokenization, no access to the original documents —
+    * re-applying the hub budget across the UNION of all appended
+    * snapshots, and rewrite `norm/`/`shingles/` as single snapshots
+    * (collapsing the per-append small files). Restores the exact
+    * invariants of a fresh [[writeDedupIndex]] over the union corpus
+    * (spec-pinned): ≤ budget hubs per bucket globally, smallest-ix_id
+    * hubs. The LSM compaction step — run it when [[appendDedupIndex]]
+    * count grows large. Writes to a temp subtree first, then swaps, so a
+    * relation is never overwritten while being read.
+    */
+  def compactDedupIndex(path: String, bucketBudget: Int = BucketBudget): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val tmp = s"$path/_compact_tmp"
+    spark.read.parquet(s"$path/norm")
+      .repartition(col("ix_id"))
+      .write.mode("overwrite").parquet(s"$tmp/norm")
+    val sh = spark.read.parquet(s"$path/shingles")
+      .repartition(col("ix_id")).cache()
+    sh.write.mode("overwrite").parquet(s"$tmp/shingles")
+    budgetedHubs(
+      lshBands(signaturesFrom(
+        sh.select(col("ix_id").as("doc_id"), col("sh_i").as("shingles"))))
+        .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key")),
+      bucketBudget)
+      .write.mode("overwrite").parquet(s"$tmp/bands")
+    sh.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (rel <- Seq("norm", "bands", "shingles")) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$rel"),
+        new org.apache.hadoop.fs.Path(s"$path/$rel"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    ()
+  }
+
   /** [[incrementalDedup]]'s verdicts for an incoming batch against a
     * PERSISTED index ([[writeDedupIndex]]): identical joins, but the index
     * side is a parquet read — the batch pays its own shingle pass plus

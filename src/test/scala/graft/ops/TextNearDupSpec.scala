@@ -614,6 +614,37 @@ class TextNearDupSpec extends SparkSpec {
       s"union $viaUnion vs index $v2")
   }
 
+  test("index compaction: re-applies the hub budget ACROSS snapshots from " +
+    "the stored payload; verdicts equal a fresh index of the union") {
+    // budget 1 + two appends of same-bucket content: per-snapshot budgets
+    // let one hub per APPEND accumulate in the bucket (3 total) — the
+    // documented LSM drift compaction exists to cut back
+    val t = (1 to 25).map(i => s"x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    NearDup.writeDedupIndex(docs((1L, t)), dir, bucketBudget = 1)
+    NearDup.appendDedupIndex(docs((2L, t)), dir, bucketBudget = 1)
+    NearDup.appendDedupIndex(docs((3L, t)), dir, bucketBudget = 1)
+    def bucketSizes(): Map[(Int, String), Long] = spark.read
+      .parquet(s"$dir/bands").groupBy("band_idx", "band_key").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bucketSizes().values.max == 3L, bucketSizes())
+    NearDup.compactDedupIndex(dir, bucketBudget = 1)
+    assert(bucketSizes().values.max == 1L, bucketSizes())
+    // hubs must be the smallest ix_ids, exactly as a fresh write picks
+    val hubIds = spark.read.parquet(s"$dir/bands")
+      .select("ix_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(hubIds == Set(1L), hubIds)
+    // and a batch's verdicts equal those against a fresh union index
+    val batch = docs((100L, t), (101L, "completely different content here"))
+    val fresh = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+    NearDup.writeDedupIndex(docs((1L, t), (2L, t), (3L, t)), fresh, bucketBudget = 1)
+    def verdicts(p: String) = NearDup.incrementalDedupAgainstIndex(batch, p)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(verdicts(dir) == verdicts(fresh), s"${verdicts(dir)} vs ${verdicts(fresh)}")
+    assert(verdicts(dir) == Set((100L, "exact_dup", 1L), (101L, "kept", -1L)))
+  }
+
   test("incremental dedup norm edges: NULL text never aliases empty text, " +
     "and non-space whitespace normalizes away (ADVICE r10)") {
     // index: 1 = empty text, 2 = NULL text, 3 = "foo bar"
