@@ -386,6 +386,27 @@ object ScaleProbe {
             docs.filter(pmod(col("doc_id"), lit(100)) === b)
               .withColumn("doc_id", col("doc_id") + lit(100000000L)),
             ixPath).count())
+      // the LSM compaction step (r10): rebuild bands from the stored
+      // payload — cost must track the INDEX linearly (one signature pass
+      // + one budget window), no document re-tokenization anywhere
+      time(s"$label dedup_index_compact")({
+        graft.ops.NearDup.compactDedupIndex(ixPath)
+        spark.read.parquet(s"$ixPath/bands").count()
+      })
+      // recall at scale: the adaptive IVF's sub-plane split trades
+      // in-cell coverage for linear cost — this puts a MEASURED recall
+      // number on that trade at every probed decade (and pq_recall on the
+      // lossy codebook), instead of asserting the shape and hoping
+      timeInfo(s"$label ann_recall_adaptive")({
+        val rows = graft.ops.Similarity.annRecall(emb).collect()
+        val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
+        (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
+      })
+      timeInfo(s"$label pq_recall")({
+        val rows = graft.ops.PQ.pqRecall(emb).collect()
+        val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
+        (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
+      })
       // r10 VERDICT #2 — the pair-cost gate's estimate vs the join it
       // gates, both recorded in the artifact (they must be EQUAL: the
       // estimate is exact, not a model). ≤10× only — at 50×+ the audited
