@@ -93,16 +93,33 @@ object Bloom {
     * per-batch global sort (plus its range-partitioner sampling job) is
     * pure overhead there — [[bloomNewDocs]] adds the ORDER BY the oracle
     * compare wants.
+    *
+    * SIZE CONTRACT (frame path): the (word_idx, word) relation carries no
+    * width metadata (its shape is oracle-pinned), so `bits` MUST match
+    * between [[build]]/[[update]] and [[probe]]/[[collectWords]] across a
+    * filter's whole lifecycle — the array path validates via
+    * [[widthOfWords]]; here the probe asserts the detectable direction
+    * (a LARGER-width filter probed with smaller bits fails loudly on the
+    * out-of-range word_idx) while the sparse opposite direction
+    * (smaller-width filter probed with larger bits) is undetectable
+    * without metadata and silently misses — keep the bits in one place.
     */
   def probe(batch: DataFrame, filter: DataFrame,
-      bits: Long = BloomBits): DataFrame =
+      bits: Long = BloomBits): DataFrame = {
+    sliceWidth(bits) // validate before any plan is built
+    val checked = filter.withColumn("_sz_chk",
+        assert_true(col("word_idx") < numWords(bits).toLong,
+          lit(s"bloom filter word_idx out of range for bits=$bits — the " +
+            "filter was built at a different size (see Bloom size contract)")))
+      .drop("_sz_chk")
     positions(batch, bits)
       .select(col("doc_id"), wordIdx, mask)
-      .join(F.broadcast(filter), Seq("word_idx"), "left")
+      .join(F.broadcast(checked), Seq("word_idx"), "left")
       .groupBy("doc_id")
       .agg(sum(when(col("word").bitwiseAND(col("mask")) =!= 0, 1).otherwise(0))
         .as("n_hits"))
       .withColumn("maybe_dup", col("n_hits") === NumHashes)
+  }
 
   /** Word count of the packed bitmap: indices 0..BloomBits/BitsPerWord. */
   val NumWords: Int = BloomBits / BitsPerWord + 1
@@ -119,8 +136,13 @@ object Bloom {
     */
   def emptyWords: Array[Long] = new Array[Long](NumWords)
 
-  /** [[emptyWords]] for a deployment-sized filter. */
-  def emptyWords(bits: Long): Array[Long] = new Array[Long](numWords(bits))
+  /** [[emptyWords]] for a deployment-sized filter. Validates `bits` up
+    * front (fail at construction, not at the first micro-batch's probe —
+    * r10 review find). */
+  def emptyWords(bits: Long): Array[Long] = {
+    sliceWidth(bits)
+    new Array[Long](numWords(bits))
+  }
 
   /** Recover the slice width from a words array's length — the arrays are
     * only ever built by [[emptyWords]]/[[collectWords]], whose lengths are
@@ -144,7 +166,11 @@ object Bloom {
   def collectWords(filter: DataFrame, bits: Long = BloomBits): Array[Long] = {
     val words = emptyWords(bits)
     filter.select("word_idx", "word").collect().foreach { r =>
-      words(r.getLong(0).toInt) = r.getLong(1)
+      val wi = r.getLong(0)
+      require(wi >= 0 && wi < words.length,
+        s"bloom filter word_idx $wi out of range for bits=$bits — the " +
+        "filter frame was built at a different size (see Bloom size contract)")
+      words(wi.toInt) = r.getLong(1)
     }
     words
   }
@@ -201,8 +227,9 @@ object Bloom {
     * micro-batches (`localCheckpoint` it so state does not chain lineage
     * across batches).
     */
-  def update(filter: DataFrame, batch: DataFrame): DataFrame =
-    filter.unionByName(build(batch))
+  def update(filter: DataFrame, batch: DataFrame,
+      bits: Long = BloomBits): DataFrame =
+    filter.unionByName(build(batch, bits))
       .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
 
   /** The graded query: history = docs with doc_id % 4 != 0, incoming batch

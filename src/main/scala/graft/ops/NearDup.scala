@@ -814,8 +814,17 @@ object NearDup {
       // DataFrame-construction time, so plan-only consumers (Explain,
       // plan-shape specs, composition into bigger dataflows) cost
       // nothing (ADVICE r9). The price: no clean-corpus fast path and no
-      // plan-time cost gate — both need driver statistics. The hot-flag
-      // relation is derived in-plan from the uncached df aggregation.
+      // plan-time cost gate — both need driver statistics. A caller who
+      // EXPLICITLY tightens pairBudget alongside a constant cap is asking
+      // for a gate this branch cannot provide — refuse loudly rather
+      // than silently ignore the safety argument (r10 review find).
+      if (pairBudget != PairBudget && pairBudget != Long.MaxValue)
+        throw new IllegalArgumentException(
+          "pairBudget is only enforced by the derived default (maxDf = 0): " +
+          "the constant-cap override is lazy and computes no plan-time " +
+          "statistics. Use maxDf = 0, or drop the custom pairBudget.")
+      // The hot-flag relation is derived in-plan from the uncached df
+      // aggregation.
       return hotCappedCounts(sh,
         dfTab.filter(col("df") > maxDf0)
           .select(col("shingle"), lit(true).as("hot_flag")),
@@ -1071,7 +1080,20 @@ object NearDup {
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .cache()
     val dfTab = ex.groupBy("shingle").agg(count(lit(1)).as("df")).cache()
-    val cap = derivedDfCap(documents, n, fanoutBudget).toLong
+    // derive the cap from the df table ALREADY cached here — calling
+    // derivedDfCap(documents, …) would re-run the tokenize/shingle/df
+    // corpus pass a second time (r10 review find)
+    val hist = dfTab.groupBy("df").agg(count(lit(1)).as("n_words"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val postings = hist.map { case (df, nw) => df * nw }.sum
+    var cum = 0L
+    var capRaw = 0L
+    for ((df, nw) <- hist) {
+      cum += df * df * nw
+      if (cum <= fanoutBudget.toLong * postings) capRaw = df
+    }
+    val cap: Long =
+      if (hist.nonEmpty && capRaw == hist.last._1) Int.MaxValue.toLong else capRaw
     val est = dfTab.filter(col("df") <= cap)
       .agg(coalesce(sum(shiftright(col("df") * (col("df") - 1), 1)), lit(0L)))
       .head().getLong(0)
@@ -1546,27 +1568,55 @@ object NearDup {
   def compactDedupIndex(path: String, bucketBudget: Int = BucketBudget): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val tmp = s"$path/_compact_tmp"
+    // explicit output file-count target — a bare repartition(col) would
+    // write spark.sql.shuffle.partitions files per relation and UNDO the
+    // small-files collapse this op promises (r10 review find); one count
+    // action is fine in a maintenance op
+    val nDocs = spark.read.parquet(s"$path/norm").count()
+    val nFiles = math.max(1L, nDocs / 5000000L + 1L).toInt
     spark.read.parquet(s"$path/norm")
-      .repartition(col("ix_id"))
+      .repartition(nFiles, col("ix_id"))
       .write.mode("overwrite").parquet(s"$tmp/norm")
     val sh = spark.read.parquet(s"$path/shingles")
-      .repartition(col("ix_id")).cache()
+      .repartition(nFiles, col("ix_id")).cache()
     sh.write.mode("overwrite").parquet(s"$tmp/shingles")
     budgetedHubs(
       lshBands(signaturesFrom(
         sh.select(col("ix_id").as("doc_id"), col("sh_i").as("shingles"))))
         .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key")),
       bucketBudget)
+      .repartition(nFiles)
       .write.mode("overwrite").parquet(s"$tmp/bands")
     sh.unpersist()
+    // swap: live → _old (index intact on failure), tmp → live (rolled
+    // back on failure), then drop _old. Hadoop FS ops signal failure by
+    // RETURNING false, not throwing — every step is checked (r10 review
+    // find: an unchecked delete-then-rename could destroy the live index
+    // and return success).
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (rel <- Seq("norm", "bands", "shingles")) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$rel"),
-        new org.apache.hadoop.fs.Path(s"$path/$rel"))
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def mustRename(from: String, to: String): Unit =
+      if (!fs.rename(p(from), p(to)))
+        throw new java.io.IOException(s"compactDedupIndex: rename $from -> $to failed")
+    fs.delete(p(s"$path/_compact_old"), true)
+    if (!fs.mkdirs(p(s"$path/_compact_old")))
+      throw new java.io.IOException(s"compactDedupIndex: mkdirs $path/_compact_old failed")
+    for (rel <- Seq("norm", "bands", "shingles"))
+      mustRename(s"$path/$rel", s"$path/_compact_old/$rel") // live preserved
+    try {
+      for (rel <- Seq("norm", "bands", "shingles"))
+        mustRename(s"$tmp/$rel", s"$path/$rel")
+    } catch {
+      case e: Throwable =>
+        // roll the preserved relations back before propagating
+        for (rel <- Seq("norm", "bands", "shingles"))
+          if (!fs.exists(p(s"$path/$rel")) && fs.exists(p(s"$path/_compact_old/$rel")))
+            fs.rename(p(s"$path/_compact_old/$rel"), p(s"$path/$rel"))
+        throw e
     }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(p(s"$path/_compact_old"), true)
+    fs.delete(p(tmp), true)
     ()
   }
 

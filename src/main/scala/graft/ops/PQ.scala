@@ -394,35 +394,17 @@ object PQ {
     */
   def pqRecall(
       embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      m: Int = M, codes: Int = Codes, iters: Int = Iters): DataFrame = {
-    val truth = graft.ops.Similarity.bruteForceTopK(embeddings, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = pqAdcTopK(embeddings, nQueries, k, m, codes, iters)
-      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
-    truth
-      .join(approx,
-        col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
-        "left")
-      .groupBy("query_id")
-      .agg(count(col("a_nid")).as("n_hit"))
-      .select(col("query_id"), col("n_hit"),
-        (col("n_hit").cast("double") / k).as("recall"))
-      .orderBy("query_id")
-  }
+      m: Int = M, codes: Int = Codes, iters: Int = Iters): DataFrame =
+    graft.ops.Similarity.recallVsTruth(
+      graft.ops.Similarity.bruteForceTopK(embeddings, nQueries, k),
+      pqAdcTopK(embeddings, nQueries, k, m, codes, iters),
+      k)
 
   def pqRecallSql(
       nQueries: Int = 10, k: Int = 5, m: Int = M, codes: Int = Codes,
       iters: Int = Iters): String =
-    s"""WITH truth AS (
-       |  SELECT query_id, neighbor_id
-       |  FROM (${graft.ops.Similarity.bruteForceTopKSql(nQueries, k)})),
-       |approx AS (
-       |  SELECT query_id, neighbor_id
-       |  FROM (${pqAdcTopKSql(nQueries, k, m, codes, iters)}))
-       |SELECT t.query_id,
-       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
-       |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / $k AS recall
-       |FROM truth t LEFT JOIN approx a
-       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+    graft.ops.Similarity.recallSqlFrom(
+      graft.ops.Similarity.bruteForceTopKSql(nQueries, k),
+      pqAdcTopKSql(nQueries, k, m, codes, iters),
+      k)
 }

@@ -317,14 +317,24 @@ object Similarity {
     */
   def annRecall(
       embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nprobe: Int = 1): DataFrame = {
-    val truth = bruteForceTopK(embeddings, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = ivfTopKAdaptive(embeddings, k = k, nprobe = nprobe)
-      .filter(col("query_id") < nQueries)
-      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
-    truth
-      .join(approx,
+      nprobe: Int = 1): DataFrame =
+    recallVsTruth(
+      bruteForceTopK(embeddings, nQueries, k),
+      ivfTopKAdaptive(embeddings, k = k, nprobe = nprobe)
+        .filter(col("query_id") < nQueries),
+      k)
+
+  /** The shared recall-vs-truth machine ([[annRecall]] and
+    * [[graft.ops.PQ.pqRecall]] — ONE place to fix recall semantics, so
+    * the Scala forms and the [[recallSqlFrom]] oracles cannot drift
+    * apart): per truth query, how many of its (query_id, neighbor_id)
+    * rows the approx relation also produced.
+    */
+  private[ops] def recallVsTruth(
+      truth: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(
+        approx.select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid")),
         col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
         "left")
       .groupBy("query_id")
@@ -332,24 +342,30 @@ object Similarity {
       .select(col("query_id"), col("n_hit"),
         (col("n_hit").cast("double") / k).as("recall"))
       .orderBy("query_id")
-  }
 
-  /** Oracle for [[annRecall]]: the same two search pipelines as CTE
+  /** [[recallVsTruth]]'s oracle template: the two pipelines as CTE
     * subqueries (DuckDB allows a WITH inside a parenthesized subquery),
     * joined and counted identically.
     */
-  def annRecallSql(nQueries: Int = 10, k: Int = 5, nprobe: Int = 1): String =
+  private[ops] def recallSqlFrom(
+      truthSql: String, approxSql: String, k: Int): String =
     s"""WITH truth AS (
-       |  SELECT query_id, neighbor_id FROM (${bruteForceTopKSql(nQueries, k)})),
+       |  SELECT query_id, neighbor_id FROM ($truthSql)),
        |approx AS (
-       |  SELECT query_id, neighbor_id FROM (${ivfTopKAdaptiveSql(k, nprobe)})
-       |  WHERE query_id < $nQueries)
+       |  SELECT query_id, neighbor_id FROM ($approxSql))
        |SELECT t.query_id,
        |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
        |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / $k AS recall
        |FROM truth t LEFT JOIN approx a
        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
+  /** Oracle for [[annRecall]]. */
+  def annRecallSql(nQueries: Int = 10, k: Int = 5, nprobe: Int = 1): String =
+    recallSqlFrom(
+      bruteForceTopKSql(nQueries, k),
+      s"SELECT * FROM (${ivfTopKAdaptiveSql(k, nprobe)}) WHERE query_id < $nQueries",
+      k)
 
   /** The bucket signature as a Column over an `embedding` column: bit j is
     * the sign of the quantized dot with plane j (planes are ±1 vectors, so

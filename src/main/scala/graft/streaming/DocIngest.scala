@@ -73,7 +73,10 @@ object DocIngest {
     * accepted append itself via `Dataset.observe` (collect point above
     * the route filter sees every row), so a micro-batch costs exactly TWO
     * cache scans — accepted (materializing) and rejected — instead of
-    * three.
+    * three. Contract for custom [[graft.sink.Sink]] impls: `append` MUST
+    * execute a Spark action on the frame (every shipped sink does) — the
+    * metrics observation is delivered by that action, and `Observation
+    * .get` blocks until one runs.
     */
   def processBatch(
       batchDf: DataFrame,
@@ -109,6 +112,14 @@ object DocIngest {
     // 130 KB partial buffers; folding first-seen content into the filter
     // still costs no dedicated per-batch job.
     try {
+      // empty micro-batches (watermark-advance ticks, AvailableNow's
+      // final tick) must not commit empty sink appends — a long-running
+      // ProcessingTime stream would otherwise accumulate thousands of
+      // empty part-files (r10 review find; the pre-observe flow's
+      // metrics-first ordering skipped them). isEmpty materializes at
+      // most one partition of the cache; every partition is still
+      // computed exactly once overall.
+      if (flags.isEmpty) return (None, filter)
       val obs = new org.apache.spark.sql.Observation(s"doc_ingest_$batchId")
       val observed = flags.observe(obs,
         count(lit(1)).as("n_in"),
