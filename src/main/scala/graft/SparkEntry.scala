@@ -461,6 +461,11 @@ object SparkEntry {
     // the approximation error lives in the codebook, not the pruning
     "q107_pq_recall" -> ((s, dir) =>
       graft.ops.PQ.pqRecall(Tables.embeddings(s, dir))),
+    // the actionable half of q88: cut every cross-doc duplicated span
+    // except its canonical occurrence, reconstruct clean_text - substring
+    // dedup as a TRANSFORM, not just a report
+    "q108_span_excision" -> ((s, dir) =>
+      TextAnalysis.exciseDuplicatedSpans(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -775,5 +780,6 @@ object SparkEntry {
     "q105_dup_cluster_histogram" -> NearDup.dupClusterHistogramSql,
     "q106_ann_recall" -> Similarity.annRecallSql(),
     "q107_pq_recall" -> graft.ops.PQ.pqRecallSql(),
+    "q108_span_excision" -> TextAnalysis.exciseDuplicatedSpansSql(),
   )
 }

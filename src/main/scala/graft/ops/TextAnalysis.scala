@@ -767,6 +767,94 @@ object TextAnalysis {
        |    AS dup_fraction
        |FROM b LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Cross-document duplicated-span EXCISION — the actionable half of
+    * [[duplicatedSpans]] (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": remove repeated substrings, keep one
+    * occurrence): every l-gram span whose CANONICAL (smallest-doc_id)
+    * occurrence lives in another document is cut from the token stream;
+    * the canonical document keeps its text, so each cross-doc duplicated
+    * substring survives exactly once corpus-wide. Within-doc repeats stay
+    * (they are the canonical holder's own content — [[duplicatedSpans]]
+    * still reports them; cutting them would be a different, destructive
+    * contract). Output per document: token count, removed-token count,
+    * and `clean_text` — the normalized reconstruction from kept tokens.
+    *
+    * Scale shape: one gram pass (corpus-linear), a vocabulary-keyed
+    * min-doc aggregation, covered-position explode bounded by l·(excised
+    * starts), and one per-doc reconstruction aggregation — no pair
+    * relation, no quadratic term anywhere; the heaviest shuffle is the
+    * (doc, position) anti-join, linear in corpus tokens.
+    */
+  def exciseDuplicatedSpans(documents: DataFrame, l: Int = 8): DataFrame = {
+    val base = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        filter(tokens(coalesce(col("text"), lit(""))),
+          t => length(t) > 0).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"))
+      .cache()
+    val grams = base.filter(col("n_tokens") >= l)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - l),
+          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(l))))))
+          .as(Seq("pos", "h")))
+    val canon = grams.groupBy("h").agg(min("doc_id").as("min_doc"))
+    val excised = grams.join(canon, "h")
+      .filter(col("doc_id") > col("min_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos").cast("long"),
+          col("pos").cast("long") + (l - 1))).as("i"))
+      .distinct()
+    val toksPos = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("i"), col("tok"))
+    val kept = toksPos.join(excised, Seq("doc_id", "i"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        sort_array(collect_list(struct(col("i"), col("tok")))).as("ks"))
+      .select(col("doc_id"), col("kept_tokens"),
+        concat_ws(" ", transform(col("ks"), s => s.getField("tok")))
+          .as("clean_text"))
+    base.select("doc_id", "n_tokens")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  def exciseDuplicatedSpansSql(l: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(COALESCE(text, ''))), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+       |g AS (
+       |  SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos,
+       |    md5(list_aggregate(toks[i.i:i.i+${l - 1}], 'string_agg', ' ')) AS h
+       |  FROM b, LATERAL (SELECT unnest(generate_series(1, len(toks) - ${l - 1})) AS i) i
+       |  WHERE n_tokens >= $l),
+       |canon AS (SELECT h, MIN(doc_id) AS min_doc FROM g GROUP BY h),
+       |ex AS (
+       |  SELECT DISTINCT g.doc_id, CAST(u.i AS BIGINT) AS i
+       |  FROM g JOIN canon USING (h),
+       |    LATERAL (SELECT unnest(generate_series(g.pos, g.pos + ${l - 1})) AS i) u
+       |  WHERE g.doc_id > canon.min_doc),
+       |tp AS (
+       |  SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS i, toks[i.i] AS tok
+       |  FROM b, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+       |kept AS (
+       |  SELECT tp.doc_id, COUNT(*) AS kept_tokens,
+       |    string_agg(tp.tok, ' ' ORDER BY tp.i) AS clean_text
+       |  FROM tp LEFT JOIN ex ON tp.doc_id = ex.doc_id AND tp.i = ex.i
+       |  WHERE ex.i IS NULL
+       |  GROUP BY tp.doc_id)
+       |SELECT b.doc_id, b.n_tokens,
+       |  CAST(b.n_tokens - COALESCE(k.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       |  COALESCE(k.clean_text, '') AS clean_text
+       |FROM b LEFT JOIN kept k USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   /** Hashed-bigram language-model quality score (the CCNet-style LM filter,
     * Wenzek et al. 2020, arXiv:1911.00359 — here the LM is trained on the
     * corpus itself in the same pass): add-one-smoothed bigram probabilities

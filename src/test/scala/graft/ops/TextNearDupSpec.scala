@@ -504,6 +504,34 @@ class TextNearDupSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("span excision: non-canonical cross-doc spans cut, canonical doc " +
+    "intact, within-doc repeats kept, merged overlaps removed once") {
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = docs(
+      (1L, s"$shared u1 u2"),            // canonical holder: untouched
+      (2L, s"v0 $shared v1"),            // copy at offset 1: 8 tokens cut
+      (3L, ((1 to 8).map(i => s"r$i") ++ (1 to 8).map(i => s"r$i")).mkString(" ")),
+      (4L, "short text only"))           // < l tokens: never excised
+    val got = TextAnalysis.exciseDuplicatedSpans(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((10L, 0L, s"$shared u1 u2")), got(1L))
+    assert(got(2L) == ((10L, 8L, "v0 v1")), got(2L))
+    // within-doc repeat: doc 3 is its own canonical — nothing removed
+    assert(got(3L)._2 == 0L, got(3L))
+    assert(got(4L) == ((3L, 0L, "short text only")), got(4L))
+    // overlapping duplicated grams merge: doc 5 shares a 9-token run with
+    // canonical doc 1... build a fresh corpus where two OVERLAPPING
+    // 8-gram windows are both duplicated — covered union is 9 tokens,
+    // not 16
+    val nine = (1 to 9).map(i => s"o$i").mkString(" ")
+    val df2 = docs((1L, s"$nine tailA"), (2L, s"$nine tailB"))
+    val got2 = TextAnalysis.exciseDuplicatedSpans(df2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got2(1L) == ((0L, s"$nine taila")), got2(1L)) // normalized
+    assert(got2(2L) == ((9L, "tailb")), got2(2L))
+  }
+
   test("vocab coverage: hand-computed curve, cut landing inside a tie class") {
     // counts: a=4; b=c=2 (tie class); d=e=f=1 (tie class). total = 11.
     // k=1 → 4/11. k=2 cuts INSIDE the count-2 class → 4+2=6/11.
