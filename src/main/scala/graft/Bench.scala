@@ -53,8 +53,6 @@ object Bench {
       // min-of-2 over successful runs only; any failure poisons the slot
       name -> (if (dt < 0 || prev < 0) -1.0 else math.min(dt, prev))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -62,13 +60,20 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
-    println(line)
-    // Also write the full line to a file: the driver's committed artifact
-    // captures only the TAIL of sbt stdout, and round 8's BENCH_r08.json
-    // lost q01–q41 to that window. A file in cwd is never truncated.
+    def line(keyOf: String => String, fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + keyOf(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
+    }
+    // stdout gets the COMPACT form — keys abbreviated to the qNN prefix,
+    // values to milliseconds — because the round harness keeps only a
+    // ~2000-char tail of stdout, and the full-name 108-query line is ~3 KB
+    // (round 10's BENCH_r10.json lost the whole per-query map to that
+    // window). Full names + full precision go to the BENCH.json file.
+    println(line(k => k.takeWhile(_ != '_'), v => f"$v%.3f"))
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), line(identity, _.toString) + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }

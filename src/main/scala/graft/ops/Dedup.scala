@@ -61,6 +61,15 @@ object Dedup {
     * per hash is the row with the smallest (`tsCol`, `idCol`) — a streaming
     * engine sees arrival order, a batch engine must tie-break explicitly or
     * the kept metadata row differs across runs/engines.
+    *
+    * CHECKPOINT COMPATIBILITY: the dedup state key changed (r10) from the
+    * 32-char md5 hex string to the 16-byte `unhex(md5(...))` binary. The
+    * key's data type is part of `dropDuplicatesWithinWatermark`'s
+    * state-store schema, so a streaming query restarted from a checkpoint
+    * written by a hex-key build fails state-schema validation. Upgrading a
+    * deployed stream requires a FRESH `checkpointLocation`; pair it with
+    * an idempotent sink (D5 upsert) so the replayed watermark window
+    * cannot double-write.
     */
   def streamingContentDedup(
       documents: DataFrame, tsCol: String = "ingest_ts",

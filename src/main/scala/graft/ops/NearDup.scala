@@ -843,37 +843,14 @@ object NearDup {
     val dfc = dfTab.cache()
     val hist = dfc.groupBy("df").agg(count(lit(1)).as("n_words"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    // saturating arithmetic: at 100 TB corpus sizes df can reach ~3e9
-    // docs, where df²·n_words crosses Long.MaxValue (9.2e18). Overflow
-    // would wrap NEGATIVE and admit an astronomically-over-budget cap;
-    // saturation keeps the comparison monotone (anything that overflows
-    // is above every budget).
-    def satMul(a: Long, b: Long): Long =
-      try Math.multiplyExact(a, b)
-      catch { case _: ArithmeticException => Long.MaxValue }
-    def satAdd(a: Long, b: Long): Long =
-      try Math.addExact(a, b)
-      catch { case _: ArithmeticException => Long.MaxValue }
-    val postings = hist.foldLeft(0L) { case (s, (df, nw)) => satAdd(s, satMul(df, nw)) }
-    var cum = 0L
-    var cap = 0L
-    for ((df, nw) <- hist) {
-      cum = satAdd(cum, satMul(satMul(df, df), nw))
-      if (cum <= satMul(fanoutBudget.toLong, postings)) cap = df
-    }
-    val maxDf =
-      if (hist.nonEmpty && cap == hist.last._1) Int.MaxValue
-      else if (cap > Int.MaxValue.toLong) Int.MaxValue
-      else cap.toInt
-    // cost gate: the capped posting self-join emits EXACTLY
-    // Σ_{df≤cap} df·(df−1)/2 rows; refuse at plan time rather than OOM
-    // mid-shuffle (the r9 200× regime). Exact, so a probe can check the
-    // estimate against the measured join output 1:1.
-    val joinedPairs = hist.foldLeft(0L) {
-      case (s, (df, nw)) if df <= maxDf =>
-        satAdd(s, satMul(satMul(df, df - 1) / 2, nw))
-      case (s, _) => s
-    }
+    // cap + cost gate from ONE shared derivation ([[capFromHistogram]] —
+    // also the audit's, so the audit cannot diverge from the gate): the
+    // capped posting self-join emits EXACTLY Σ_{df≤cap} df·(df−1)/2 rows;
+    // refuse at plan time rather than OOM mid-shuffle (the r9 200×
+    // regime). Exact, so a probe can check the estimate against the
+    // measured join output 1:1.
+    val (capL, joinedPairs) = capFromHistogram(hist, fanoutBudget)
+    val maxDf: Int = capL.toInt // capFromHistogram caps at Int.MaxValue
     if (joinedPairs > pairBudget) {
       dfc.unpersist(); sh.unpersist()
       throw new IllegalArgumentException(
@@ -1059,6 +1036,52 @@ object NearDup {
     if (d < 0 || d > Int.MaxValue.toLong) Int.MaxValue else d.toInt
   }
 
+  /** Saturating multiply/add for the derived-cap arithmetic: at 100 TB
+    * corpus sizes df can reach ~3e9 docs, where df²·n_words crosses
+    * Long.MaxValue (9.2e18). Overflow would wrap NEGATIVE and admit an
+    * astronomically-over-budget cap; saturation keeps every comparison
+    * monotone (anything that overflows is above every budget).
+    */
+  private def satMul(a: Long, b: Long): Long =
+    try Math.multiplyExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+  private def satAdd(a: Long, b: Long): Long =
+    try Math.addExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
+  /** The distinct-df-histogram → (derived cap, exact pair estimate)
+    * derivation — ONE implementation shared by the gated default path
+    * ([[cappedCommonCounts]]) and its audit ([[derivedCapJoinAudit]]), so
+    * the audit can never diverge from the gate it evidences, including in
+    * the saturating-overflow regime the gate was hardened for (ADVICE
+    * r10: the audit used to re-derive with plain arithmetic). Returns
+    * `cap` (Int.MaxValue when the whole histogram fits the budget — no
+    * capping buys anything) and `estJoinedPairs` =
+    * Σ_{df≤cap} df·(df−1)/2 · n_words, the EXACT output row count of the
+    * capped posting self-join (shingles are distinct per document).
+    */
+  private[ops] def capFromHistogram(
+      hist0: Seq[(Long, Long)], fanoutBudget: Int): (Long, Long) = {
+    val hist = hist0.sortBy(_._1)
+    val postings = hist.foldLeft(0L) { case (s, (df, nw)) => satAdd(s, satMul(df, nw)) }
+    var cum = 0L
+    var cap = 0L
+    for ((df, nw) <- hist) {
+      cum = satAdd(cum, satMul(satMul(df, df), nw))
+      if (cum <= satMul(fanoutBudget.toLong, postings)) cap = df
+    }
+    val capOut: Long =
+      if (hist.nonEmpty && cap == hist.last._1) Int.MaxValue.toLong
+      else if (cap > Int.MaxValue.toLong) Int.MaxValue.toLong
+      else cap
+    val est = hist.foldLeft(0L) {
+      case (s, (df, nw)) if df <= capOut =>
+        satAdd(s, satMul(satMul(df, df - 1) / 2, nw))
+      case (s, _) => s
+    }
+    (capOut, est)
+  }
+
   /** Audit for the plan-time pair-cost gate (r10 VERDICT #2): one row
     * with the derived cap, the histogram ESTIMATE of the capped posting
     * self-join's output (`Σ_{df≤cap} df·(df−1)/2` — what the gate
@@ -1066,7 +1089,9 @@ object NearDup {
     * join actually executed. The two must be EQUAL (shingles are distinct
     * per document, so each rare shingle contributes exactly df·(df−1)/2
     * ordered pairs); the probe records both so the gate's contract is
-    * evidence, not argument. Diagnostic-only: it pays the join it audits.
+    * evidence, not argument. Cap AND estimate come from the SAME
+    * [[capFromHistogram]] the gate uses. Diagnostic-only: it pays the
+    * join it audits.
     */
   def derivedCapJoinAudit(
       documents: DataFrame, n: Int = 3, fanoutBudget: Int = 100): DataFrame = {
@@ -1085,18 +1110,7 @@ object NearDup {
     // corpus pass a second time (r10 review find)
     val hist = dfTab.groupBy("df").agg(count(lit(1)).as("n_words"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val postings = hist.map { case (df, nw) => df * nw }.sum
-    var cum = 0L
-    var capRaw = 0L
-    for ((df, nw) <- hist) {
-      cum += df * df * nw
-      if (cum <= fanoutBudget.toLong * postings) capRaw = df
-    }
-    val cap: Long =
-      if (hist.nonEmpty && capRaw == hist.last._1) Int.MaxValue.toLong else capRaw
-    val est = dfTab.filter(col("df") <= cap)
-      .agg(coalesce(sum(shiftright(col("df") * (col("df") - 1), 1)), lit(0L)))
-      .head().getLong(0)
+    val (cap, est) = capFromHistogram(hist, fanoutBudget)
     val exRare = ex
       .join(dfTab.filter(col("df") <= cap).select("shingle"), Seq("shingle"))
     val measured = exRare.toDF("shingle", "doc_a")
@@ -1567,6 +1581,7 @@ object NearDup {
     */
   def compactDedupIndex(path: String, bucketBudget: Int = BucketBudget): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
+    recoverCompactSwap(spark, path) // heal a prior run's half-swap first
     val tmp = s"$path/_compact_tmp"
     // explicit output file-count target — a bare repartition(col) would
     // write spark.sql.shuffle.partitions files per relation and UNDO the
@@ -1592,31 +1607,83 @@ object NearDup {
     // back on failure), then drop _old. Hadoop FS ops signal failure by
     // RETURNING false, not throwing — every step is checked (r10 review
     // find: an unchecked delete-then-rename could destroy the live index
-    // and return success).
+    // and return success). BOTH rename phases carry their own rollback,
+    // rollback renames are themselves checked, and the `_compact_old`
+    // directory doubles as the in-progress marker [[recoverCompactSwap]]
+    // auto-recovers from — so no single rename failure or crash point
+    // leaves the index unreadable without a recovery path (ADVICE r10:
+    // the live→_old phase used to have no rollback and the tmp→live
+    // rollback ignored rename's boolean).
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     def mustRename(from: String, to: String): Unit =
       if (!fs.rename(p(from), p(to)))
         throw new java.io.IOException(s"compactDedupIndex: rename $from -> $to failed")
-    fs.delete(p(s"$path/_compact_old"), true)
-    if (!fs.mkdirs(p(s"$path/_compact_old")))
-      throw new java.io.IOException(s"compactDedupIndex: mkdirs $path/_compact_old failed")
-    for (rel <- Seq("norm", "bands", "shingles"))
-      mustRename(s"$path/$rel", s"$path/_compact_old/$rel") // live preserved
-    try {
-      for (rel <- Seq("norm", "bands", "shingles"))
-        mustRename(s"$tmp/$rel", s"$path/$rel")
-    } catch {
-      case e: Throwable =>
-        // roll the preserved relations back before propagating
-        for (rel <- Seq("norm", "bands", "shingles"))
-          if (!fs.exists(p(s"$path/$rel")) && fs.exists(p(s"$path/_compact_old/$rel")))
-            fs.rename(p(s"$path/_compact_old/$rel"), p(s"$path/$rel"))
-        throw e
+    // checked rollback: restore each relation whose live slot is empty;
+    // a rollback rename that itself fails must be LOUD (a silent false
+    // return would propagate the original error while leaving the index
+    // half-swapped with no sign which half)
+    def rollbackFrom(src: String, cause: Throwable): Nothing = {
+      val stuck = IndexRels.filter { rel =>
+        !fs.exists(p(s"$path/$rel")) && fs.exists(p(s"$src/$rel")) &&
+          !fs.rename(p(s"$src/$rel"), p(s"$path/$rel"))
+      }
+      if (stuck.nonEmpty) {
+        val ioe = new java.io.IOException(
+          s"compactDedupIndex: swap failed AND rollback of ${stuck.mkString(",")} " +
+            s"from $src failed — re-run compactDedupIndex (or any index read " +
+            "path) to auto-recover from the preserved _compact_old copies")
+        ioe.addSuppressed(cause)
+        throw ioe
+      }
+      throw cause
     }
-    fs.delete(p(s"$path/_compact_old"), true)
+    val old = s"$path/_compact_old"
+    fs.delete(p(old), true)
+    if (!fs.mkdirs(p(old)))
+      throw new java.io.IOException(s"compactDedupIndex: mkdirs $old failed")
+    try {
+      for (rel <- IndexRels)
+        mustRename(s"$path/$rel", s"$old/$rel") // live preserved
+    } catch { case e: Throwable => rollbackFrom(old, e) }
+    try {
+      for (rel <- IndexRels)
+        mustRename(s"$tmp/$rel", s"$path/$rel")
+    } catch { case e: Throwable => rollbackFrom(old, e) }
+    fs.delete(p(old), true)
     fs.delete(p(tmp), true)
+    ()
+  }
+
+  private val IndexRels = Seq("norm", "bands", "shingles")
+
+  /** Auto-recover a half-swapped persisted index left by a crash inside
+    * [[compactDedupIndex]]'s swap window: the `_compact_old` directory
+    * only exists mid-swap (it is the in-progress marker), and any live
+    * relation missing while preserved under it is renamed back. A MIXED
+    * restore (some relations pre-compaction, some post) is consistent by
+    * construction: `norm`/`shingles` carry identical rows in both
+    * generations (compaction only repartitions them) and `bands` is a
+    * valid hub relation in either. Called automatically by
+    * [[compactDedupIndex]] and [[incrementalDedupAgainstIndex]]; no-op
+    * when no marker exists.
+    */
+  def recoverCompactSwap(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = s"$path/_compact_old"
+    if (!fs.exists(p(old))) return
+    val stuck = IndexRels.filter { rel =>
+      !fs.exists(p(s"$path/$rel")) && fs.exists(p(s"$old/$rel")) &&
+        !fs.rename(p(s"$old/$rel"), p(s"$path/$rel"))
+    }
+    if (stuck.nonEmpty)
+      throw new java.io.IOException(
+        s"recoverCompactSwap: could not restore ${stuck.mkString(",")} from $old")
+    if (IndexRels.forall(rel => fs.exists(p(s"$path/$rel"))))
+      fs.delete(p(old), true)
     ()
   }
 
@@ -1631,6 +1698,7 @@ object NearDup {
   def incrementalDedupAgainstIndex(
       batchDocs: DataFrame, indexPath: String): DataFrame = {
     val spark = batchDocs.sparkSession
+    recoverCompactSwap(spark, indexPath) // heal a half-swapped index first
     incrementalVerdicts(normShingled(batchDocs).cache(),
       spark.read.parquet(s"$indexPath/norm"),
       spark.read.parquet(s"$indexPath/bands"),

@@ -139,10 +139,22 @@ object DocIngest {
         counts("n_acc").asInstanceOf[Long])
       if (m.nIn == 0) (None, filter)
       else {
-        timings.time("rejected_append")(
-          sink.append(flags.filter(col("reject_reason").isNotNull)
-            .select("doc_id", "reject_reason"),
-            "rejected_documents"))
+        // the observed counts are in hand HERE, so the rejected append is
+        // gated on them: an all-accepted batch would otherwise commit an
+        // empty rejected_documents append every trigger — the same
+        // small-file accumulation the isEmpty guard above stops for fully
+        // empty batches (ADVICE r10). The mirrored case — an all-REJECTED
+        // batch committing an empty accepted append — is tolerated by
+        // design and documented: the accepted append is the action that
+        // DELIVERS the observation, so its emptiness cannot be known
+        // before it runs without paying a third cache scan per batch, and
+        // a long-running 100%-rejection stream is the degenerate regime
+        // (the stream is doing no useful work; compact its output).
+        if (m.nIn > m.nAccepted)
+          timings.time("rejected_append")(
+            sink.append(flags.filter(col("reject_reason").isNotNull)
+              .select("doc_id", "reject_reason"),
+              "rejected_documents"))
         import spark.implicits._
         timings.time("metrics_append")(sink.append(
           Seq((m.batchId, m.nIn, m.nFlaggedDup, m.nLowQuality, m.nAccepted))

@@ -673,6 +673,33 @@ class TextNearDupSpec extends SparkSpec {
     assert(verdicts(dir) == Set((100L, "exact_dup", 1L), (101L, "kept", -1L)))
   }
 
+  test("half-swapped index auto-recovers: a crash that left a relation in " +
+    "_compact_old heals on the next read or compaction (ADVICE r10)") {
+    val t = (1 to 25).map(i => s"x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-halfswap").toString
+    NearDup.writeDedupIndex(docs((1L, t)), dir)
+    // simulate a crash inside compactDedupIndex's swap window: `bands` was
+    // moved to _compact_old but its replacement never landed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(fs.mkdirs(p(s"$dir/_compact_old")))
+    assert(fs.rename(p(s"$dir/bands"), p(s"$dir/_compact_old/bands")))
+    assert(!fs.exists(p(s"$dir/bands")))
+    // the read path heals the index and verdicts work as if never swapped
+    val got = NearDup.incrementalDedupAgainstIndex(docs((100L, t)), dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((100L, "exact_dup", 1L)), got)
+    assert(fs.exists(p(s"$dir/bands")))
+    assert(!fs.exists(p(s"$dir/_compact_old")), "marker must clear after heal")
+    // and a compaction straight after a (healed) half-swap still works
+    NearDup.compactDedupIndex(dir)
+    val post = NearDup.incrementalDedupAgainstIndex(docs((100L, t)), dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(post == Set((100L, "exact_dup")), post)
+  }
+
   test("incremental dedup norm edges: NULL text never aliases empty text, " +
     "and non-space whitespace normalizes away (ADVICE r10)") {
     // index: 1 = empty text, 2 = NULL text, 3 = "foo bar"
