@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** PQ codebook sizing explorer: mean recall@5 of the pure-ADC search
+  * ([[graft.ops.PQ.pqAdcTopK]]) and of the refined search
+  * ([[graft.ops.PQ.pqAdcRefineTopK]]) against exact brute-force truth,
+  * per (M, codes) configuration — the measurement the library default is
+  * chosen from (VERDICT r10 #1: the old M=4/8-code default graded
+  * 0.0–0.46, and a default must be picked from recall evidence, not
+  * convenience).
+  *
+  * Usage: runMain graft.PQTune [sfDir | Nx]
+  *   sfDir — a testdata directory (default /root/testdata/sf0.01)
+  *   Nx    — e.g. `10x`: the ScaleProbe-style N× jittered-copy corpus of
+  *           sf0.1 (generated under /tmp/graft-pqtune-N if absent, same
+  *           deterministic formula as ScaleProbe's)
+  */
+object PQTune {
+  def main(args: Array[String]): Unit = {
+    val spec = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir =
+      if (spec.matches("\\d+x")) {
+        val mult = spec.dropRight(1).toInt
+        val out = s"/tmp/graft-pqtune-$mult"
+        if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
+          val copies = explode(sequence(lit(0), lit(mult - 1))).as("k")
+          graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+            .repartition(32)
+            .select(col("vec_id"), col("embedding"), col("label"), copies)
+            .select((col("vec_id") * mult + col("k")).as("vec_id"),
+              transform(col("embedding"),
+                (x, i) => when(i === pmod(col("k"), lit(64)),
+                  x + (col("k").cast("float") - mult / 2.0f + 0.5f) * 1e-4f)
+                  .otherwise(x)).as("embedding"),
+              col("label"))
+            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        }
+        out
+      } else spec
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    println(s"[pqtune] corpus $sfDir n=$n")
+    for ((m, codes) <- Seq((4, 8), (8, 64), (8, 256), (16, 64), (16, 256))) {
+      val t0 = System.nanoTime()
+      val adc = graft.ops.PQ.pqRecall(emb, m = m, codes = codes)
+        .agg(avg("recall")).head().getDouble(0)
+      val t1 = System.nanoTime()
+      val ref = graft.ops.PQ.pqRefineRecall(emb, m = m, codes = codes)
+        .agg(avg("recall")).head().getDouble(0)
+      val t2 = System.nanoTime()
+      println(f"[pqtune] M=$m codes=$codes bits=${m * (32 - Integer.numberOfLeadingZeros(codes - 1))} " +
+        f"adc_recall@5=$adc%.3f (${(t1 - t0) / 1e9}%.1fs) refine_recall@5=$ref%.3f (${(t2 - t1) / 1e9}%.1fs)")
+    }
+    spark.stop()
+  }
+}

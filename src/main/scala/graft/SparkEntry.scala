@@ -457,15 +457,44 @@ object SparkEntry {
     // is hash-checked cross-engine, not spot-checked
     "q106_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.embeddings(s, dir))),
-    // recall@k for the LOSSY quantizer (PQ/ADC vs exact truth) - where
-    // the approximation error lives in the codebook, not the pruning
+    // recall@k of the DEFAULT PQ search (r11: ADC shortlist + exact
+    // re-rank at the realistic M=8 x 256-code codebook) vs exact truth -
+    // the number the library default is sized by (r10's M=4/8-code
+    // pure-ADC default measured 0.0-0.46 here; the refined default
+    // measures 0.88 on this adversarial iid corpus, 1.00 at 10x/50x)
     "q107_pq_recall" -> ((s, dir) =>
-      graft.ops.PQ.pqRecall(Tables.embeddings(s, dir))),
+      graft.ops.PQ.pqRefineRecall(Tables.embeddings(s, dir))),
     // the actionable half of q88: cut every cross-doc duplicated span
     // except its canonical occurrence, reconstruct clean_text - substring
     // dedup as a TRANSFORM, not just a report
     "q108_span_excision" -> ((s, dir) =>
       TextAnalysis.exciseDuplicatedSpans(Tables.documents(s, dir))),
+    // the raw ADC stage's recall at the same default codebook - the
+    // observability row that says how much the re-rank stage is buying
+    // (shortlist quality vs final quality)
+    "q109_pq_adc_recall" -> ((s, dir) =>
+      graft.ops.PQ.pqRecall(Tables.embeddings(s, dir))),
+    // the refined search's RESULTS hash-checked directly (q107 checks the
+    // recall join; this pins the served neighbor ids + exact cosines)
+    "q110_pq_refine_topk" -> ((s, dir) =>
+      graft.ops.PQ.pqAdcRefineTopK(Tables.embeddings(s, dir))),
+    // the MinHash band-layout tuner's decision table (VERDICT r10 #5):
+    // every (b, r) candidate with its S-curve statistics and the pick the
+    // Bands/RowsPerBand constants are derived from - deterministic driver
+    // arithmetic, mirrored in DuckDB, so the layout every MinHash op uses
+    // is oracle-checked rather than asserted
+    "q111_lsh_band_tuning" -> ((s, _) => NearDup.lshBandTuning(s)),
+    // perceptual hash of every DECODED raster (dHash box-average
+    // gradients) - the multimodal dedup key; oracle recomputes it
+    // closed-form from the pixel formula, so the PNG decode -> hash
+    // pipeline is verified bit-for-bit like q75
+    "q112_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDHashes(Tables.documents(s, dir))),
+    // near-duplicate image pairs via the banded exact Hamming join
+    // (8 bands x 8 bits => recall is EXACT for hamming <= 7, pigeonhole)
+    // - image dedup without an all-pairs join
+    "q113_image_near_dups" -> ((s, dir) =>
+      Multimodal.imageNearDups(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -779,7 +808,12 @@ object SparkEntry {
     "q104_vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "q105_dup_cluster_histogram" -> NearDup.dupClusterHistogramSql,
     "q106_ann_recall" -> Similarity.annRecallSql(),
-    "q107_pq_recall" -> graft.ops.PQ.pqRecallSql(),
+    "q107_pq_recall" -> graft.ops.PQ.pqRefineRecallSql(),
     "q108_span_excision" -> TextAnalysis.exciseDuplicatedSpansSql(),
+    "q109_pq_adc_recall" -> graft.ops.PQ.pqRecallSql(),
+    "q110_pq_refine_topk" -> graft.ops.PQ.pqAdcRefineTopKSql(),
+    "q111_lsh_band_tuning" -> NearDup.lshBandTuningSql(),
+    "q112_image_dhash" -> Multimodal.imageDHashesSql,
+    "q113_image_near_dups" -> Multimodal.imageNearDupsSql(),
   )
 }

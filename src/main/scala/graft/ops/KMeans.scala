@@ -14,12 +14,13 @@ import graft.functions.LongArrayDot.dotLong
   *    (`floor(x·1e6)` longs, the [[graft.functions.QuantizedDot]]
   *    convention) so distances are EXACT integers — no float-sum
   *    nondeterminism across partitionings or engines.
-  *  - Assignment = broadcast the k×Dim centroid table (the model — tiny by
-  *    definition) against the corpus, distance via the codegen'd
-  *    [[graft.functions.LongArrayDot]] (`|x−c|² = x·x − 2x·c + c·c`, the
-  *    x·x term precomputed once per vector), then argmin as
-  *    `min(struct(dist, cluster))` — an ALGEBRAIC aggregate, so the n×k
-  *    candidate rows combine map-side; no window shuffle.
+  *  - Assignment = the k×Dim centroid table (the model — tiny by
+  *    definition) rides into a compiled per-partition argmin kernel
+  *    (`|x−c|² = x·x − 2x·c + c·c`, the x·x term precomputed once per
+  *    vector; ties to the smallest cluster id) — n·k·Dim fused integer
+  *    multiply-adds with NO n×k row materialization (r11; the r1–r10
+  *    broadcast-crossJoin + min(struct) aggregate computed the same
+  *    integers through an n×k-row shuffle-combine).
   *  - Update = posexplode to (cluster, dim, q) cells and sum/count — also
   *    map-side combinable; the k×Dim result collects to the driver (the
   *    standard Lloyd's driver-sync; it is the model, not data).
@@ -78,19 +79,49 @@ object KMeans {
       .zipWithIndex
       .map { case (r, i) => (i, r.getAs[scala.collection.Seq[Long]]("xq").toArray) }
 
-  private def centroidDf(
-      spark: SparkSession, cents: Array[(Int, Array[Long])]): DataFrame =
-    spark.createDataFrame(cents.toSeq).toDF("cluster", "cq")
-      .withColumn("cc", dotLong(col("cq"), col("cq")))
-
-  /** Nearest-centroid assignment: (vec_id, cluster). */
-  private def assign(xq: DataFrame, cents: Array[(Int, Array[Long])]): DataFrame =
-    xq.crossJoin(broadcast(centroidDf(xq.sparkSession, cents)))
-      .withColumn("dist",
-        col("xx") - lit(2L) * dotLong(col("xq"), col("cq")) + col("cc"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist").as("d"), col("cluster").as("c"))).as("m"))
-      .select(col("vec_id"), col("m.c").as("cluster"))
+  /** Nearest-centroid assignment: (vec_id, cluster) — a compiled
+    * per-partition argmin kernel. Replaces the r1–r10
+    * crossJoin(broadcast centroids) → groupBy-min form, whose cost was
+    * MATERIALIZING n·k candidate rows through an aggregation: at the 200×
+    * probe (1M vectors × adaptive k=512) that aggregation alone ran ~75 s
+    * (`SCALEPROBE_r10_200x.json` ann_ivf_trained) while the useful work —
+    * n·k·Dim integer multiply-adds — is ~2 s of JIT-compiled loop across
+    * 32 threads. Bit-identical results (same fixed-point integers, same
+    * smallest-(dist, cluster) tie-break), so every trained-model oracle
+    * hash is unchanged; only the n·k row blowup is gone.
+    */
+  private def assign(xq: DataFrame, cents: Array[(Int, Array[Long])]): DataFrame = {
+    val spark = xq.sparkSession
+    import spark.implicits._
+    val ordered = cents.sortBy(_._1)
+    val ids = ordered.map(_._1)
+    val dim = ordered.head._2.length
+    val flat = ordered.flatMap(_._2) // k×dim, row-major — cache-friendly scan
+    val cc = ordered.map { case (_, cq) => cq.map(v => v * v).sum }
+    val k = ids.length
+    xq.select(col("vec_id"), col("xq"), col("xx"))
+      .as[(Long, scala.collection.Seq[Long], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, xqSeq, xx) =>
+          val x = xqSeq.toArray
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < k) {
+            var dot = 0L
+            val off = c * dim
+            var d = 0
+            while (d < dim) { dot += x(d) * flat(off + d); d += 1 }
+            val dist = xx - 2L * dot + cc(c)
+            // strict < over ascending cluster ids == min(struct(dist, c)):
+            // equal distances keep the smaller cluster id
+            if (dist < bestD) { bestD = dist; best = ids(c) }
+            c += 1
+          }
+          (id, best)
+        }
+      }.toDF("vec_id", "cluster")
+  }
 
   /** One Lloyd's update; clusters with no members keep `prev`'s centroid. */
   private def updateCentroids(
@@ -214,10 +245,21 @@ object KMeans {
     * streaming plan, which is what lets the trained quantizer route
     * streams. Malformed vectors are filtered, mirroring training.
     */
+  /** Above this model size [[assignTrainedCells]] switches from the
+    * unrolled `least(struct…)` expression (codegen-friendly at the k ≤ 16
+    * the fixed-k operators and streams use — their plans stay exactly as
+    * pinned) to the compiled argmin kernel: a 256-wide unrolled expression
+    * tree (the PQ codebook default) blows past JIT method limits and pays
+    * per-candidate Catalyst overhead for identical integer results.
+    */
+  val ExprAssignMaxK = 16
+
   def assignTrainedCells(
       vectors: DataFrame, model: Array[(Int, Array[Long])],
       embCol: String = "embedding", withDist: Boolean = false,
       dim: Int = Dim): DataFrame = {
+    if (model.length > ExprAssignMaxK)
+      return assignTrainedCellsKernel(vectors, model, embCol, withDist, dim)
     val candidates = model.map { case (c, cq) =>
       val cc = cq.map(v => v * v).sum // ≤ Dim·(1e6)² ≪ 2^63
       struct(
@@ -243,6 +285,71 @@ object KMeans {
       if (withDist) assigned.withColumn("cent_dist", col("__best").getField("d"))
       else assigned
     withD.drop("__xq", "__xx", "__best")
+  }
+
+  /** [[assignTrainedCells]]'s large-k twin: the same filter, the same
+    * fixed-point quantization (`floor(x·1e6)` per element — identical
+    * IEEE double ops to the [[quantize]] Column), the same
+    * smallest-(dist, cell) argmin, as a per-partition compiled loop that
+    * preserves every input column and appends `cell` (+`cent_dist`).
+    * Deterministic and narrow, so it is exactly as streaming-append-legal
+    * as the expression form.
+    */
+  private[ops] def assignTrainedCellsKernel(
+      vectors: DataFrame, model: Array[(Int, Array[Long])],
+      embCol: String, withDist: Boolean, dim: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val filtered = vectors.filter(col(embCol).isNotNull && size(col(embCol)) === dim)
+    val base = filtered.schema
+    val schema =
+      if (withDist)
+        base.add("cell", IntegerType, nullable = false)
+          .add("cent_dist", LongType, nullable = false)
+      else base.add("cell", IntegerType, nullable = false)
+    val embIdx = base.fieldIndex(embCol)
+    val elemIsFloat = base(embIdx).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case t => throw new IllegalArgumentException(
+        s"assignTrainedCellsKernel: $embCol has unsupported type $t")
+    }
+    val ordered = model.sortBy(_._1)
+    val ids = ordered.map(_._1)
+    val flat = ordered.flatMap(_._2)
+    val cc = ordered.map { case (_, cq) => cq.map(v => v * v).sum }
+    val k = ids.length
+    filtered.mapPartitions { it =>
+      val x = new Array[Long](dim)
+      it.map { row =>
+        val seq = row.getSeq[Any](embIdx)
+        var xx = 0L
+        var d = 0
+        while (d < dim) {
+          val v =
+            if (elemIsFloat) seq(d).asInstanceOf[Float].toDouble
+            else seq(d).asInstanceOf[Double]
+          val q = math.floor(v * 1e6).toLong
+          x(d) = q; xx += q * q; d += 1
+        }
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < k) {
+          var dot = 0L
+          val off = c * dim
+          var i = 0
+          while (i < dim) { dot += x(i) * flat(off + i); i += 1 }
+          val dist = xx - 2L * dot + cc(c)
+          if (dist < bestD) { bestD = dist; best = ids(c) }
+          c += 1
+        }
+        // Seq[Any] — plain Seq(best, bestD) would numeric-widen the Int
+        // cell to Long and break the row encoder's INT field
+        Row.fromSeq(row.toSeq ++
+          (if (withDist) Seq[Any](best, bestD) else Seq[Any](best)))
+      }
+    }(Encoders.row(schema))
   }
 
   /** Per-vector trained cell as a query surface: train on the corpus, then

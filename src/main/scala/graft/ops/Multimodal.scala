@@ -622,4 +622,199 @@ object Multimodal {
        |    CAST(ceil(CAST(n_bytes AS DOUBLE) / $FrameBytes) AS BIGINT) - 1,
        |    $FrameSampleEvery)) AS f)
        |ORDER BY media_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Perceptual image near-dup (r11): dHash over decoded rasters +
+  // banded exact Hamming join — the multimodal half of the dedup story
+  // (text and embeddings had near-dup ops since r4; rasters only had
+  // pixel stats). Public-literature recipe: difference hash (dHash, the
+  // standard perceptual-hash family of pHash/blockhash), with the
+  // multi-index Hamming band trick (Norouzi, Punjani, Fleet, "Fast
+  // Search in Hamming Space with Multi-Index Hashing", CVPR 2012 —
+  // hamming ≤ B−1 over B bands guarantees one band collides, so the
+  // banded equi-join is EXACT, not approximate, at the default radius).
+  // ------------------------------------------------------------------
+
+  /** dHash grid: 9×8 box-averages → 64 horizontal-gradient bits. */
+  private val DHashCols = 9
+  private val DHashRows = 8
+
+  /** Hamming bands: 8 bands × 8 bits ⇒ the banded join is exact for
+    * hamming ≤ [[MaxHamming]] = 7 by pigeonhole.
+    */
+  private val DHashBands = 8
+  val MaxHamming = 7
+
+  /** 64-bit dHash of a decoded grayscale raster: deterministic integer
+    * box-average downsample to a [[DHashCols]]×[[DHashRows]] grid (cell
+    * (i,j) averages pixels [⌊iW/9⌋, max(⌊iW/9⌋+1, ⌊(i+1)W/9⌋)) ×
+    * [⌊jH/8⌋, …) — the max() guard keeps every cell non-empty down to
+    * 8-pixel-wide images; integer floor division throughout, so the hash
+    * is closed-form mirrorable in SQL, unlike interpolated resizes), then
+    * bit j·8+i = 1 iff cell (i,j) < cell (i+1,j) — the horizontal
+    * gradient signature that survives brightness shifts and re-encodes.
+    */
+  private[ops] def dHash64(pixels: Array[Int], w: Int, h: Int): Long = {
+    val avg = Array.ofDim[Long](DHashCols, DHashRows)
+    var i = 0
+    while (i < DHashCols) {
+      val x0 = i * w / DHashCols
+      val x1 = math.max(x0 + 1, (i + 1) * w / DHashCols)
+      var j = 0
+      while (j < DHashRows) {
+        val y0 = j * h / DHashRows
+        val y1 = math.max(y0 + 1, (j + 1) * h / DHashRows)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += pixels(y * w + x); x += 1 }
+          y += 1
+        }
+        avg(i)(j) = s / ((x1 - x0).toLong * (y1 - y0))
+        j += 1
+      }
+      i += 1
+    }
+    var dh = 0L
+    var j = 0
+    while (j < DHashRows) {
+      var k = 0
+      while (k < DHashCols - 1) {
+        if (avg(k)(j) < avg(k + 1)(j)) dh |= 1L << (j * 8 + k)
+        k += 1
+      }
+      j += 1
+    }
+    dh
+  }
+
+  /** Per-image perceptual hash from DECODED payloads: the raster comes
+    * out of the real PNG decode ([[imageCorpus]] → `ImageIO`), the oracle
+    * computes the same box-average gradients from the pixel formula — so
+    * the decode→hash pipeline is verified bit-for-bit, like q75. The
+    * 64-bit hash ships as two unsigned 32-bit halves (`dhash_hi` bits
+    * 63..32, `dhash_lo` bits 31..0) so no engine ever shifts into a
+    * BIGINT sign bit.
+    */
+  def imageDHashes(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    imageCorpus(documents)
+      .map { m =>
+        val d = MediaCodec.decodeImage(m.content).getOrElse(
+          sys.error(s"undecodable PNG for media_id=${m.media_id}"))
+        val dh = dHash64(d.pixels, d.width, d.height)
+        (m.media_id, d.width, d.height, dh >>> 32, dh & 0xFFFFFFFFL)
+      }
+      .toDF("media_id", "width", "height", "dhash_hi", "dhash_lo")
+      .orderBy("media_id")
+  }
+
+  /** The shared dHash CTE chain (imgs → cells → avgs → dh): closed-form
+    * pixel formula, identical grid/floor/guard arithmetic to [[dHash64]].
+    */
+  private def dHashCtesSql: String =
+    s"""imgs AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(doc_id % 24 + 8 AS INT) AS width,
+       |    CAST(doc_id % 16 + 8 AS INT) AS height
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |cells AS (
+       |  SELECT media_id, width, i.g AS i, j.g AS j,
+       |    (i.g * width) // $DHashCols AS x0,
+       |    GREATEST((i.g * width) // $DHashCols + 1,
+       |             ((i.g + 1) * width) // $DHashCols) AS x1,
+       |    (j.g * height) // $DHashRows AS y0,
+       |    GREATEST((j.g * height) // $DHashRows + 1,
+       |             ((j.g + 1) * height) // $DHashRows) AS y1
+       |  FROM imgs,
+       |    LATERAL (SELECT unnest(generate_series(0, ${DHashCols - 1})) AS g) i,
+       |    LATERAL (SELECT unnest(generate_series(0, ${DHashRows - 1})) AS g) j),
+       |avgs AS (
+       |  SELECT media_id, i, j,
+       |    CAST(SUM((x.g*31 + y.g*17 + media_id*13) % 256) AS BIGINT)
+       |      // ((x1 - x0) * (y1 - y0)) AS avg
+       |  FROM cells,
+       |    LATERAL (SELECT unnest(generate_series(x0, x1 - 1)) AS g) x,
+       |    LATERAL (SELECT unnest(generate_series(y0, y1 - 1)) AS g) y
+       |  GROUP BY media_id, i, j, x1, x0, y1, y0),
+       |dh AS (
+       |  SELECT a.media_id,
+       |    CAST(SUM(CASE WHEN a.avg < b.avg AND a.j*8 + a.i >= 32
+       |      THEN (CAST(1 AS BIGINT) << (a.j*8 + a.i - 32)) ELSE 0 END) AS BIGINT)
+       |      AS dhash_hi,
+       |    CAST(SUM(CASE WHEN a.avg < b.avg AND a.j*8 + a.i < 32
+       |      THEN (CAST(1 AS BIGINT) << (a.j*8 + a.i)) ELSE 0 END) AS BIGINT)
+       |      AS dhash_lo
+       |  FROM avgs a JOIN avgs b
+       |    ON a.media_id = b.media_id AND a.j = b.j AND b.i = a.i + 1
+       |  WHERE a.i < ${DHashCols - 1}
+       |  GROUP BY a.media_id)""".stripMargin
+
+  def imageDHashesSql: String =
+    s"""WITH $dHashCtesSql
+       |SELECT i.media_id, i.width, i.height, d.dhash_hi, d.dhash_lo
+       |FROM imgs i JOIN dh d USING (media_id)
+       |ORDER BY media_id""".stripMargin
+
+  /** Perceptual near-duplicate image pairs: every (a < b) with
+    * dHash Hamming distance ≤ `maxHamming`, found by the banded
+    * equi-join — each hash splits into [[DHashBands]] 8-bit band values,
+    * candidates share ≥1 (band, value), and the exact `bit_count(xor)`
+    * verify keeps true pairs only. For `maxHamming` ≤ bands−1 (the
+    * default 7) the pigeonhole argument makes recall EXACT — this is the
+    * all-pairs relation computed without an all-pairs join, the same
+    * candidates-then-verify shape as the MinHash/SimHash text paths.
+    * Scale: the join is keyed on (band_idx, band_val); per-bucket
+    * population is bounded by corpus hash diversity, and a skewed bucket
+    * (a constant-image corpus) is exactly the clone-heavy regime where
+    * the output itself is quadratic — cap with a hub budget upstream if
+    * pairs are not the goal (the keep-list ops pattern).
+    */
+  def imageNearDups(documents: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    val dh = imageDHashes(documents)
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
+      .cache()
+    val bands = dh.select(col("media_id"),
+        posexplode(array((0 until DHashBands).map { b =>
+          val src = if (b < 4) col("dhash_lo") else col("dhash_hi")
+          (shiftright(src, (b % 4) * 8) % 256).as(s"b$b")
+        }: _*)).as(Seq("band_idx", "band_val")))
+    val cand = bands.toDF("media_a", "band_idx", "band_val")
+      .join(bands.toDF("media_b", "band_idx_b", "band_val_b"),
+        col("band_idx") === col("band_idx_b") &&
+          col("band_val") === col("band_val_b") &&
+          col("media_a") < col("media_b"))
+      .select("media_a", "media_b").distinct()
+    cand
+      .join(dh.toDF("media_a", "hi_a", "lo_a"), Seq("media_a"))
+      .join(dh.toDF("media_b", "hi_b", "lo_b"), Seq("media_b"))
+      .select(col("media_a"), col("media_b"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("media_a", "media_b")
+  }
+
+  def imageNearDupsSql(maxHamming: Int = MaxHamming): String =
+    s"""WITH $dHashCtesSql,
+       |bands AS (
+       |  SELECT media_id, b.g AS band_idx,
+       |    (CASE WHEN b.g < 4 THEN dhash_lo ELSE dhash_hi END
+       |      // (CAST(1 AS BIGINT) << ((b.g % 4) * 8))) % 256 AS band_val
+       |  FROM dh, LATERAL (SELECT unnest(generate_series(0, ${DHashBands - 1})) AS g) b),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.media_id < b.media_id)
+       |SELECT media_a, media_b,
+       |  CAST(bit_count(xor(da.dhash_hi, db.dhash_hi)) +
+       |       bit_count(xor(da.dhash_lo, db.dhash_lo)) AS INT) AS hamming
+       |FROM cand c
+       |JOIN dh da ON da.media_id = c.media_a
+       |JOIN dh db ON db.media_id = c.media_b
+       |WHERE bit_count(xor(da.dhash_hi, db.dhash_hi)) +
+       |      bit_count(xor(da.dhash_lo, db.dhash_lo)) <= $maxHamming
+       |ORDER BY media_a, media_b""".stripMargin
 }

@@ -22,18 +22,30 @@ import graft.functions.LongArrayDot.dotLong
   * vector arithmetic at all.
   *
   * Why this is THE 100-TB embedding answer: the stored index is M small
-  * ints per vector (here 4 codes ≈ 4 bytes against 256 bytes of floats,
-  * a 64× compression), codebooks are M·Codes·SubDim longs (broadcast
+  * ints per vector (8 one-byte codes against 256 bytes of floats, a 32×
+  * compression), codebooks are M·Codes·SubDim longs (broadcast
   * trivially), and scoring shuffles only (query × M × corpus) lookup
   * rows for a bounded query batch — linear in the corpus, constant per
   * vector. Everything is fixed-point (floor(x·1e6) longs), so codebooks,
   * code assignments and ADC distances are EXACT integers, hash-identical
   * cross-engine.
+  *
+  * DEFAULT SIZING (r11): M=8 subspaces × 256 codes = 8 bits/subspace —
+  * the standard PQ8×8 recipe (Jégou et al.; FAISS defaults use 8-bit
+  * subquantizers) — and the default SEARCH is [[pqAdcRefineTopK]] (ADC
+  * shortlist + exact re-rank). The r1–r10 default (M=4, 8 codes = 12
+  * bits/vector) was sized for oracle convenience and measured mean
+  * recall@5 of 0.0–0.46 (`PQTune`, SCALEPROBE_r10) — a library user got
+  * mostly-wrong neighbors. Measured with this default (PQTune, r11):
+  * pure-ADC 0.48 / refined 0.88 on the adversarial sf0.01 corpus (500
+  * iid-random unit vectors — the hardest case for any quantizer), and
+  * refined 1.00 at the 10× clone-structured probe corpus. The tiny
+  * codebook remains reachable through the (m, codes) parameters.
   */
 object PQ {
-  val M = 4
+  val M = 8
   val SubDim: Int = KMeans.Dim / M
-  val Codes = 8
+  val Codes = 256
   val Iters: Int = KMeans.Iters
 
   /** The s-th subspace slice of each VALID full vector. Validity (null /
@@ -127,12 +139,20 @@ object PQ {
       models(embeddings, m, codes, iters), m)
 
   /** Shared slice+assign fold: filter well-formed vectors, slice each of
-    * the `m` subspaces, chain one [[KMeans.assignTrainedCells]] per
-    * subspace codebook, project (vec_id, code_0 … code_{m-1}).
+    * the `m` subspaces, assign each against its subspace codebook, project
+    * (vec_id, code_0 … code_{m-1}). Two engines, identical integers: with
+    * small codebooks (≤ [[KMeans.ExprAssignMaxK]] codes) the original
+    * per-subspace [[KMeans.assignTrainedCells]] expression chain; at the
+    * default 256 codes a single fused per-partition kernel — one row
+    * pass quantizes the vector once and runs all M subspace argmins
+    * (m·codes-wide unrolled expressions would blow JIT method limits and
+    * pay Catalyst overhead per candidate for the same results).
     */
   private def encode(
       vectors: DataFrame, mods: Seq[(Int, Array[(Int, Array[Long])])],
       m: Int): DataFrame = {
+    if (mods.head._2.length > KMeans.ExprAssignMaxK)
+      return encodeKernel(vectors, mods, m)
     val subDim = KMeans.Dim / m
     val base = vectors.filter(col("embedding").isNotNull &&
       size(col("embedding")) === KMeans.Dim)
@@ -146,6 +166,76 @@ object PQ {
     }
     encoded.select(
       col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)
+  }
+
+  /** The fused large-codebook encoder: same filter, same fixed-point
+    * quantization, same smallest-(dist, code) argmin per subspace as the
+    * expression fold — as one compiled pass over the rows. Narrow and
+    * deterministic, so exactly as streaming-append-legal.
+    */
+  private[ops] def encodeKernel(
+      vectors: DataFrame, mods: Seq[(Int, Array[(Int, Array[Long])])],
+      m: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val dim = KMeans.Dim
+    val subDim = dim / m
+    val filtered = vectors
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding"))
+    val elemIsFloat = filtered.schema(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case t => throw new IllegalArgumentException(
+        s"pq encode: embedding has unsupported type $t")
+    }
+    val schema = StructType(filtered.schema.fields(0) +:
+      (0 until m).map(s => StructField(s"code_$s", IntegerType, nullable = false)))
+    val subModels = mods.sortBy(_._1).map { case (_, model) =>
+      val ordered = model.sortBy(_._1)
+      (ordered.map(_._1), ordered.flatMap(_._2),
+        ordered.map { case (_, cq) => cq.map(v => v * v).sum })
+    }.toArray
+    filtered.mapPartitions { it =>
+      val x = new Array[Long](dim)
+      it.map { row =>
+        val seq = row.getSeq[Any](1)
+        var d = 0
+        while (d < dim) {
+          val v =
+            if (elemIsFloat) seq(d).asInstanceOf[Float].toDouble
+            else seq(d).asInstanceOf[Double]
+          x(d) = math.floor(v * 1e6).toLong
+          d += 1
+        }
+        val out = new Array[Any](1 + m)
+        out(0) = row.get(0)
+        var s = 0
+        while (s < m) {
+          val (ids, flat, cc) = subModels(s)
+          val off0 = s * subDim
+          var xx = 0L
+          var i = 0
+          while (i < subDim) { val q = x(off0 + i); xx += q * q; i += 1 }
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          val k = ids.length
+          while (c < k) {
+            var dot = 0L
+            val coff = c * subDim
+            var j = 0
+            while (j < subDim) { dot += x(off0 + j) * flat(coff + j); j += 1 }
+            val dist = xx - 2L * dot + cc(c)
+            if (dist < bestD) { bestD = dist; best = ids(c) }
+            c += 1
+          }
+          out(1 + s) = best
+          s += 1
+        }
+        Row.fromSeq(out.toIndexedSeq)
+      }
+    }(Encoders.row(schema))
   }
 
   /** PQ-encode a STREAM with codebooks trained on a static corpus: every
@@ -383,6 +473,90 @@ object PQ {
        |      FROM adc)
        |WHERE rn <= $topK ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Default refine shortlist factor: the ADC stage keeps
+    * `RefineFactor · topK` candidates per query and the exact re-rank
+    * picks the final topK from them — the standard FAISS-style
+    * `refine`/RFlat recipe (Jégou et al. §VII): per-query exact work is
+    * BOUNDED at R·k dot products regardless of corpus size, while recall
+    * recovers most of what the lossy codes lose.
+    */
+  val RefineFactor = 4
+
+  /** PQ search with an exact re-rank stage — the DEFAULT serving path: the
+    * all-integer ADC scan produces a `refineFactor·topK` shortlist per
+    * query ([[pqAdcTopK]]'s machinery, identical plan), then ONLY those
+    * rows pay an exact fixed-point dot against the stored vectors and the
+    * final topK ranks by true cosine (ties to the smaller neighbor_id).
+    *
+    * Scale shape: the shortlist is nQueries·R·k rows — broadcast against
+    * the corpus for the gather join, so the refine stage adds one
+    * broadcast-hash join + R·k exact dots per query on top of the linear
+    * ADC scan; no new shuffle of the corpus. This is why it can be the
+    * default: the 100-TB cost profile is the ADC scan's, while the
+    * returned neighbors are exact-ranked within the shortlist (recall
+    * measured by [[pqRefineRecall]] — the codebook only has to put true
+    * neighbors in the top R·k, not the top k).
+    */
+  def pqAdcRefineTopK(
+      embeddings: DataFrame, nQueries: Int = 10, topK: Int = 5,
+      refineFactor: Int = RefineFactor, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters): DataFrame = {
+    val short = pqAdcTopK(embeddings, nQueries, topK * refineFactor, m, codes, iters)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = embeddings
+      .filter(col("vec_id") < nQueries && col("embedding").isNotNull &&
+        size(col("embedding")) === KMeans.Dim)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), "neighbor_id") // shortlist is tiny by construction
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dot(col("q_emb"), col("n_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  def pqAdcRefineTopKSql(
+      nQueries: Int = 10, topK: Int = 5, refineFactor: Int = RefineFactor,
+      m: Int = M, codes: Int = Codes, iters: Int = Iters): String =
+    s"""WITH short AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${pqAdcTopKSql(nQueries, topK * refineFactor, m, codes, iters)})),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${Similarity.dotSql("q.embedding", "e.embedding")} AS cosine
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings e ON e.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |      FROM rr)
+       |WHERE rn <= $topK ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@k of the DEFAULT (refined) PQ search against exact truth —
+    * the metric the library default is sized by.
+    */
+  def pqRefineRecall(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      refineFactor: Int = RefineFactor, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters): DataFrame =
+    graft.ops.Similarity.recallVsTruth(
+      graft.ops.Similarity.bruteForceTopK(embeddings, nQueries, k),
+      pqAdcRefineTopK(embeddings, nQueries, k, refineFactor, m, codes, iters),
+      k)
+
+  def pqRefineRecallSql(
+      nQueries: Int = 10, k: Int = 5, refineFactor: Int = RefineFactor,
+      m: Int = M, codes: Int = Codes, iters: Int = Iters): String =
+    graft.ops.Similarity.recallSqlFrom(
+      graft.ops.Similarity.bruteForceTopKSql(nQueries, k),
+      pqAdcRefineTopKSql(nQueries, k, refineFactor, m, codes, iters),
+      k)
 
   /** Recall@k of the PQ/ADC search ([[pqAdcTopK]]) against exact
     * brute-force ground truth — the [[graft.ops.Similarity.annRecall]]

@@ -166,4 +166,37 @@ class MultimodalSpec extends SparkSpec {
     val png = Multimodal.MediaCodec.encodePng(3, 3, (x, y) => x * y)
     assert(Multimodal.MediaCodec.samples("image", "jpg", png).toSeq == png.toSeq)
   }
+
+  test("dHash: planted identical formula images (doc ids 768 apart) " +
+    "collide at hamming 0 and surface as a near-dup pair") {
+    // ids ≡ mod 48 share dims; Δid·13 ≡ 0 mod 256 at Δid = 256 →
+    // lcm(48, 256) = 768 apart means IDENTICAL pixels — the planted
+    // exact perceptual duplicate (decoded through the real PNG codec)
+    val df = docs((0L, "a"), (768L, "b"), (48L, "c"), (3L, "d"))
+    val hashes = Multimodal.imageDHashes(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(hashes(0L) == hashes(768L), s"$hashes")
+    val pairs = Multimodal.imageNearDups(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((0L, 768L, 0)), pairs.toSeq)
+    // hi/lo halves are unsigned 32-bit — no sign-bit leakage either side
+    hashes.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+  }
+
+  test("banded Hamming join is EXACT at the default radius: equals " +
+    "brute-force all-pairs hamming <= 7") {
+    val df = docs((0L until 200L).map(i => (i * 3, s"t$i")): _*)
+    val dh = Multimodal.imageDHashes(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3) << 32) | r.getLong(4))).toMap
+    val brute = (for {
+      a <- dh.keys; b <- dh.keys if a < b
+      d = java.lang.Long.bitCount(dh(a) ^ dh(b)) if d <= Multimodal.MaxHamming
+    } yield (a, b, d)).toSet
+    val got = Multimodal.imageNearDups(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got.map(t => (t._1, t._2, t._3.toInt)) ==
+      brute.map(t => (t._1, t._2, t._3)), s"banded $got vs brute $brute")
+  }
 }

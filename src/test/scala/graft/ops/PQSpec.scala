@@ -102,12 +102,17 @@ class PQSpec extends SparkSpec {
     }
   }
 
-  test("codebooks relation is M×Codes×SubDim rows with populated sizes") {
+  test("codebooks relation is m×codes×subDim rows with populated sizes") {
+    // explicit small codebook: the default 256 codes exceeds this 64-row
+    // corpus (the trainer then seeds only n centroids), so the exact
+    // m·codes·subDim shape is pinned at a fully-seedable size
     val df = corpus(64)
-    val cb = PQ.pqCodebooks(df).collect()
-    assert(cb.length == PQ.M * PQ.Codes * PQ.SubDim)
+    val m = 4
+    val codes = 8
+    val cb = PQ.pqCodebooks(df, m = m, codes = codes).collect()
+    assert(cb.length == m * codes * (dim / m))
     val bySubspace = cb.groupBy(_.getInt(0))
-    assert(bySubspace.keySet == (0 until PQ.M).toSet)
+    assert(bySubspace.keySet == (0 until m).toSet)
     // each subspace's code populations sum to the corpus size
     bySubspace.foreach { case (_, rows) =>
       val perCode = rows.groupBy(_.getInt(1))
@@ -116,16 +121,68 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("encode kernel == expression fold: identical codes for the same " +
+    "trained codebooks") {
+    // the same (m=4, 8-code) codebooks pushed through BOTH encode engines:
+    // the per-subspace least(struct) expression chain (pqEncode at small
+    // codes) and the fused per-partition kernel (the default path at 256
+    // codes) must agree code-for-code — this is the equivalence that lets
+    // the kernel claim every oracle hash unchanged
+    val df = corpus(64)
+    val mods = PQ.models(df, m = 4, codes = 8)
+    val viaExpr = PQ.pqEncode(df, m = 4, codes = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    val viaKernel = PQ.encodeKernel(df.repartition(col("vec_id")), mods, 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(viaExpr == viaKernel)
+  }
+
+  test("assignTrainedCells kernel == expression: identical cells and " +
+    "distances for the same model") {
+    val df = corpus(64)
+    val model = KMeans.trainedModel(df)
+    def toMap(d: org.apache.spark.sql.DataFrame) = d
+      .select("vec_id", "cell", "cent_dist")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val viaExpr = toMap(KMeans.assignTrainedCells(df, model, withDist = true))
+    val viaKernel = toMap(
+      KMeans.assignTrainedCellsKernel(df, model, "embedding", true, KMeans.Dim))
+    assert(viaExpr == viaKernel)
+  }
+
+  test("refine topk with a corpus-covering shortlist equals exact brute " +
+    "force; default shortlist results are exact-ranked within it") {
+    val df = corpus(64)
+    // refineFactor large enough that the ADC shortlist is the whole
+    // corpus: the exact re-rank must then BE bruteForceTopK, bit for bit
+    val full = PQ.pqAdcRefineTopK(df, nQueries = 4, topK = 3, refineFactor = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val brute = Similarity.bruteForceTopK(df, nQueries = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(full.toSeq == brute.toSeq)
+    // default shortlist: every served neighbor must come from the ADC
+    // shortlist and ranks must be dense from 1 in exact-cosine order
+    val short = PQ.pqAdcTopK(df, nQueries = 4, topK = 3 * PQ.RefineFactor)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = PQ.pqAdcRefineTopK(df, nQueries = 4, topK = 3).collect()
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+      val cosines = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    assert(got.forall(r => short((r.getLong(0), r.getLong(1)))))
+  }
+
   test("pq recall: an exactly-representable corpus scores 1.0 per query") {
     // corpus = copies of 4 distinct unit axis vectors: every subvector
-    // takes ≤ 4 distinct values, so the 8-code subquantizers reconstruct
-    // them EXACTLY, ADC ordering equals the exact ordering (ties broken
-    // by neighbor_id in both), and recall must be exactly 1.0 everywhere.
+    // takes ≤ 4 distinct values, so the subquantizers reconstruct them
+    // EXACTLY, ADC ordering equals the exact ordering (ties broken by
+    // neighbor_id in both), and recall must be exactly 1.0 everywhere.
     // The interesting half of the contract lives in the ARTIFACT, not a
-    // spec: on the real (jittered, unit-norm) embeddings table the
-    // default M=4/Codes=8 codebook measures recall 0.0-0.2 (q107 at
-    // sf0.01) — which is the op's point: the codebook knob now has a
-    // hash-checked number attached instead of a guess.
+    // spec: on the real (jittered, unit-norm) embeddings table the r11
+    // default (M=8 × 256 codes + exact re-rank) measures q107 recall
+    // 0.88 at sf0.01 and 1.00 at the 10×/50× probes — vs 0.0-0.46 for
+    // the r10 M=4/8-code pure-ADC default this replaced.
     val base = (0 until 4).map { c =>
       Seq.tabulate(dim)(i => if (i == c) 1.0f else 0.0f)
     }

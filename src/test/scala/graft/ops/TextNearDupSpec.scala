@@ -673,6 +673,28 @@ class TextNearDupSpec extends SparkSpec {
     assert(verdicts(dir) == Set((100L, "exact_dup", 1L), (101L, "kept", -1L)))
   }
 
+  test("LSH band tuner: derives the pinned (4,3) layout at the defaults, " +
+    "stays in budget, and tracks the threshold") {
+    // the layout every MinHash op compiles against must be the tuner's
+    // pick — a drifted derivation would silently re-band every signature
+    assert(NearDup.tuneBandsRows() == ((NearDup.Bands, NearDup.RowsPerBand)))
+    assert((NearDup.Bands, NearDup.RowsPerBand) == ((4, 3)))
+    // decision table: exactly one chosen row, and it is the constant pair
+    val t = NearDup.lshBandTuning(spark).collect()
+    val chosen = t.filter(_.getBoolean(6))
+    assert(chosen.length == 1)
+    assert((chosen(0).getInt(0), chosen(0).getInt(1)) == ((4, 3)))
+    assert(chosen(0).getDouble(4) <= NearDup.LshFpBudget) // fp in budget
+    assert(chosen(0).getDouble(3) >= 0.9) // recall at t stays high
+    // monotonicity: a higher target threshold never tunes to a LOWER
+    // S-curve midpoint (1/b)^(1/r) than a lower target does
+    def midpoint(t: Double): Double = {
+      val (b, r) = NearDup.tuneBandsRows(t)
+      math.pow(1.0 / b, 1.0 / r)
+    }
+    assert(midpoint(0.9) >= midpoint(0.5))
+  }
+
   test("half-swapped index auto-recovers: a crash that left a relation in " +
     "_compact_old heals on the next read or compaction (ADVICE r10)") {
     val t = (1 to 25).map(i => s"x$i").mkString(" ")
