@@ -407,6 +407,14 @@ object ScaleProbe {
         val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
         (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
       })
+      // the DEFAULT PQ search (r11): ADC shortlist + exact re-rank at the
+      // realistic M=8 × 256-code codebook — the q107 metric, measured at
+      // every probed decade (VERDICT r10 #1's done-criterion)
+      timeInfo(s"$label pq_refine_recall")({
+        val rows = graft.ops.PQ.pqRefineRecall(emb).collect()
+        val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
+        (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
+      })
       // r10 VERDICT #2 — the pair-cost gate's estimate vs the join it
       // gates, both recorded in the artifact (they must be EQUAL: the
       // estimate is exact, not a model). ≤10× only — at 50×+ the audited

