@@ -415,6 +415,20 @@ object ScaleProbe {
         val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
         (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
       })
+      // shortlist-vs-tie-family: on the clone-mult corpora each query's
+      // clone family (mult near-identical copies → near-identical CODES)
+      // is deeper than the default R·k shortlist at mult > R·k, so ADC
+      // ties — broken by vec_id — bound what any re-rank can recover.
+      // The refineFactor knob is the remedy: sized past the family
+      // (R·k ≥ mult) the exact re-rank sees the whole tie class. Same
+      // plan, bounded per-query work (R·k exact dots); this stage puts a
+      // measured recall number on the knob instead of asserting it.
+      if (label != "1x" && mult * 5 > graft.ops.PQ.RefineFactor * 5 * 5)
+        timeInfo(s"$label pq_refine_recall R=$mult")({
+          val rows = graft.ops.PQ.pqRefineRecall(emb, refineFactor = mult).collect()
+          val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
+          (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
+        })
       // r10 VERDICT #2 — the pair-cost gate's estimate vs the join it
       // gates, both recorded in the artifact (they must be EQUAL: the
       // estimate is exact, not a model). ≤10× only — at 50×+ the audited

@@ -303,6 +303,75 @@ object StreamScaleProbe {
       }
     }
 
+    // ---- probe 4b: express-lane doc ingest (r10 VERDICT #7) --------------
+    // acceptedOnly drops the rejected append: a micro-batch is exactly ONE
+    // cache scan (the observed accepted append) — the single-scan path for
+    // callers who treat rejections as a counter, not a dataset.
+    locally {
+      val sink = new CountingSink
+      val timings = new DocIngest.StageTimings
+      def stagesJson: Option[String] = Some(timings.snapshot.map {
+        case (stage, c, s) => f""""$stage": {"batches": $c, "sec": $s%.2f}"""
+      }.mkString("{", ", ", "}"))
+      results += runProbe("doc_ingest_express",
+        () => sink.counts("accepted_documents"),
+        expectedInput = nDocs, info = () => stagesJson) {
+        DocIngest.startAvailableNow(spark,
+          docStream().select(col("doc_id"), col("ingest_ts"), col("text")),
+          ckpt("ingest-express"), sink, timings, acceptedOnly = true)
+      }
+    }
+
+    // ---- probe 4c: streaming continuous-crawl dedup loop (r10 VERDICT #3)
+    // CrawlDedup at probe volume: per-batch verdicts against the persisted
+    // index, kept docs written BACK so later batches resolve against them,
+    // periodic in-place compaction mid-stream. Recorded per batch: wall
+    // seconds and the kept/dup split — the flatness claim as data. After
+    // the drain, a fixed probe batch's verdicts are compared before and
+    // after one more compaction (must be identical).
+    locally {
+      val sink = new CountingSink
+      val ixPath = s"$out/crawl-index"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ixPath))
+      graft.streaming.CrawlDedup.initIndex(spark, ixPath)
+      val perBatch = scala.collection.mutable.ArrayBuffer[(graft.streaming.CrawlDedup.CrawlBatchMetrics, Double)]()
+      var lastT = System.nanoTime()
+      def crawlInfo: Option[String] = {
+        val batches = perBatch.map { case (m, s) =>
+          f"""{"batch": ${m.batchId}, "n_in": ${m.nIn}, "kept": ${m.nKept}, "exact_dup": ${m.nExactDup}, "near_dup": ${m.nNearDup}, "compacted": ${m.compacted}, "sec": $s%.2f}"""
+        }.mkString("[", ", ", "]")
+        // verdict stability across compaction: one probe batch, before/after
+        val probeDocs = spark.read.parquet(s"$out/docs")
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 1000 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        def verdictSet() = graft.ops.NearDup
+          .incrementalDedupAgainstIndex(probeDocs, ixPath)
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+        val before = verdictSet()
+        graft.ops.NearDup.compactDedupIndex(ixPath)
+        val after = verdictSet()
+        val ixRows = spark.read.parquet(s"$ixPath/norm").count()
+        Some(s"""{"batches": $batches, "index_rows": $ixRows, """ +
+          s""""probe_verdicts": ${before.size}, """ +
+          s""""verdicts_stable_across_compaction": ${before == after}}""")
+      }
+      results += runProbe("crawl_loop",
+        () => sink.counts("accepted_documents") + sink.counts("duplicate_documents"),
+        expectedInput = nDocs, info = () => crawlInfo) {
+        graft.streaming.CrawlDedup.start(spark,
+          docStream().select(col("doc_id"), col("text")),
+          ckpt("crawl"), ixPath, sink, compactEvery = 4,
+          trigger = Some(Trigger.AvailableNow()),
+          metricsOut = { m =>
+            val now = System.nanoTime()
+            perBatch += ((m, (now - lastT) / 1e9))
+            lastT = now
+          })
+      }
+    }
+
     // ---- probe 5: checkpoint kill + restart recovery ---------------------
     // The D4 claim at probe volume: run the RocksDB+changelog watermarked
     // dedup to completion for a baseline fingerprint, then re-run against a

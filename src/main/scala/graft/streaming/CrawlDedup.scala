@@ -103,7 +103,9 @@ object CrawlDedup {
       val compact = compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)
       if (compact)
         timings.time("index_compact")(NearDup.compactDedupIndex(indexPath))
-      CrawlBatchMetrics(batchId, batchDf.count(), nKept, nExact, nNear, compact)
+      // nIn = the verdict partition sums (every batch doc gets exactly one
+      // verdict row) — no extra batch scan for the metric
+      CrawlBatchMetrics(batchId, nKept + nExact + nNear, nKept, nExact, nNear, compact)
     } finally {
       verdicts.unpersist()
       ()

@@ -27,6 +27,57 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+# Oracle-result cache (VERDICT r10 #6: the heavy sf1 oracles — q38's
+# derived-cap join runs ~30 min in DuckDB — re-ran on every compare even
+# when query and data were unchanged). Opt-in via ORACLE_CACHE=<dir>: the
+# oracle's DuckDB result is stored as parquet keyed by
+# sha256(sql + per-table (name, file sizes, row count)), so a re-compare
+# over the same deterministic tables loads the stored frame instead of
+# recomputing. The SPARK side always runs fresh — only the oracle half,
+# which is pure (sql, data) → frame, is memoized.
+import hashlib
+cache_dir = os.environ.get("ORACLE_CACHE")
+_fp = None
+def data_fingerprint():
+    global _fp
+    if _fp is None:
+        parts = []
+        for f in sorted(glob.glob(f"{sfdir}/*.parquet")):
+            name = os.path.basename(f)[:-8]
+            files = sorted(glob.glob(f"{f}/*.parquet")) if os.path.isdir(f) else [f]
+            sizes = ",".join(str(os.path.getsize(p)) for p in files)
+            nrows = con.execute(f"SELECT COUNT(*) FROM {name}").fetchone()[0]
+            parts.append(f"{name}:{nrows}:{sizes}")
+        _fp = ";".join(parts)
+    return _fp
+
+def cached_oracle(name, sql):
+    """Return (expected_df, error_string)."""
+    key = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        key = os.path.join(cache_dir, hashlib.sha256(
+            (sql + "\n" + data_fingerprint()).encode()).hexdigest() + ".parquet")
+        if os.path.exists(key):
+            print(f"  [oracle cache hit: {name}]")
+            return con.execute(f"SELECT * FROM parquet_scan('{key}')").df(), None
+    try:
+        rel = con.sql(sql)
+        # HUGEINT (e.g. SUM over BIGINT) survives str-compare here but the
+        # driver hashes typed cells → r03 q58 false-red. Fail it locally.
+        huge = [c for c, t in zip(rel.columns, rel.types) if str(t) == "HUGEINT"]
+        if huge:
+            return None, f"oracle columns {huge} are HUGEINT (cast to BIGINT)"
+        exp = rel.df()
+    except Exception as e:
+        return None, f"oracle sql error: {e}"
+    if key:
+        con.register("_cache_tmp", exp)
+        con.execute(f"COPY _cache_tmp TO '{key}' (FORMAT PARQUET)")
+        con.unregister("_cache_tmp")
+    return exp, None
+
 fails = 0
 for name in sorted(oracle):
     if any(name.startswith(p) for p in skip):
@@ -36,16 +87,9 @@ for name in sorted(oracle):
         got = con.execute(f"SELECT * FROM parquet_scan('{outdir}/{name}/*.parquet')").df()
     except Exception as e:
         print(f"FAIL {name}: spark result unreadable: {e}"); fails += 1; continue
-    try:
-        rel = con.sql(sql)
-        # HUGEINT (e.g. SUM over BIGINT) survives str-compare here but the
-        # driver hashes typed cells → r03 q58 false-red. Fail it locally.
-        huge = [c for c, t in zip(rel.columns, rel.types) if str(t) == "HUGEINT"]
-        if huge:
-            print(f"FAIL {name}: oracle columns {huge} are HUGEINT (cast to BIGINT)"); fails += 1; continue
-        exp = rel.df()
-    except Exception as e:
-        print(f"FAIL {name}: oracle sql error: {e}"); fails += 1; continue
+    exp, err = cached_oracle(name, sql)
+    if err:
+        print(f"FAIL {name}: {err}"); fails += 1; continue
     if sorted(got.columns) != sorted(exp.columns):
         print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"); fails += 1; continue
     got = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
