@@ -480,8 +480,19 @@ object PQ {
     * `refine`/RFlat recipe (Jégou et al. §VII): per-query exact work is
     * BOUNDED at R·k dot products regardless of corpus size, while recall
     * recovers most of what the lossy codes lose.
+    *
+    * Sized 10 (not the minimal 2–4) because the shortlist must COVER the
+    * deepest ADC-tie class it may meet: near-identical documents quantize
+    * to identical codes, ADC ties break by vec_id, and a tie family
+    * deeper than R·k bounds recall at ~R·k/family no matter how exact the
+    * re-rank (measured: the 50×-clone probe corpus holds 50-deep families
+    * — R=4's 20-candidate shortlist measured recall 0.4 there, R·k = 50
+    * recovers 1.0). Recall is monotone in R (a larger shortlist is a
+    * superset), and 50 exact dots per query is noise; corpora with even
+    * deeper duplication should dedup first or raise `refineFactor` past
+    * their family depth (the 200× probe carries the measured knob row).
     */
-  val RefineFactor = 4
+  val RefineFactor = 10
 
   /** PQ search with an exact re-rank stage — the DEFAULT serving path: the
     * all-integer ADC scan produces a `refineFactor·topK` shortlist per
