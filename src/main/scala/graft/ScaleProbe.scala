@@ -415,14 +415,15 @@ object ScaleProbe {
         val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
         (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
       })
-      // shortlist-vs-tie-family: on the clone-mult corpora each query's
-      // clone family (mult near-identical copies → near-identical CODES)
-      // is deeper than the default R·k shortlist at mult > R·k, so ADC
-      // ties — broken by vec_id — bound what any re-rank can recover.
-      // The refineFactor knob is the remedy: sized past the family
-      // (R·k ≥ mult) the exact re-rank sees the whole tie class. Same
-      // plan, bounded per-query work (R·k exact dots); this stage puts a
-      // measured recall number on the knob instead of asserting it.
+      // shortlist-vs-tie-family evidence row: on the clone-mult corpora
+      // each query's clone family (mult near-identical copies → IDENTICAL
+      // codes → exactly equal adc_dist) is deeper than R·k at mult > R·k.
+      // The default shortlist cutoff is tie-INCLUSIVE rank (see
+      // PQ.RefineFactor), so the whole boundary class enters the exact
+      // re-rank and the default recall row above must already read 1.0
+      // here; this knob row pins that raising R past the family depth is
+      // a no-op (monotone superset → same recall), i.e. the tie semantics
+      // — not a bigger R — are what carry clone-heavy corpora.
       if (label != "1x" && mult * 5 > graft.ops.PQ.RefineFactor * 5 * 5)
         timeInfo(s"$label pq_refine_recall R=$mult")({
           val rows = graft.ops.PQ.pqRefineRecall(emb, refineFactor = mult).collect()

@@ -296,17 +296,26 @@ object PQ {
   def pqAdcTopK(
       embeddings: DataFrame, nQueries: Int = 10, topK: Int = 5,
       m: Int = M, codes: Int = Codes, iters: Int = Iters): DataFrame = {
-    val lut = lutDf(embeddings, nQueries, m, codes, iters)
-    val enc = encLong(embeddings, m, codes, iters)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
+    adcDists(embeddings, nQueries, m, codes, iters)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The shared ADC scoring stage: (query_id, neighbor_id, adc_dist) for
+    * every corpus vector against every query's lookup tables.
+    */
+  private def adcDists(
+      embeddings: DataFrame, nQueries: Int, m: Int, codes: Int,
+      iters: Int): DataFrame = {
+    val lut = lutDf(embeddings, nQueries, m, codes, iters)
+    val enc = encLong(embeddings, m, codes, iters)
     enc.join(broadcast(lut), Seq("s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum("ld").as("adc_dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .orderBy("query_id", "rank")
   }
 
   /** IVF-PQ composed search (the FAISS-style billion-scale index layout:
@@ -427,9 +436,13 @@ object PQ {
        |WHERE rn <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** `tieRank = true` swaps the final cutoff to tie-inclusive `rank()`
+    * ordered by adc_dist alone — the oracle twin of the refine
+    * shortlist's boundary-class semantics (see [[RefineFactor]]).
+    */
   def pqAdcTopKSql(
       nQueries: Int = 10, topK: Int = 5, m: Int = M, codes: Int = Codes,
-      iters: Int = Iters): String = {
+      iters: Int = Iters, tieRank: Boolean = false): String = {
     val subDim = KMeans.Dim / m
     val chains = (0 until m).map { s =>
       KMeans.kmeansCtesSql(codes, iters, subDim, s"_s$s",
@@ -468,8 +481,10 @@ object PQ {
        |  $lutJoins
        |  WHERE e.vec_id <> l0.query_id)
        |SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
-       |FROM (SELECT *, row_number() OVER (
-       |        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+       |FROM (SELECT *, ${
+        if (tieRank) "rank() OVER (PARTITION BY query_id ORDER BY adc_dist)"
+        else "row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)"
+      } AS rn
        |      FROM adc)
        |WHERE rn <= $topK ORDER BY query_id, rank""".stripMargin
   }
@@ -481,16 +496,23 @@ object PQ {
     * BOUNDED at R·k dot products regardless of corpus size, while recall
     * recovers most of what the lossy codes lose.
     *
-    * Sized 10 (not the minimal 2–4) because the shortlist must COVER the
-    * deepest ADC-tie class it may meet: near-identical documents quantize
-    * to identical codes, ADC ties break by vec_id, and a tie family
-    * deeper than R·k bounds recall at ~R·k/family no matter how exact the
-    * re-rank (measured: the 50×-clone probe corpus holds 50-deep families
-    * — R=4's 20-candidate shortlist measured recall 0.4 there, R·k = 50
-    * recovers 1.0). Recall is monotone in R (a larger shortlist is a
-    * superset), and 50 exact dots per query is noise; corpora with even
-    * deeper duplication should dedup first or raise `refineFactor` past
-    * their family depth (the 200× probe carries the measured knob row).
+    * The shortlist cutoff is RANK-WITH-TIES on adc_dist (not row_number):
+    * near-identical documents quantize to identical codes and therefore
+    * EXACTLY equal ADC distances, and a strict R·k cutoff would split
+    * such a tie class arbitrarily by vec_id — bounding recall at
+    * ~R·k/family-depth no matter how exact the re-rank (measured: the
+    * 100×/200× clone probe corpora hold 100/200-deep code-tie families;
+    * a row_number shortlist measured recall 0.4 there at R=10, and the R
+    * needed to recover 1.0 scaled linearly with the clone depth — a
+    * constant-R contract cannot cover data-dependent tie depth). With
+    * tie-inclusive rank the whole boundary class gets exact scoring: on
+    * real corpora tie classes are shallow so the shortlist stays ≈ R·k,
+    * and on degenerate all-tied corpora the refine degrades gracefully
+    * toward exact scoring of the tied class (which is the only correct
+    * answer — ADC provably cannot order within it). R then only needs to
+    * cover NEAR-ties (distinct codes a hair apart), for which 10 is
+    * generous; recall is monotone in R (a larger shortlist is a
+    * superset).
     */
   val RefineFactor = 10
 
@@ -513,7 +535,14 @@ object PQ {
       embeddings: DataFrame, nQueries: Int = 10, topK: Int = 5,
       refineFactor: Int = RefineFactor, m: Int = M, codes: Int = Codes,
       iters: Int = Iters): DataFrame = {
-    val short = pqAdcTopK(embeddings, nQueries, topK * refineFactor, m, codes, iters)
+    // tie-inclusive cutoff (rank, ordered by adc_dist ALONE): the whole
+    // ADC-distance class at the R·k boundary enters the shortlist — see
+    // the RefineFactor note for why a strict row_number cutoff caps
+    // recall on clone-heavy corpora
+    val sw = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"))
+    val short = adcDists(embeddings, nQueries, m, codes, iters)
+      .withColumn("srank", rank().over(sw))
+      .filter(col("srank") <= topK * refineFactor)
       .select(col("query_id"), col("neighbor_id"))
     val queries = embeddings
       .filter(col("vec_id") < nQueries && col("embedding").isNotNull &&
@@ -536,7 +565,8 @@ object PQ {
       m: Int = M, codes: Int = Codes, iters: Int = Iters): String =
     s"""WITH short AS (
        |  SELECT query_id, neighbor_id
-       |  FROM (${pqAdcTopKSql(nQueries, topK * refineFactor, m, codes, iters)})),
+       |  FROM (${pqAdcTopKSql(nQueries, topK * refineFactor, m, codes, iters,
+          tieRank = true)})),
        |rr AS (
        |  SELECT s.query_id, s.neighbor_id,
        |    ${Similarity.dotSql("q.embedding", "e.embedding")} AS cosine
