@@ -1132,7 +1132,12 @@ object NearDup {
       sum(pairs * col("n_words")).as("pairs_uncapped"),
       sum(when(col("df") <= maxDf, pairs * col("n_words")).otherwise(0L))
         .as("pairs_capped"))
-    val w = Window.orderBy("df")
+    // constant partition key: the input is the distinct-df HISTOGRAM
+    // (bounded ≪ vocabulary — driver-trivial by construction), so the
+    // single-partition cumulative sum is intentional; the explicit key
+    // keeps WindowExec from warning "No Partition Defined" on every run
+    // as if an unbounded relation were being single-task sorted
+    val w = Window.partitionBy(lit(0)).orderBy("df")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum_cost",
       sum(col("df") * col("df") * col("n_words")).over(w))
@@ -1596,13 +1601,23 @@ object NearDup {
       batch: DataFrame, ixNorm: DataFrame, ixHubs: DataFrame,
       ixShingles: DataFrame): DataFrame = {
     // exact: equi-join on the 16-byte normalized-text hash — the index side
-    // of this join IS the persistable exact-dup index
+    // of this join IS the persistable exact-dup index. SELF-matches
+    // (ix_id == doc_id) are excluded in BOTH joins: doc_ids are unique, so
+    // a batch doc can only find itself in the index when a crashed run's
+    // batch REPLAYS after its index_append landed but before its sink
+    // append did — and without the guard the replayed batch's kept docs
+    // would re-verdict as exact_dup of THEMSELVES and route to the
+    // duplicate sink, permanently losing them from accepted (ADVICE r11).
+    // Excluding the self-row restores the original run's verdict exactly;
+    // genuine duplicates still match their (distinct-id) canonicals.
     val exact = batch.select(col("doc_id"), col("norm_h"))
       .join(ixNorm, Seq("norm_h"))
+      .filter(col("ix_id") =!= col("doc_id"))
       .groupBy("doc_id").agg(min("ix_id").as("exact_of"))
     // near: batch bands ⋈ budgeted index-band hubs, exact-Jaccard verified
     val bandsB = lshBands(signaturesFrom(batch.select("doc_id", "shingles")))
     val cand = bandsB.join(ixHubs, Seq("band_idx", "band_key"))
+      .filter(col("ix_id") =!= col("doc_id"))
       .select(col("doc_id"), col("ix_id")).distinct()
     val near = cand
       .join(batch.select(col("doc_id"), col("shingles").as("sh_b")), Seq("doc_id"))
@@ -1692,17 +1707,23 @@ object NearDup {
     // CrawlDedupSpec). Truncating the lineage pins the kept rows as
     // local blocks BEFORE any write touches the index.
     val base = normShingled(keptDocs).localCheckpoint(true)
-    base.select(col("doc_id").as("ix_id"), col("norm_h"))
-      .write.mode("append").parquet(s"$path/norm")
-    budgetedHubs(
-      lshBands(signaturesFrom(base.select("doc_id", "shingles")))
-        .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key")),
-      bucketBudget)
-      .write.mode("append").parquet(s"$path/bands")
-    base.select(col("doc_id").as("ix_id"), col("shingles").as("sh_i"))
-      .write.mode("append").parquet(s"$path/shingles")
-    base.unpersist()
-    ()
+    // finally: a long-running crawl stream calls this every micro-batch —
+    // a failed append must not leak the checkpoint blocks until RDD GC
+    // (ADVICE r11)
+    try {
+      base.select(col("doc_id").as("ix_id"), col("norm_h"))
+        .write.mode("append").parquet(s"$path/norm")
+      budgetedHubs(
+        lshBands(signaturesFrom(base.select("doc_id", "shingles")))
+          .select(col("doc_id").as("ix_id"), col("band_idx"), col("band_key")),
+        bucketBudget)
+        .write.mode("append").parquet(s"$path/bands")
+      base.select(col("doc_id").as("ix_id"), col("shingles").as("sh_i"))
+        .write.mode("append").parquet(s"$path/shingles")
+    } finally {
+      base.unpersist()
+      ()
+    }
   }
 
   /** Compact an appended index: rebuild `bands/` from the STORED shingle

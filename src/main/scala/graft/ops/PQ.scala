@@ -550,8 +550,14 @@ object PQ {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
+    // NO broadcast hint on the shortlist: it is ≈ nQueries·R·k rows on
+    // normal corpora, but the tie-inclusive cutoff means a degenerate
+    // all-tied corpus expands it toward corpus size (the documented
+    // graceful degrade to exact scoring) — a forced broadcast would turn
+    // that degrade into a driver/executor OOM (ADVICE r11). AQE sees the
+    // true shortlist size at runtime and broadcasts exactly when small.
     embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-      .join(broadcast(short), "neighbor_id") // shortlist is tiny by construction
+      .join(short, "neighbor_id")
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         Similarity.dot(col("q_emb"), col("n_emb")).as("cosine"))

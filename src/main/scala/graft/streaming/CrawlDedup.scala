@@ -90,7 +90,12 @@ object CrawlDedup {
         // write-back FIRST: if the sink append fails and the batch
         // replays, re-appending the same doc_ids is idempotent for
         // verdicts (duplicate index rows can only strengthen matching;
-        // min(ix_id) is unchanged)
+        // min(ix_id) is unchanged) AND for routing — the verdict joins
+        // exclude self-matches (ix_id == doc_id, only possible on replay
+        // since doc_ids are unique), so a replayed kept doc re-verdicts
+        // kept instead of reading its own just-appended index rows as an
+        // exact_dup of itself (ADVICE r11; spec-pinned by the
+        // replay-routing test)
         timings.time("index_append")(
           NearDup.appendDedupIndex(kept.select("doc_id", "text"), indexPath))
         timings.time("accepted_append")(

@@ -98,4 +98,32 @@ class CrawlDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(v2 == Set((5L, "exact_dup")), v2)
   }
+
+  test("replayed batch is idempotent for ROUTING: a crash between " +
+    "index_append and accepted_append re-runs the batch against an index " +
+    "already holding its own rows — kept docs must re-verdict kept, not " +
+    "exact_dup of themselves (ADVICE r11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawlrr").toString
+    CrawlDedup.initIndex(spark, dir)
+    val sink = new InMemorySink
+    CrawlDedup.processBatch(docs((1L, base)), 0L, dir, sink)
+    // batch 1: one novel doc + one near-dup of batch 0's keep; first run
+    // appends keeps to the index, then "crashes" before we look — the
+    // replay is simply running the same foreachBatch body again
+    val b1 = docs((10L, other), (11L, nearBase))
+    val first = CrawlDedup.processBatch(b1, 1L, dir, sink)
+    assert(first.nKept == 1 && first.nNearDup == 1)
+    val replay = CrawlDedup.processBatch(b1, 1L, dir, sink)
+    // self-matches excluded: doc 10 re-verdicts kept (NOT exact_dup of
+    // itself), doc 11 still near_dup of the original canonical
+    assert(replay.nKept == 1 && replay.nNearDup == 1 && replay.nExactDup == 0,
+      replay)
+    val acc = sink.tables("accepted_documents")
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.size).toMap
+    // at-least-once: the replayed append lands doc 10 twice, never zero
+    assert(acc(10L) == 2 && acc(1L) == 1, acc)
+    val dup = sink.tables("duplicate_documents")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toSet
+    assert(dup == Set(11L -> (("near_dup", 1L))), dup)
+  }
 }

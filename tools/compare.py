@@ -46,7 +46,12 @@ def data_fingerprint():
         for f in sorted(glob.glob(f"{sfdir}/*.parquet")):
             name = os.path.basename(f)[:-8]
             files = sorted(glob.glob(f"{f}/*.parquet")) if os.path.isdir(f) else [f]
-            sizes = ",".join(str(os.path.getsize(p)) for p in files)
+            # size+mtime per file (ADVICE r11: a regenerated table whose
+            # content changed but preserved sizes+rows — plausible for
+            # fixed-width columns — would otherwise serve a stale cached
+            # oracle result and turn a real divergence into a false PASS)
+            sizes = ",".join(
+                f"{os.path.getsize(p)}@{os.stat(p).st_mtime_ns}" for p in files)
             nrows = con.execute(f"SELECT COUNT(*) FROM {name}").fetchone()[0]
             parts.append(f"{name}:{nrows}:{sizes}")
         _fp = ";".join(parts)
