@@ -407,23 +407,28 @@ object ScaleProbe {
         val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
         (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
       })
-      // the DEFAULT PQ search (r11): ADC shortlist + exact re-rank at the
-      // realistic M=8 × 256-code codebook — the q107 metric, measured at
-      // every probed decade (VERDICT r10 #1's done-criterion)
+      // the DEFAULT PQ search (r11, re-sized r12): ADC shortlist + exact
+      // re-rank at the realistic M=8 × 256-code codebook, with the refine
+      // factor DERIVED from the code-frequency histogram
+      // (PQ.derivedRefineFactor — VERDICT r11 #2: the constant R=10
+      // measured recall 0.40 on the 100×/200× clone corpora, whose
+      // ~mult-deep families quantize to a handful of NEAR-tie tuples the
+      // tie-inclusive cutoff can't see). The derived-R row below records
+      // what the default sized itself to at each decade.
+      timeInfo(s"$label pq_derived_refine")({
+        val r = graft.ops.PQ.derivedRefineFactor(emb)
+        (1L, s"""{"derived_refine_factor": $r}""")
+      })
       timeInfo(s"$label pq_refine_recall")({
         val rows = graft.ops.PQ.pqRefineRecall(emb).collect()
         val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
         (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
       })
-      // shortlist-vs-tie-family evidence row: on the clone-mult corpora
-      // each query's clone family (mult near-identical copies → IDENTICAL
-      // codes → exactly equal adc_dist) is deeper than R·k at mult > R·k.
-      // The default shortlist cutoff is tie-INCLUSIVE rank (see
-      // PQ.RefineFactor), so the whole boundary class enters the exact
-      // re-rank and the default recall row above must already read 1.0
-      // here; this knob row pins that raising R past the family depth is
-      // a no-op (monotone superset → same recall), i.e. the tie semantics
-      // — not a bigger R — are what carry clone-heavy corpora.
+      // explicit-override contrast row: the constant R that matches the
+      // clone depth — with the derived default this should now MATCH the
+      // default row's recall (the derivation lands ≈ mult), pinning that
+      // the estimator found the family depth rather than some other knob
+      // accidentally compensating.
       if (label != "1x" && mult * 5 > graft.ops.PQ.RefineFactor * 5 * 5)
         timeInfo(s"$label pq_refine_recall R=$mult")({
           val rows = graft.ops.PQ.pqRefineRecall(emb, refineFactor = mult).collect()

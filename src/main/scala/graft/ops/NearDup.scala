@@ -1547,6 +1547,70 @@ object NearDup {
     when(col("text").isNotNull,
       md5(concat_ws(" ", filter(tokens(col("text")), t => length(t) > 0))))
 
+  /** WITHIN-batch dedup verdicts — the resolver the crawl loop puts in
+    * front of its index verdicts (VERDICT r11 #4: index-only verdicts let
+    * two duplicates arriving in the SAME micro-batch both survive and
+    * both enter the index). One row per batch doc:
+    *   - `exact_dup` — shares a normalized-text hash with a smaller-id
+    *     batch doc; `dup_of` = the smallest such (the in-batch canonical).
+    *   - `near_dup`  — survives the exact pass but has a smaller-id
+    *     VERIFIED near-duplicate among the exact survivors
+    *     ([[minhashNearDups]]'s banded candidates + exact-Jaccard
+    *     verify); `dup_of` = the smallest verified partner.
+    *   - `kept`      — neither. Kept docs are pairwise non-similar at the
+    *     verified-pair level by construction: if two keeps X < Y verified
+    *     similar, Y would have a smaller verified partner and be a dup.
+    * The smallest-verified-partner rule needs NO transitive component
+    * closure (a chain C~B~A resolves as C→B, B→A, A kept in one
+    * aggregation), matching the incremental verdicts' smallest-canonical
+    * semantics — follow `dup_of` transitively for the ultimate canonical.
+    * Cost per batch: the exact pass is one hash aggregation; the near
+    * pass is the batch-sized minhash pipeline — all candidate joins keyed
+    * on the BATCH, nothing scales with any index.
+    *
+    * EAGER: the returned frame is `localCheckpoint(true)`-pinned (a
+    * streaming caller calls this every micro-batch inside a
+    * read-modify-write loop — see [[appendDedupIndex]]'s recache note)
+    * and the internal shingle cache is freed before returning, so a
+    * long-running stream leaks nothing per batch. Callers unpersist the
+    * result when done.
+    */
+  def intraBatchDedup(batchDocs: DataFrame): DataFrame = {
+    val norm = batchDocs.select(col("doc_id"), normHash.as("norm_h"))
+    val exCanon = norm.filter(col("norm_h").isNotNull)
+      .groupBy("norm_h").agg(min("doc_id").as("canon"))
+    val exact = norm.join(exCanon, Seq("norm_h"))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), lit("exact_dup").as("status"),
+        col("canon").as("dup_of"))
+    val survivors = batchDocs.join(
+      exact.select(col("doc_id").as("xid")),
+      col("doc_id") === col("xid"), "left_anti")
+    // minhashNearDups' pipeline with an explicitly-managed shingle cache
+    // (the shared entry point caches internally and leaves the entry for
+    // session GC — fine for one-shot queries, a per-batch leak here)
+    val sh = shingled(survivors).cache()
+    val near = lshCandidatesFrom(sh)
+      .join(sh.toDF("doc_a_s", "shingles_a"), col("doc_a") === col("doc_a_s"))
+      .join(sh.toDF("doc_b_s", "shingles_b"), col("doc_b") === col("doc_b_s"))
+      .withColumn("n_common", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("shingles_a"), col("shingles_b")))
+      .filter(col("n_common").cast("double") /
+        (size(col("shingles_a")) + size(col("shingles_b")) - col("n_common"))
+        >= JaccardThreshold)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min("doc_a").as("dup_of"))
+      .select(col("doc_id"), lit("near_dup").as("status"), col("dup_of"))
+    val out = batchDocs.select("doc_id")
+      .join(exact.unionByName(near), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("status"), lit("kept")).as("status"),
+        col("dup_of"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
   def incrementalDedup(
       documents: DataFrame, batchMod: Int = 5, batchRem: Int = 0,
       bucketBudget: Int = BucketBudget): DataFrame = {

@@ -442,7 +442,8 @@ object PQ {
     */
   def pqAdcTopKSql(
       nQueries: Int = 10, topK: Int = 5, m: Int = M, codes: Int = Codes,
-      iters: Int = Iters, tieRank: Boolean = false): String = {
+      iters: Int = Iters, tieRank: Boolean = false,
+      derivedCutoff: Boolean = false, floor: Int = RefineFactor): String = {
     val subDim = KMeans.Dim / m
     val chains = (0 until m).map { s =>
       KMeans.kmeansCtesSql(codes, iters, subDim, s"_s$s",
@@ -468,11 +469,18 @@ object PQ {
       s"JOIN lut$s l$s ON e.code$s = l$s.cluster AND l$s.query_id = l0.query_id")
       .mkString("\n  ")
     val distSum = (0 until m).map(s => s"l$s.ld").mkString(" + ")
+    // derived-cutoff mode ([[derivedRefineFactor]]'s oracle twin): the
+    // shortlist keeps topK·R rows where R comes from the rfac CTE over
+    // the same enc relation both engines hash-agree on
+    val rfacCtes =
+      if (derivedCutoff) derivedCutoffCtesSql(m, floor) + ",\n" else ""
+    val cutoff =
+      if (derivedCutoff) s"$topK * (SELECT r FROM rfac)" else s"$topK"
     s"""WITH $chains,
        |enc AS (
        |  SELECT a0.vec_id, $encCols
        |  FROM afinal_s0 a0 $encJoins),
-       |$luts,
+       |$rfacCtes$luts,
        |adc AS (
        |  SELECT l0.query_id, e.vec_id AS neighbor_id,
        |    CAST($distSum AS BIGINT) AS adc_dist
@@ -486,7 +494,7 @@ object PQ {
         else "row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)"
       } AS rn
        |      FROM adc)
-       |WHERE rn <= $topK ORDER BY query_id, rank""".stripMargin
+       |WHERE rn <= $cutoff ORDER BY query_id, rank""".stripMargin
   }
 
   /** Default refine shortlist factor: the ADC stage keeps
@@ -513,8 +521,106 @@ object PQ {
     * cover NEAR-ties (distinct codes a hair apart), for which 10 is
     * generous; recall is monotone in R (a larger shortlist is a
     * superset).
+    *
+    * This constant is the FLOOR, not the default: the serving default
+    * DERIVES the refine factor from the corpus's code-frequency histogram
+    * ([[derivedRefineFactor]]) because a constant R cannot cover
+    * data-dependent NEAR-tie depth — the r11 probes measured the R=10
+    * default at recall 0.40 on the 100×/200× clone corpora, where each
+    * query's ~100/200-member clone family quantizes to a handful of
+    * distinct-but-near code tuples: the tie classes are shallow (rank
+    * ties don't trigger) yet the family outnumbers R·k, so the strict
+    * part of the cutoff truncates mid-family however the ties are
+    * handled. Pass an explicit `refineFactor > 0` to override.
     */
   val RefineFactor = 10
+
+  /** Session memo for [[derivedRefineFactor]] — same pattern as
+    * [[KMeans.trainedModel]]'s registry: the factor is deterministic in
+    * (corpus plan, m, codes, iters), one small int, so memoization can
+    * only skip repeated histogram jobs, never change a result.
+    */
+  private val refineCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
+    Int]()
+
+  /** CORPUS-DERIVED refine factor — the `derivedDfCap`/`tuneBandsRows`
+    * pattern applied to PQ serving (VERDICT r11 #2): estimate the deepest
+    * near-tie class from the code-frequency histogram and size the
+    * shortlist to cover a whole class, with [[RefineFactor]] as floor and
+    * explicit override as escape hatch.
+    *
+    * Estimator: near-identical vectors (clones, re-crawls, jittered
+    * copies) quantize to code tuples that agree on all or all-but-one
+    * subspace — a point perturbation lands in ONE subspace, and larger
+    * edits leave the near-tie regime entirely. So the family depth is the
+    * heaviest Hamming-≤1 neighborhood over the encoded corpus's DISTINCT
+    * code tuples: with `cnt(t)` the exact-tuple count and
+    * `G(s, pk) = Σ cnt` over tuples sharing the other m−1 codes,
+    * `family(t) = Σ_s G(s, pk_s(t)) − (m−1)·cnt(t)` (t itself is counted
+    * in all m wildcard groups). R = max(floor, max_t family(t)); recall
+    * is monotone in R (larger shortlist is a superset), so over-estimating
+    * only costs bounded extra exact dots, and the degenerate all-clones
+    * corpus correctly degrades toward exact scoring — which is the only
+    * right answer there.
+    *
+    * Cost shape: one aggregation over the encoded table (corpus-linear,
+    * the same scan the index build already pays), then two aggregations
+    * over the DISTINCT-TUPLE relation (≪ corpus — bounded by code-space
+    * diversity), returning ONE driver integer, memoized per session.
+    * Mirrored exactly in the oracle SQL (the rfac CTE), so q107/q110
+    * stay hash-checked through the derived default.
+    */
+  def derivedRefineFactor(
+      embeddings: DataFrame, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters, floor: Int = RefineFactor): Int = {
+    val key = (embeddings.queryExecution.analyzed.canonicalized, m, codes, iters)
+    refineCache.computeIfAbsent(key, _ => {
+      val enc = pqEncode(embeddings, m, codes, iters)
+      val codeCols = (0 until m).map(s => col(s"code_$s"))
+      val tup = enc.groupBy(codeCols: _*).agg(count(lit(1)).as("cnt"))
+      val tk = concat_ws("|",
+        (0 until m).map(s => col(s"code_$s").cast("string")): _*)
+      val pks = array((0 until m).map { s =>
+        concat_ws("|", (0 until m).filter(_ != s)
+          .map(j => col(s"code_$j").cast("string")): _*)
+      }: _*)
+      val expl = tup
+        .select(col("cnt"), tk.as("tk"), posexplode(pks).as(Seq("s", "pk")))
+      val wc = expl.groupBy("s", "pk").agg(sum("cnt").as("g"))
+      val fam = expl.join(wc, Seq("s", "pk"))
+        .groupBy("tk").agg(max("cnt").as("cnt"), sum("g").as("gs"))
+      val row = fam.agg(max(col("gs") - lit(m - 1) * col("cnt"))).head()
+      val depth = if (row.isNullAt(0)) 0L else row.getLong(0)
+      math.max(floor.toLong, math.min(depth, Int.MaxValue.toLong)).toInt
+    })
+  }
+
+  /** The [[derivedRefineFactor]] estimator as oracle CTEs over the `enc`
+    * relation: `rfac` holds the single derived R the shortlist cutoff
+    * multiplies by.
+    */
+  private def derivedCutoffCtesSql(m: Int, floor: Int): String = {
+    val codeList = (0 until m).map(s => s"code$s").mkString(", ")
+    val branches = (0 until m).map { s =>
+      val pk = (0 until m).filter(_ != s).map(j => s"code$j").mkString(", ")
+      s"SELECT $s AS s, concat_ws('|', $pk) AS pk, " +
+        s"concat_ws('|', $codeList) AS tk, cnt FROM tup"
+    }.mkString("\n  UNION ALL ")
+    s"""tup AS (SELECT $codeList, COUNT(*) AS cnt FROM enc GROUP BY $codeList),
+       |expl AS (
+       |  $branches),
+       |wc AS (SELECT s, pk, CAST(SUM(cnt) AS BIGINT) AS g
+       |       FROM expl GROUP BY s, pk),
+       |fam AS (
+       |  SELECT e.tk, MAX(e.cnt) AS cnt, CAST(SUM(w.g) AS BIGINT) AS gs
+       |  FROM expl e JOIN wc w ON e.s = w.s AND e.pk = w.pk
+       |  GROUP BY e.tk),
+       |rfac AS (
+       |  SELECT GREATEST($floor,
+       |    COALESCE(MAX(gs - ${m - 1} * cnt), $floor)) AS r
+       |  FROM fam)""".stripMargin
+  }
 
   /** PQ search with an exact re-rank stage — the DEFAULT serving path: the
     * all-integer ADC scan produces a `refineFactor·topK` shortlist per
@@ -522,19 +628,29 @@ object PQ {
     * rows pay an exact fixed-point dot against the stored vectors and the
     * final topK ranks by true cosine (ties to the smaller neighbor_id).
     *
-    * Scale shape: the shortlist is nQueries·R·k rows — broadcast against
-    * the corpus for the gather join, so the refine stage adds one
+    * Scale shape: the shortlist is ≈ nQueries·R·k rows — small on normal
+    * corpora, where AQE broadcasts it for the gather join (one
     * broadcast-hash join + R·k exact dots per query on top of the linear
-    * ADC scan; no new shuffle of the corpus. This is why it can be the
-    * default: the 100-TB cost profile is the ADC scan's, while the
-    * returned neighbors are exact-ranked within the shortlist (recall
-    * measured by [[pqRefineRecall]] — the codebook only has to put true
-    * neighbors in the top R·k, not the top k).
+    * ADC scan, no new shuffle of the corpus); on degenerate corpora the
+    * tie expansion grows it and AQE falls back to a shuffle join instead
+    * of OOMing a forced broadcast. This is why it can be the default:
+    * the 100-TB cost profile is the ADC scan's, while the returned
+    * neighbors are exact-ranked within the shortlist (recall measured by
+    * [[pqRefineRecall]] — the codebook only has to put true neighbors in
+    * the top R·k, not the top k; R itself tracks the corpus via
+    * [[derivedRefineFactor]]).
     */
   def pqAdcRefineTopK(
       embeddings: DataFrame, nQueries: Int = 10, topK: Int = 5,
-      refineFactor: Int = RefineFactor, m: Int = M, codes: Int = Codes,
+      refineFactor: Int = 0, m: Int = M, codes: Int = Codes,
       iters: Int = Iters): DataFrame = {
+    // refineFactor 0 (the default) = DERIVE R from the code-frequency
+    // histogram so the shortlist covers the corpus's deepest near-tie
+    // family ([[derivedRefineFactor]]); a positive value is the explicit
+    // constant override
+    val r =
+      if (refineFactor > 0) refineFactor
+      else derivedRefineFactor(embeddings, m, codes, iters)
     // tie-inclusive cutoff (rank, ordered by adc_dist ALONE): the whole
     // ADC-distance class at the R·k boundary enters the shortlist — see
     // the RefineFactor note for why a strict row_number cutoff caps
@@ -542,7 +658,7 @@ object PQ {
     val sw = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"))
     val short = adcDists(embeddings, nQueries, m, codes, iters)
       .withColumn("srank", rank().over(sw))
-      .filter(col("srank") <= topK * refineFactor)
+      .filter(col("srank") <= lit(topK.toLong * r)) // long: R can be corpus-deep
       .select(col("query_id"), col("neighbor_id"))
     val queries = embeddings
       .filter(col("vec_id") < nQueries && col("embedding").isNotNull &&
@@ -567,12 +683,18 @@ object PQ {
   }
 
   def pqAdcRefineTopKSql(
-      nQueries: Int = 10, topK: Int = 5, refineFactor: Int = RefineFactor,
+      nQueries: Int = 10, topK: Int = 5, refineFactor: Int = 0,
       m: Int = M, codes: Int = Codes, iters: Int = Iters): String =
     s"""WITH short AS (
        |  SELECT query_id, neighbor_id
-       |  FROM (${pqAdcTopKSql(nQueries, topK * refineFactor, m, codes, iters,
-          tieRank = true)})),
+       |  FROM (${
+        if (refineFactor > 0)
+          pqAdcTopKSql(nQueries, topK * refineFactor, m, codes, iters,
+            tieRank = true)
+        else
+          pqAdcTopKSql(nQueries, topK, m, codes, iters,
+            tieRank = true, derivedCutoff = true)
+      })),
        |rr AS (
        |  SELECT s.query_id, s.neighbor_id,
        |    ${Similarity.dotSql("q.embedding", "e.embedding")} AS cosine
@@ -590,7 +712,7 @@ object PQ {
     */
   def pqRefineRecall(
       embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      refineFactor: Int = RefineFactor, m: Int = M, codes: Int = Codes,
+      refineFactor: Int = 0, m: Int = M, codes: Int = Codes,
       iters: Int = Iters): DataFrame =
     graft.ops.Similarity.recallVsTruth(
       graft.ops.Similarity.bruteForceTopK(embeddings, nQueries, k),
@@ -598,7 +720,7 @@ object PQ {
       k)
 
   def pqRefineRecallSql(
-      nQueries: Int = 10, k: Int = 5, refineFactor: Int = RefineFactor,
+      nQueries: Int = 10, k: Int = 5, refineFactor: Int = 0,
       m: Int = M, codes: Int = Codes, iters: Int = Iters): String =
     graft.ops.Similarity.recallSqlFrom(
       graft.ops.Similarity.bruteForceTopKSql(nQueries, k),

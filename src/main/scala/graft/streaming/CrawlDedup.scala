@@ -29,12 +29,18 @@ import graft.sink.Sink
   * the INDEX (one stored-signature pass + one budget window), amortized
   * over `compactEvery` batches.
   *
-  * Semantics note (documented, same as the batch loop): verdicts are
-  * against the index only — two duplicates arriving in the SAME batch
-  * are both kept and both appended (they resolve against each other from
-  * the next batch on). Put [[graft.ops.Dedup.streamingContentDedup]]
-  * upstream to catch exact within-watermark repeats first, as
-  * [[DocIngest]] does.
+  * Same-batch duplicates (r12 — closing the r11 documented limitation):
+  * every micro-batch first resolves WITHIN itself
+  * ([[NearDup.intraBatchDedup]] — exact norm-hash canonicals, then
+  * verified minhash near-dups among the exact survivors), so only
+  * in-batch canonicals face the index and same-batch copies route to the
+  * duplicate sink with `dup_of` at their in-batch canonical. If that
+  * canonical itself turns out to duplicate the index, its dependents keep
+  * pointing AT the canonical — `dup_of` is one hop, follow it
+  * transitively for the ultimate root (the same chain semantics the
+  * keep-list ops document). [[graft.ops.Dedup.streamingContentDedup]]
+  * upstream remains useful to shed exact within-watermark repeats before
+  * they cost shingling at all.
   */
 object CrawlDedup {
 
@@ -68,6 +74,13 @@ object CrawlDedup {
       sink: Sink,
       compactEvery: Int = 0,
       timings: DocIngest.StageTimings = new DocIngest.StageTimings): CrawlBatchMetrics = {
+    // 0. within-batch resolution first (r12): only in-batch canonicals
+    //    face the index; same-batch copies resolve immediately with
+    //    dup_of at their in-batch canonical. intraBatchDedup returns an
+    //    eagerly-pinned frame — the rows feed both the verdict union and
+    //    the routing joins below; unpersisted in the finally.
+    val intra = timings.time("intra_batch")(
+      NearDup.intraBatchDedup(batchDf))
     // one verdict pass, pinned with an EAGER localCheckpoint (not a
     // cache): the loop is a read-modify-write against the index, and a
     // plain cache would be invalidated by Spark's recacheByPath the
@@ -75,8 +88,11 @@ object CrawlDedup {
     // would then re-evaluate verdicts against the already-updated index
     // and route every kept doc as a duplicate of itself. Truncating the
     // lineage makes the batch's verdicts immutable for the whole body.
+    val canon = batchDf.join(
+      intra.filter(col("status") === "kept").select("doc_id"), "doc_id")
     val verdicts = timings.time("verdicts")(
-      NearDup.incrementalDedupAgainstIndex(batchDf, indexPath)
+      NearDup.incrementalDedupAgainstIndex(canon, indexPath)
+        .unionByName(intra.filter(col("status") =!= "kept"))
         .localCheckpoint(true))
     try {
       val counts = verdicts.groupBy("status").count()
@@ -113,6 +129,7 @@ object CrawlDedup {
       CrawlBatchMetrics(batchId, nKept + nExact + nNear, nKept, nExact, nNear, compact)
     } finally {
       verdicts.unpersist()
+      intra.unpersist()
       ()
     }
   }

@@ -160,10 +160,18 @@ class PQSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(df, nQueries = 4, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(full.toSeq == brute.toSeq)
-    // default shortlist: every served neighbor must come from the ADC
-    // shortlist and ranks must be dense from 1 in exact-cosine order
-    val short = PQ.pqAdcTopK(df, nQueries = 4, topK = 3 * PQ.RefineFactor)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default (derived-R) shortlist: every served neighbor must come from
+    // the TIE-INCLUSIVE top-3R ADC shortlist and ranks must be dense from
+    // 1 in exact-cosine order. Recompute the tie-rank cutoff locally from
+    // the full ADC relation (pqAdcTopK's strict row_number list is NOT
+    // the shortlist semantics at tie boundaries).
+    val r = PQ.derivedRefineFactor(df)
+    val short = PQ.pqAdcTopK(df, nQueries = 4, topK = 63)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        val dists = rows.map(_._3).sorted
+        rows.collect { case (_, n, d) if dists.count(_ < d) < 3 * r => (q, n) }
+      }.toSet
     val got = PQ.pqAdcRefineTopK(df, nQueries = 4, topK = 3).collect()
     got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
@@ -171,6 +179,33 @@ class PQSpec extends SparkSpec {
       assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
     }
     assert(got.forall(r => short((r.getLong(0), r.getLong(1)))))
+  }
+
+  test("derivedRefineFactor covers planted clone families and floors at " +
+    "RefineFactor on diverse corpora") {
+    // corpus(64) = 4 pattern classes × 16 near-identical members, each
+    // member differing from its class base in at most ONE jittered
+    // coordinate (→ at most one subspace code) — exactly the near-tie
+    // shape the estimator prices: the Hamming-≤1 neighborhood of a class
+    // tuple holds the whole 16-member family, so R ≥ 16 > the 10 floor
+    val df = corpus(64)
+    val r = PQ.derivedRefineFactor(df)
+    assert(r >= 16 && r <= 64, s"derived R = $r")
+    // a corpus of distinct one-hot axes (no two vectors share a tuple
+    // neighborhood beyond the floor) keeps the floor
+    val axes = (0 until 32).map { i =>
+      (i.toLong, Seq.tabulate(dim)(d => if (d == i % dim) 1.0f + 0.5f * (i / dim) else 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    // families here are ≤ 8 deep (vectors hot in the same subspace), so
+    // the floor binds exactly
+    assert(PQ.derivedRefineFactor(axes) == PQ.RefineFactor)
+    // derived default == explicit override at the same R: the sentinel
+    // only changes where R comes from, not the search
+    val viaDefault = PQ.pqAdcRefineTopK(df, nQueries = 2, topK = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(3))).toSeq
+    val viaExplicit = PQ.pqAdcRefineTopK(df, nQueries = 2, topK = 3, refineFactor = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(3))).toSeq
+    assert(viaDefault == viaExplicit)
   }
 
   test("pq recall: an exactly-representable corpus scores 1.0 per query") {

@@ -49,7 +49,10 @@ class CrawlDedupSpec extends SparkSpec {
       val dup = sink.tables("duplicate_documents")
         .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
       assert(dup(10L) == (("exact_dup", 1L)), dup)
-      assert(dup(11L) == (("near_dup", 1L)), dup)
+      // r12: 10 and 11 arrived in the SAME batch and are near-dups of
+      // each other, so 11 resolves in-batch against 10 (chain 11→10→1)
+      // instead of waiting for the index verdict
+      assert(dup(11L) == (("near_dup", 10L)), dup)
       assert(dup(20L) == (("near_dup", 1L)), dup)  // still matches post-compact
       assert(dup(21L) == (("exact_dup", 12L)), dup) // matches batch-2's kept
       assert(sink.rowCount("accepted_documents") == 3) // 1, 2, 12
@@ -97,6 +100,52 @@ class CrawlDedupSpec extends SparkSpec {
     val v2 = NearDup.incrementalDedupAgainstIndex(docs((5L, base)), dir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(v2 == Set((5L, "exact_dup")), v2)
+  }
+
+  test("same-batch duplicates resolve WITHIN the micro-batch: one " +
+    "survivor, dup_of at the in-batch canonical (r12, closing the r11 " +
+    "documented limitation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawlib").toString
+    CrawlDedup.initIndex(spark, dir)
+    val sink = new InMemorySink
+    // one batch: 10 novel, 11 exact copy of 10 (case/whitespace), 12 near
+    // copy of 10, 20 novel — all arriving TOGETHER
+    val m = CrawlDedup.processBatch(
+      docs((10L, base), (11L, "  " + base.toUpperCase + "  "),
+        (12L, nearBase), (20L, other)),
+      0L, dir, sink)
+    assert(m.nKept == 2 && m.nExactDup == 1 && m.nNearDup == 1, m)
+    val dup = sink.tables("duplicate_documents")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(dup(11L) == (("exact_dup", 10L)), dup)
+    assert(dup(12L) == (("near_dup", 10L)), dup)
+    // only the canonicals entered the index
+    val ix = spark.read.parquet(s"$dir/norm").select("ix_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ix == Set(10L, 20L), ix)
+    // and a later batch's copy resolves against the index canonical
+    val m2 = CrawlDedup.processBatch(docs((30L, base)), 1L, dir, sink)
+    assert(m2.nExactDup == 1 && m2.nKept == 0, m2)
+  }
+
+  test("in-batch dependents keep pointing at their in-batch canonical " +
+    "even when that canonical duplicates the index (one-hop dup_of chain)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawlch").toString
+    CrawlDedup.initIndex(spark, dir)
+    val sink = new InMemorySink
+    CrawlDedup.processBatch(docs((1L, base)), 0L, dir, sink)
+    // batch 1: 10 duplicates index doc 1; 11 is an exact copy of 10
+    val m = CrawlDedup.processBatch(
+      docs((10L, base + " tailA"), (11L, base + " tailA")), 1L, dir, sink)
+    assert(m.nKept == 0 && m.nExactDup == 1 && m.nNearDup == 1, m)
+    val dup = sink.tables("duplicate_documents")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // 10 (in-batch canonical) is a near-dup of index doc 1; 11 resolved
+    // in-batch against 10 — the chain 11 → 10 → 1 is followed hop by hop
+    assert(dup(10L) == (("near_dup", 1L)), dup)
+    assert(dup(11L) == (("exact_dup", 10L)), dup)
+    // nothing entered the index
+    assert(spark.read.parquet(s"$dir/norm").count() == 1)
   }
 
   test("replayed batch is idempotent for ROUTING: a crash between " +
