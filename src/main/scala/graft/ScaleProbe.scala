@@ -368,6 +368,25 @@ object ScaleProbe {
         }
       }
       }
+      // r12 multimodal decade (VERDICT r11 #3/#5): the text stack has
+      // five committed decades; these are the image/video ones. The
+      // scaled doc ids keep the formula-clone structure (ids 768 apart →
+      // identical images/clips), so families are ~mult·docs/768 deep.
+      // EXACT pair relations (image pairs, video containment) have
+      // output quadratic in family depth — measured ≤10× where that is
+      // a bounded row count, exactly like the text pair stages; the
+      // HUB-BUDGETED image keep-list is the production path and must
+      // hold its shape through 50× (edges ≤ budget·members per bucket,
+      // survivors ≤ n by construction).
+      if (mult <= 10) {
+        time(s"$label image_neardup_pairs")(
+          graft.ops.Multimodal.imageNearDups(docs).count())
+        time(s"$label video_neardup_containment")(
+          graft.ops.Multimodal.videoNearDups(docs).count())
+      }
+      if (mult <= 50)
+        time(s"$label image_dedup_keeplist")(
+          graft.ops.Multimodal.imageDedupKeepList(docs).count())
       // r10 VERDICT #3 — the continuous-crawl contract at probe scale:
       // persist the snapshot index ONCE (hub budget baked into bands/ at
       // write time), then run successive 1%-sized batches against the

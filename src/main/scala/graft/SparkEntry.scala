@@ -495,6 +495,21 @@ object SparkEntry {
     // - image dedup without an all-pairs join
     "q113_image_near_dups" -> ((s, dir) =>
       Multimodal.imageNearDups(Tables.documents(s, dir))),
+    // q113's pairs closed into SURVIVORS (hub-budgeted banded candidates
+    // -> components -> min media_id per component) - the image twin of
+    // the q37 text keep-list
+    "q114_image_dedup_keeplist" -> ((s, dir) =>
+      Multimodal.imageDedupKeepList(Tables.documents(s, dir))),
+    // per-keyframe dHash of every DECODED Y4M clip - the video dedup
+    // key; oracle recomputes the luma formula closed-form (decode ->
+    // demux -> hash verified bit-for-bit like q85/q112)
+    "q115_video_frame_dhash" -> ((s, dir) =>
+      Multimodal.videoFrameDHashes(Tables.documents(s, dir))),
+    // directed video near-dup by frame-hash CONTAINMENT (the q66
+    // directed shape over keyframe-hash sets); candidates from the
+    // frame-hash equi-join, never all pairs
+    "q116_video_near_dups" -> ((s, dir) =>
+      Multimodal.videoNearDups(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -815,5 +830,8 @@ object SparkEntry {
     "q111_lsh_band_tuning" -> NearDup.lshBandTuningSql(),
     "q112_image_dhash" -> Multimodal.imageDHashesSql,
     "q113_image_near_dups" -> Multimodal.imageNearDupsSql(),
+    "q114_image_dedup_keeplist" -> Multimodal.imageDedupKeepListSql(),
+    "q115_video_frame_dhash" -> Multimodal.videoFrameDHashesSql(),
+    "q116_video_near_dups" -> Multimodal.videoNearDupsSql(),
   )
 }

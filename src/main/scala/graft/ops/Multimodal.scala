@@ -771,15 +771,22 @@ object Multimodal {
     * the output itself is quadratic — cap with a hub budget upstream if
     * pairs are not the goal (the keep-list ops pattern).
     */
+  /** The 8×8-bit band split of a (dhash_hi, dhash_lo) relation — the
+    * multi-index join key shared by the pair relation, the keep-list and
+    * the streaming image gate.
+    */
+  private[ops] def dhashBands(dh: DataFrame): DataFrame =
+    dh.select(col("media_id"),
+      posexplode(array((0 until DHashBands).map { b =>
+        val src = if (b < 4) col("dhash_lo") else col("dhash_hi")
+        (shiftright(src, (b % 4) * 8) % 256).as(s"b$b")
+      }: _*)).as(Seq("band_idx", "band_val")))
+
   def imageNearDups(documents: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
     val dh = imageDHashes(documents)
       .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
       .cache()
-    val bands = dh.select(col("media_id"),
-        posexplode(array((0 until DHashBands).map { b =>
-          val src = if (b < 4) col("dhash_lo") else col("dhash_hi")
-          (shiftright(src, (b % 4) * 8) % 256).as(s"b$b")
-        }: _*)).as(Seq("band_idx", "band_val")))
+    val bands = dhashBands(dh)
     val cand = bands.toDF("media_a", "band_idx", "band_val")
       .join(bands.toDF("media_b", "band_idx_b", "band_val_b"),
         col("band_idx") === col("band_idx_b") &&
@@ -817,4 +824,255 @@ object Multimodal {
        |WHERE bit_count(xor(da.dhash_hi, db.dhash_hi)) +
        |      bit_count(xor(da.dhash_lo, db.dhash_lo)) <= $maxHamming
        |ORDER BY media_a, media_b""".stripMargin
+
+  /** The deduplicated IMAGE corpus — q113's pairs closed into survivors
+    * (VERDICT r11 #3: production wants a keep-list, not a pair dump):
+    * per perceptual near-dup component only the lowest media_id survives,
+    * via the same O(log n) large-star/small-star machinery the text
+    * keep-lists run ([[NearDup.components]]).
+    *
+    * Unlike the exact pair relation, candidate generation here is
+    * HUB-BUDGETED ([[NearDup.BucketBudget]] smallest media_ids per
+    * (band, value) bucket act as representatives) — the clone-heavy
+    * corpus where a band bucket holds a whole duplicate family is
+    * exactly where the pair relation goes quadratic, while the keep-list
+    * only needs enough edges to connect each family: every bucket member
+    * matches the budget representatives, so components (and therefore
+    * survivors) are EXACTLY those of the unbudgeted join — the same
+    * recall contract the text keep-list spec pins — at
+    * members·budget candidate cost instead of members².
+    */
+  def imageDedupKeepList(
+      documents: DataFrame, maxHamming: Int = MaxHamming,
+      bucketBudget: Int = graft.ops.NearDup.BucketBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dh = imageDHashes(documents).cache()
+    val bands = dhashBands(
+      dh.select(col("media_id"), col("dhash_hi"), col("dhash_lo")))
+    val w = Window.partitionBy("band_idx", "band_val").orderBy("media_id")
+    val hubs = bands
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= bucketBudget)
+      .select(col("media_id").as("media_a"), col("band_idx"), col("band_val"))
+    val cand = bands.toDF("media_b", "band_idx", "band_val")
+      .join(hubs, Seq("band_idx", "band_val"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b").distinct()
+    val pairs = cand
+      .join(dh.select(col("media_id").as("media_a"), col("dhash_hi").as("hi_a"),
+        col("dhash_lo").as("lo_a")), Seq("media_a"))
+      .join(dh.select(col("media_id").as("media_b"), col("dhash_hi").as("hi_b"),
+        col("dhash_lo").as("lo_b")), Seq("media_b"))
+      .filter(expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)")
+        <= maxHamming)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val losers = graft.ops.NearDup.components(pairs)
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id").as("loser_id"))
+    dh.select("media_id", "width", "height")
+      .join(losers, col("media_id") === col("loser_id"), "left_anti")
+      .select("media_id", "width", "height")
+      .orderBy("media_id")
+  }
+
+  def imageDedupKeepListSql(
+      maxHamming: Int = MaxHamming,
+      bucketBudget: Int = graft.ops.NearDup.BucketBudget): String =
+    s"""WITH RECURSIVE $dHashCtesSql,
+       |bands AS (
+       |  SELECT media_id, b.g AS band_idx,
+       |    (CASE WHEN b.g < 4 THEN dhash_lo ELSE dhash_hi END
+       |      // (CAST(1 AS BIGINT) << ((b.g % 4) * 8))) % 256 AS band_val
+       |  FROM dh, LATERAL (SELECT unnest(generate_series(0, ${DHashBands - 1})) AS g) b),
+       |hubs AS (
+       |  SELECT * FROM bands
+       |  QUALIFY row_number() OVER (PARTITION BY band_idx, band_val
+       |    ORDER BY media_id) <= $bucketBudget),
+       |cand AS (
+       |  SELECT DISTINCT h.media_id AS media_a, b.media_id AS media_b
+       |  FROM hubs h JOIN bands b
+       |    ON h.band_idx = b.band_idx AND h.band_val = b.band_val
+       |   AND h.media_id < b.media_id),
+       |pairs AS (
+       |  SELECT media_a, media_b
+       |  FROM cand c
+       |  JOIN dh da ON da.media_id = c.media_a
+       |  JOIN dh db ON db.media_id = c.media_b
+       |  WHERE bit_count(xor(da.dhash_hi, db.dhash_hi)) +
+       |        bit_count(xor(da.dhash_lo, db.dhash_lo)) <= $maxHamming),
+       |edges AS (SELECT media_a AS a, media_b AS b FROM pairs
+       |          UNION SELECT media_b, media_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |label AS (
+       |  SELECT src AS media_id, least(src, min(dst)) AS label
+       |  FROM reach GROUP BY src)
+       |SELECT i.media_id, i.width, i.height
+       |FROM imgs i LEFT JOIN label l ON i.media_id = l.media_id
+       |WHERE l.media_id IS NULL OR l.label = l.media_id
+       |ORDER BY i.media_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Perceptual VIDEO near-dup (r12, VERDICT r11 #5): dHash every sampled
+  // keyframe of the decoded Y4M clips, then define near-duplication by
+  // FRAME-HASH CONTAINMENT — the q66 directed-containment shape over
+  // frame-hash sets (a truncated or re-encoded clip's keyframe hashes
+  // are a subset of the original's). Candidates come from the exact
+  // equi-join on the 64-bit frame hash — the "banded plan": a shared
+  // frame IS the colliding key, no all-pairs join anywhere.
+  // ------------------------------------------------------------------
+
+  /** Per-keyframe perceptual hashes from DECODED Y4M payloads: frame
+    * planes come out of the real container parse
+    * ([[MediaCodec.decodeY4m]]), each sampled plane runs the same
+    * [[dHash64]] grid as still images, and the oracle recomputes the
+    * closed-form luma formula — decode→hash verified bit-for-bit like
+    * q112. `every = 1` hashes every frame (the synthetic clips are 2–7
+    * frames; at production clip lengths pass the keyframe stride).
+    */
+  /** Decode + per-keyframe dHash over an arbitrary media lake — the
+    * [[videoFrameDHashes]] kernel, exposed at the [[MediaRow]] level so
+    * callers (specs planting truncated/re-encoded clips, the streaming
+    * gate) can hash clips that don't come from the documents formula.
+    */
+  def frameDHashesOf(
+      media: Dataset[MediaRow], every: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .flatMap { m =>
+        val v = MediaCodec.decodeY4m(m.content).getOrElse(
+          sys.error(s"undecodable Y4M for media_id=${m.media_id}"))
+        (0 until v.frames.length by every).map { f =>
+          val plane = v.frames(f)
+          val px = new Array[Int](plane.length)
+          var i = 0
+          while (i < plane.length) { px(i) = plane(i) & 0xff; i += 1 }
+          val dh = dHash64(px, v.width, v.height)
+          (m.media_id, f, dh >>> 32, dh & 0xFFFFFFFFL)
+        }
+      }
+      .toDF("media_id", "frame_idx", "dhash_hi", "dhash_lo")
+  }
+
+  def videoFrameDHashes(documents: DataFrame, every: Int = 1): DataFrame =
+    frameDHashesOf(videoCorpus(documents), every)
+      .orderBy("media_id", "frame_idx")
+
+  /** The video dHash CTE chain (vimgs → vframes → vcells → vavgs → vdh):
+    * the image chain with a frame dimension, over the q85 video corpus's
+    * pixel formula.
+    */
+  private def vidDHashCtesSql(every: Int): String =
+    s"""vimgs AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(doc_id % 16 + 8 AS INT) AS width,
+       |    CAST(doc_id % 12 + 8 AS INT) AS height,
+       |    CAST(doc_id % 6 + 2 AS INT) AS n_frames
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |vframes AS (
+       |  SELECT media_id, width, height, CAST(f.g AS INT) AS frame_idx
+       |  FROM vimgs,
+       |    LATERAL (SELECT unnest(generate_series(0, n_frames - 1, $every)) AS g) f),
+       |vcells AS (
+       |  SELECT media_id, frame_idx, width, i.g AS i, j.g AS j,
+       |    (i.g * width) // $DHashCols AS x0,
+       |    GREATEST((i.g * width) // $DHashCols + 1,
+       |             ((i.g + 1) * width) // $DHashCols) AS x1,
+       |    (j.g * height) // $DHashRows AS y0,
+       |    GREATEST((j.g * height) // $DHashRows + 1,
+       |             ((j.g + 1) * height) // $DHashRows) AS y1
+       |  FROM vframes,
+       |    LATERAL (SELECT unnest(generate_series(0, ${DHashCols - 1})) AS g) i,
+       |    LATERAL (SELECT unnest(generate_series(0, ${DHashRows - 1})) AS g) j),
+       |vavgs AS (
+       |  SELECT media_id, frame_idx, i, j,
+       |    CAST(SUM((x.g*31 + y.g*17 + frame_idx*29 + media_id*13) % 256) AS BIGINT)
+       |      // ((x1 - x0) * (y1 - y0)) AS avg
+       |  FROM vcells,
+       |    LATERAL (SELECT unnest(generate_series(x0, x1 - 1)) AS g) x,
+       |    LATERAL (SELECT unnest(generate_series(y0, y1 - 1)) AS g) y
+       |  GROUP BY media_id, frame_idx, i, j, x1, x0, y1, y0),
+       |vdh AS (
+       |  SELECT a.media_id, a.frame_idx,
+       |    CAST(SUM(CASE WHEN a.avg < b.avg AND a.j*8 + a.i >= 32
+       |      THEN (CAST(1 AS BIGINT) << (a.j*8 + a.i - 32)) ELSE 0 END) AS BIGINT)
+       |      AS dhash_hi,
+       |    CAST(SUM(CASE WHEN a.avg < b.avg AND a.j*8 + a.i < 32
+       |      THEN (CAST(1 AS BIGINT) << (a.j*8 + a.i)) ELSE 0 END) AS BIGINT)
+       |      AS dhash_lo
+       |  FROM vavgs a JOIN vavgs b
+       |    ON a.media_id = b.media_id AND a.frame_idx = b.frame_idx
+       |   AND a.j = b.j AND b.i = a.i + 1
+       |  WHERE a.i < ${DHashCols - 1}
+       |  GROUP BY a.media_id, a.frame_idx)""".stripMargin
+
+  def videoFrameDHashesSql(every: Int = 1): String =
+    s"""WITH ${vidDHashCtesSql(every)}
+       |SELECT media_id, frame_idx, dhash_hi, dhash_lo
+       |FROM vdh ORDER BY media_id, frame_idx""".stripMargin
+
+  /** Directed perceptual video near-dup: `video_a` is contained in
+    * `video_b` when ≥ `minContainment` of a's DISTINCT keyframe hashes
+    * appear among b's — truncations, re-encodes and supercuts of the
+    * same footage share frame hashes even when clip-level metadata
+    * differs (the q66 directed-containment semantics lifted from n-gram
+    * sets to frame-hash sets).
+    *
+    * Scale shape: one decode+hash pass per clip (partition-local, the
+    * payload never shuffles), then an equi-join of two (hash → video)
+    * posting relations keyed on the 64-bit hash — candidates are exactly
+    * the clip pairs sharing a frame, never all pairs. The skew regime is
+    * a constant/intro frame shared by everything (a station ident, black
+    * frames): its posting list goes quadratic exactly like a hot shingle
+    * — at corpus scale put the [[NearDup.BucketBudget]] hub pattern or a
+    * frame-df cap in front, the same dial every text posting join here
+    * ships with.
+    */
+  def videoNearDups(
+      documents: DataFrame, minContainment: Double = 0.9,
+      every: Int = 1): DataFrame =
+    videoNearDupsFrom(videoFrameDHashes(documents, every), minContainment)
+
+  /** [[videoNearDups]] over a pre-hashed frame relation
+    * (media_id, dhash_hi, dhash_lo [, …]).
+    */
+  def videoNearDupsFrom(
+      frameHashes: DataFrame, minContainment: Double = 0.9): DataFrame = {
+    val fh = frameHashes
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
+      .distinct()
+      .cache()
+    val counts = fh.groupBy("media_id").agg(count(lit(1)).as("n_hashes"))
+    val shared = fh.toDF("video_a", "dhash_hi", "dhash_lo")
+      .join(fh.toDF("video_b", "dhash_hi", "dhash_lo"), Seq("dhash_hi", "dhash_lo"))
+      .filter(col("video_a") =!= col("video_b"))
+      .groupBy("video_a", "video_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.toDF("video_a", "n_hashes"), Seq("video_a"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_hashes"))
+      .filter(col("containment") >= minContainment)
+      .select("video_a", "video_b", "n_shared", "n_hashes", "containment")
+      .orderBy("video_a", "video_b")
+  }
+
+  def videoNearDupsSql(
+      minContainment: Double = 0.9, every: Int = 1): String =
+    s"""WITH ${vidDHashCtesSql(every)},
+       |fh AS (SELECT DISTINCT media_id, dhash_hi, dhash_lo FROM vdh),
+       |counts AS (SELECT media_id, COUNT(*) AS n_hashes FROM fh GROUP BY media_id),
+       |shared AS (
+       |  SELECT a.media_id AS video_a, b.media_id AS video_b,
+       |    COUNT(*) AS n_shared
+       |  FROM fh a JOIN fh b
+       |    ON a.dhash_hi = b.dhash_hi AND a.dhash_lo = b.dhash_lo
+       |   AND a.media_id <> b.media_id
+       |  GROUP BY 1, 2)
+       |SELECT s.video_a, s.video_b, s.n_shared, c.n_hashes,
+       |  CAST(s.n_shared AS DOUBLE) / c.n_hashes AS containment
+       |FROM shared s JOIN counts c ON s.video_a = c.media_id
+       |WHERE CAST(s.n_shared AS DOUBLE) / c.n_hashes >= $minContainment
+       |ORDER BY video_a, video_b""".stripMargin
 }

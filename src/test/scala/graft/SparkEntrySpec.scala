@@ -26,7 +26,13 @@ class SparkEntrySpec extends SparkSpec {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, dir).count()
     }
-    val empty = counts.filter(_._2 == 0).keySet -- Set("q02_dead_letter")
+    // q116: identical-video families need doc ids ≥ 768 apart (the Y4M
+    // corpus formula repeats mod lcm(256,16,12,6) = 768), so the tiny
+    // samples legitimately hold zero containment pairs — the sf0.1 bench
+    // corpus measures 9,240 pairs and MultimodalSpec plants truncated /
+    // re-encoded clips for the value semantics.
+    val mayBeEmpty = Set("q02_dead_letter", "q116_video_near_dups")
+    val empty = counts.filter(_._2 == 0).keySet -- mayBeEmpty
     assert(empty.isEmpty, s"unexpectedly empty queries: $empty")
   }
 }

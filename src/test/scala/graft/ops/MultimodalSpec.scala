@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -198,5 +199,69 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
     assert(got.map(t => (t._1, t._2, t._3.toInt)) ==
       brute.map(t => (t._1, t._2, t._3)), s"banded $got vs brute $brute")
+  }
+
+  test("image keep-list: survivors are exactly the min of each " +
+    "banded-Hamming component (union-find reference); hub budget = 1 " +
+    "keeps the same survivors") {
+    // ids 768 apart share (width, height, pixel formula mod 256) →
+    // identical images → hamming 0: {0, 768, 1536} and {3, 771} are
+    // planted clone families; remaining ids pair only if dHash happens
+    // to land within the radius (the union-find reference decides)
+    val ids = Seq(0L, 3L, 6L, 9L, 12L, 768L, 1536L, 771L)
+    val df = docs(ids.map(i => (i, s"t$i")): _*)
+    val pairs = Multimodal.imageNearDups(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet.contains((0L, 768L)) && pairs.toSet.contains((3L, 771L)))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.filter(i => find(i) == i).toSet
+    val got = Multimodal.imageDedupKeepList(df)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // recall contract: every bucket member matches the budget
+    // representative, so components — and survivors — are unchanged at
+    // budget 1 (the q37 hub-budget contract, image edition)
+    val gotB1 = Multimodal.imageDedupKeepList(df, bucketBudget = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotB1 == expected, s"budget-1 $gotB1 expected $expected")
+  }
+
+  test("video frame dHashes: decode → demux → per-frame hash matches the " +
+    "pixel formula; containment resolves truncated and re-encoded clips " +
+    "against the original, not unrelated footage") {
+    import Multimodal.{MediaRow, MediaCodec}
+    val (w, h) = (16, 12)
+    // frame content varies STRUCTURALLY with f (wrap-dense gradient
+    // whose phase shifts per frame), so each frame gets its own dHash —
+    // a constant brightness shift per frame would collapse all frames
+    // to one hash by design (dHash is shift-invariant)
+    def px(f: Int)(x: Int, y: Int) = ((x + 16 * f) * 73 + y * 17) % 251
+    def clip(id: Long, n: Int, p: Int => (Int, Int) => Int) = MediaRow(
+      id, "video", "y4m", w, h,
+      MediaCodec.encodeY4m(w, h, n, (f, x, y) => p(f)(x, y)))
+    val full = clip(1L, 6, px)       // the original
+    val trunc = clip(2L, 3, px)      // first half of the original
+    val reenc = clip(3L, 6, px)      // bit-identical re-encode
+    val other = clip(4L, 6, f => (x, y) => (250 - x * 13 + y * 29 + f * 5).abs % 256)
+    val fh = Multimodal.frameDHashesOf(
+      Seq(full, trunc, reenc, other).toDS())
+    // the containment denominators are only meaningful if the planted
+    // frames actually hash distinctly
+    val fullDistinct = fh.filter(col("media_id") === 1L)
+      .select("dhash_hi", "dhash_lo").distinct().count()
+    assert(fullDistinct == 6L, s"full clip has $fullDistinct distinct hashes")
+    val got = Multimodal.videoNearDupsFrom(fh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    // trunc ⊆ full and ⊆ reenc (containment 1.0, DIRECTED — the full
+    // clip is NOT contained in its half); full ↔ reenc both ways;
+    // `other` appears nowhere
+    assert(got == Set(
+      (2L, 1L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0), (3L, 1L, 1.0)), got)
   }
 }
