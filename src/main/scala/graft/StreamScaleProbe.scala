@@ -372,6 +372,84 @@ object StreamScaleProbe {
       }
     }
 
+    // ---- probe 4d: streaming MEDIA ingest (r12, VERDICT r11 #6) ----------
+    // The image branch at probe volume: real 24×16 PNGs in duplicate
+    // waves of 5 (wave head canonical, the rest exact copies) plus audio
+    // passthrough and corrupt dead-letter rows, drained through the
+    // declared-kind gate → decode/dHash → persisted-signature verdicts →
+    // write-back loop. Per-stage timings land in the artifact; per-batch
+    // seconds must stay flat (each batch = one decode pass + batch-sized
+    // joins against a streaming scan of the signature index).
+    locally {
+      import spark.implicits._
+      val mediaPath = s"$out/media"
+      val mediaMult = math.max(5, docMult / 5) // 40 at the default docMult
+      if (!new java.io.File(s"$mediaPath/_SUCCESS").exists()) {
+        graft.sources.Tables.documents(spark, base).select(col("doc_id"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(mediaMult - 1))).as("k"))
+          .select((col("doc_id") * mediaMult + col("k")).as("media_id"),
+            (col("doc_id") * mediaMult + col("k") - pmod(col("k"), lit(5)))
+              .as("variant"),
+            pmod(col("doc_id") * mediaMult + col("k"), lit(41)).as("cls"))
+          .repartitionByRange(Files, col("media_id"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, v, cls) =>
+              if (cls == 40L) (id, "image", "not a png".getBytes) // dead-letter
+              else if (cls >= 37L) (id, "audio", Array[Byte](1, 2, 3))
+              else (id, "image", graft.ops.Multimodal.MediaCodec.encodePng(
+                24, 16,
+                // wrap-dense gradient whose phase AND slope derive from
+                // the wave variant: distinct variants hash far apart
+                // (structure changes), wave members hash identical
+                (x, y) => ((x + (v % 97).toInt) * (73 + ((v / 97) % 89).toInt)
+                  + y * 17) % 251))
+            }
+          }
+          .toDF("media_id", "kind", "content")
+          .write.mode("overwrite").parquet(mediaPath)
+        val fs = new java.io.File(mediaPath).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val t0 = System.currentTimeMillis() - fs.length * 2000L
+        fs.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+      }
+      val mediaSchema = spark.read.parquet(mediaPath).schema
+      val nMedia = spark.read.parquet(mediaPath).count()
+      val ixPath = s"$out/media-index"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ixPath))
+      graft.streaming.MediaIngest.initIndex(spark, ixPath)
+      val sink = new CountingSink
+      val timings = new DocIngest.StageTimings
+      val perBatch = scala.collection.mutable.ArrayBuffer[(graft.streaming.MediaIngest.MediaBatchMetrics, Double)]()
+      var lastT = System.nanoTime()
+      def mediaInfo: Option[String] = {
+        val stages = timings.snapshot.map {
+          case (stage, c, s) => f""""$stage": {"batches": $c, "sec": $s%.2f}"""
+        }.mkString("{", ", ", "}")
+        val batches = perBatch.map { case (m, s) =>
+          f"""{"batch": ${m.batchId}, "n_in": ${m.nIn}, "images": ${m.nImages}, "kept": ${m.nAccepted - m.nPassthrough}, "exact_dup": ${m.nExactDup}, "near_dup": ${m.nNearDup}, "decode_err": ${m.nDecodeErr}, "sec": $s%.2f}"""
+        }.mkString("[", ", ", "]")
+        val ixRows = spark.read.parquet(s"$ixPath/sig").count()
+        Some(s"""{"stages": $stages, "batches": $batches, "index_rows": $ixRows}""")
+      }
+      results += runProbe("media_ingest",
+        () => sink.counts("accepted_media") + sink.counts("duplicate_media") +
+          sink.counts("rejected_media"),
+        expectedInput = nMedia, info = () => mediaInfo) {
+        graft.streaming.MediaIngest.start(spark,
+          spark.readStream.schema(mediaSchema)
+            .option("maxFilesPerTrigger", Files / 10).parquet(mediaPath),
+          ckpt("media"), ixPath, sink,
+          trigger = Some(Trigger.AvailableNow()), timings = timings,
+          metricsOut = { m =>
+            val now = System.nanoTime()
+            perBatch += ((m, (now - lastT) / 1e9))
+            lastT = now
+          })
+      }
+    }
+
     // ---- probe 5: checkpoint kill + restart recovery ---------------------
     // The D4 claim at probe volume: run the RocksDB+changelog watermarked
     // dedup to completion for a baseline fingerprint, then re-run against a

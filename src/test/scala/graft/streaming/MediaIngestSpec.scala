@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Multimodal
+import graft.ops.Multimodal.MediaCodec
+import graft.sink.InMemorySink
+import org.apache.spark.sql.functions._
+
+/** The streaming media-ingest branch: declared-kind gate, real PNG
+  * decode → dHash, verdicts against the persisted signature index with
+  * write-back, dead-letter routing for undecodable payloads, same-batch
+  * resolution, and replay idempotency.
+  */
+class MediaIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // bounded < 199 so a +10 brightness shift never wraps → dHash-identical
+  private def baseF(x: Int, y: Int) = (x * 31 + y * 17) % 199
+  private def shiftF(x: Int, y: Int) = baseF(x, y) + 10
+  // invert a corner block: flips a few gradient bits (near-dup radius)
+  private def nearF(x: Int, y: Int) =
+    if (x < 3 && y < 2) 198 - baseF(x, y) else baseF(x, y)
+  // descending-x gradient: opposite bit pattern, far outside the radius
+  private def otherF(x: Int, y: Int) = (200 - x * 8 + y * 3).abs % 199
+  private def thirdF(x: Int, y: Int) = (x * 7 + y * 51) % 199
+
+  private def png(f: (Int, Int) => Int) = MediaCodec.encodePng(24, 16, f)
+
+  private def mediaDf(rows: (Long, String, Array[Byte])*) =
+    rows.toDF("media_id", "kind", "content")
+
+  private def hashOf(f: (Int, Int) => Int): (Long, Long) = {
+    val r = Multimodal.hashImageBatch(mediaDf((0L, "image", png(f)))).head()
+    (r.getLong(2), r.getLong(3))
+  }
+
+  test("planted geometry: shift is hash-identical, corner inversion is " +
+    "within the near radius, opposite gradient is far outside it") {
+    val (bh, bl) = hashOf(baseF)
+    assert(hashOf(shiftF) == ((bh, bl)))
+    val (nh, nl) = hashOf(nearF)
+    val dNear = java.lang.Long.bitCount(bh ^ nh) + java.lang.Long.bitCount(bl ^ nl)
+    assert(dNear >= 1 && dNear <= Multimodal.MaxHamming, s"near hamming $dNear")
+    val (oh, ol) = hashOf(otherF)
+    val dOther = java.lang.Long.bitCount(bh ^ oh) + java.lang.Long.bitCount(bl ^ ol)
+    assert(dOther > Multimodal.MaxHamming, s"other hamming $dOther")
+  }
+
+  test("media ingest end-to-end: kind gate, decode dead-letter, cross-" +
+    "batch image dedup against the persisted signature index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediaix").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    // batch 0: two distinct images, one audio passthrough, one corrupt
+    val m0 = MediaIngest.processBatch(
+      mediaDf((1L, "image", png(baseF)), (2L, "image", png(otherF)),
+        (3L, "audio", Array[Byte](1, 2, 3)),
+        (4L, "image", "not a png".getBytes)),
+      0L, dir, sink)
+    assert(m0.nImages == 3 && m0.nPassthrough == 1 && m0.nDecodeErr == 1 &&
+      m0.nExactDup == 0 && m0.nNearDup == 0 && m0.nAccepted == 3, m0)
+    assert(sink.tables("accepted_media").map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    assert(sink.tables("rejected_media").map(r =>
+      (r.getLong(0), r.getString(1))).toSet == Set((4L, "decode_error")))
+    // batch 1: exact re-encode of 1, brightness-shifted copy of 1 (same
+    // hash by design), corner-inverted near-dup of 1, one novel image
+    val m1 = MediaIngest.processBatch(
+      mediaDf((10L, "image", png(baseF)), (11L, "image", png(shiftF)),
+        (12L, "image", png(nearF)), (13L, "image", png(thirdF))),
+      1L, dir, sink)
+    assert(m1.nExactDup == 2 && m1.nNearDup == 1 && m1.nAccepted == 1, m1)
+    val dup = sink.tables("duplicate_media")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(dup(10L) == (("exact_dup", 1L)), dup)
+    // 10 and 11 share a hash and arrived TOGETHER: 11 resolves in-batch
+    // against 10 (one-hop chain 11 → 10 → 1)
+    assert(dup(11L) == (("exact_dup", 10L)), dup)
+    // 12 is ALSO in batch 1: its smallest in-batch verified partner is 10
+    // (chain 12 → 10 → 1), same one-hop semantics as the text loop
+    assert(dup(12L) == (("near_dup", 10L)), dup)
+    // the index holds exactly the kept signatures
+    val ix = spark.read.parquet(s"$dir/sig").select("ix_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ix == Set(1L, 2L, 13L), ix)
+  }
+
+  test("replayed media batch is idempotent for routing: kept images " +
+    "re-verdict kept against their own appended signatures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediarp").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    val b0 = mediaDf((1L, "image", png(baseF)), (2L, "image", png(otherF)))
+    val first = MediaIngest.processBatch(b0, 0L, dir, sink)
+    assert(first.nAccepted == 2)
+    val replay = MediaIngest.processBatch(b0, 0L, dir, sink)
+    assert(replay.nExactDup == 0 && replay.nNearDup == 0 &&
+      replay.nAccepted == 2, replay)
+  }
+
+  test("streaming wrapper drains batches through the gate with metrics " +
+    "(MemoryStream end-to-end)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediasx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mediasc").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    val metrics = scala.collection.mutable.ArrayBuffer[MediaIngest.MediaBatchMetrics]()
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val q = MediaIngest.start(spark,
+      mem.toDF().toDF("media_id", "kind", "content"),
+      ckpt, dir, sink, metricsOut = metrics += _)
+    try {
+      mem.addData((1L, "image", png(baseF)), (2L, "video", Array[Byte](9)))
+      q.processAllAvailable()
+      assert(metrics.last.nAccepted == 2 && metrics.last.nPassthrough == 1)
+      mem.addData((10L, "image", png(shiftF))) // cross-batch dup by hash
+      q.processAllAvailable()
+      assert(metrics.last.nExactDup == 1 && metrics.last.nAccepted == 0,
+        metrics.last)
+    } finally q.stop()
+  }
+}
