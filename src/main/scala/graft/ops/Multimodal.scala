@@ -775,7 +775,7 @@ object Multimodal {
     * multi-index join key shared by the pair relation, the keep-list and
     * the streaming image gate.
     */
-  private[ops] def dhashBands(dh: DataFrame): DataFrame =
+  private[graft] def dhashBands(dh: DataFrame): DataFrame =
     dh.select(col("media_id"),
       posexplode(array((0 until DHashBands).map { b =>
         val src = if (b < 4) col("dhash_lo") else col("dhash_hi")

@@ -334,4 +334,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(shingle"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("image near-dup pairs (q113) and video containment (q116) build " +
+    "candidates through equi-joins only — no nested loop, no cartesian") {
+    for (q <- Seq("q113_image_near_dups", "q116_video_near_dups")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("image keep-list (q114): the shipped plan is the anti-join against " +
+    "the (eagerly-computed) component labels — no nested loop anywhere. " +
+    "(The hub-budget WindowGroupLimit runs inside components()' eager " +
+    "construction and is pinned by the hub-candidate test below.)") {
+    val p = plan("q114_image_dedup_keeplist")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("image hub candidates rank-limit map-side (WindowGroupLimit), the " +
+    "q24-family contract for the banded Hamming buckets") {
+    import spark.implicits._
+    val dh = (1L to 40L).map(i => (i, i * 37 % 251, i * 91 % 251))
+      .toDF("media_id", "dhash_hi", "dhash_lo")
+    // the same hub selection imageDedupKeepList applies before components
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_val").orderBy("media_id")
+    val hubs = graft.ops.Multimodal.dhashBands(dh)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("rk") <= 2)
+    assert(hubs.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      hubs.queryExecution.executedPlan.toString)
+  }
+
+  test("media ingest index verdicts (image incremental) carry NO window " +
+    "and no index-sized sort in the per-batch plan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-imixplan").toString
+    import spark.implicits._
+    val hashes = (1L to 20L).map(i => (i, i * 37 % 251, i * 91 % 251))
+      .toDF("media_id", "dhash_hi", "dhash_lo")
+    graft.ops.Multimodal.writeImageSigIndex(hashes, tmp)
+    val batch = Seq((101L, 37L, 91L)).toDF("media_id", "dhash_hi", "dhash_lo")
+    val p = graft.ops.Multimodal.incrementalImageDedupAgainstIndex(batch, tmp)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
