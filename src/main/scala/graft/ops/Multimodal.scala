@@ -836,11 +836,18 @@ object Multimodal {
     * (band, value) bucket act as representatives) — the clone-heavy
     * corpus where a band bucket holds a whole duplicate family is
     * exactly where the pair relation goes quadratic, while the keep-list
-    * only needs enough edges to connect each family: every bucket member
-    * matches the budget representatives, so components (and therefore
-    * survivors) are EXACTLY those of the unbudgeted join — the same
-    * recall contract the text keep-list spec pins — at
-    * members·budget candidate cost instead of members².
+    * only needs enough edges to connect each family. In that motivating
+    * hot case the bucket is one near-identical family, every member
+    * matches the representatives, and components (hence survivors) equal
+    * the unbudgeted join's at members·budget candidate cost instead of
+    * members². Like the text side's [[NearDup.BucketBudget]], this is
+    * still an explicit RECALL budget, not a theorem: a mixed bucket
+    * whose `budget` smallest ids all belong to a DIFFERENT family can
+    * drop the only edge linking two same-family members (they stay
+    * connected only if some shared bucket's representatives reach them),
+    * and the budget=1 == unbudgeted spec pin certifies the clone-family
+    * regime, not adversarial mixtures — the oracle SQL carries the same
+    * hubs cutoff, so cross-engine correctness holds on any corpus.
     */
   def imageDedupKeepList(
       documents: DataFrame, maxHamming: Int = MaxHamming,
