@@ -8,7 +8,7 @@ oracle_sql.json entry in DuckDB over the sfDir tables, and diffs:
 row count, column names, and cell values (exact for ints/strings/bools,
 bitwise for floats — we engineered queries to be bit-identical).
 """
-import json, sys, glob, os
+import json, sys, glob, os, re
 import duckdb
 import pandas as pd
 import numpy as np
@@ -67,8 +67,21 @@ def cached_oracle(name, sql):
         if os.path.exists(key):
             print(f"  [oracle cache hit: {name}]")
             return con.execute(f"SELECT * FROM parquet_scan('{key}')").df(), None
+    # ORACLE_MATERIALIZE=1: execute with `AS MATERIALIZED` on every CTE —
+    # a pure DuckDB execution hint, semantics unchanged (the cache key
+    # stays the ORIGINAL sql). Without it DuckDB re-inlines shared CTE
+    # chains per reference (the PQ oracles' 8-subspace kmeans pipeline
+    # appears ~16x through the rfac UNION-ALL branches), turning an
+    # ~8-min sf1 oracle into a >100GB spill that exhausts the disk.
+    # Measured r12 at sf1: q110 47s hinted vs ENOSPC death unhinted.
+    # Opt-in (not default) so the driver-equivalent plain path stays the
+    # reference behavior; recursive CTEs are never hinted (DuckDB
+    # rejects the combination).
+    run_sql = sql
+    if os.environ.get("ORACLE_MATERIALIZE") and "RECURSIVE" not in sql:
+        run_sql = re.sub(r"\b(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
     try:
-        rel = con.sql(sql)
+        rel = con.sql(run_sql)
         # HUGEINT (e.g. SUM over BIGINT) survives str-compare here but the
         # driver hashes typed cells → r03 q58 false-red. Fail it locally.
         huge = [c for c, t in zip(rel.columns, rel.types) if str(t) == "HUGEINT"]
