@@ -1060,13 +1060,21 @@ object Multimodal {
     * routing contract as [[NearDup.incrementalDedupAgainstIndex]].
     * Every join's small side is the batch; the index relations are
     * streamed, never shuffled.
+    *
+    * `batchHashes` should be PINNED by the caller (eager
+    * `localCheckpoint`, as [[graft.streaming.MediaIngest.processBatch]]
+    * does) — the verdict plan reads it several times AND the caller
+    * appends to `path` afterwards (the read-modify-write recache
+    * hazard). No cache is taken here: a per-batch `.cache()` in a
+    * streaming loop leaks one cached frame per micro-batch unless every
+    * caller unpersists, and pinned inputs make it redundant.
     */
   def incrementalImageDedupAgainstIndex(
       batchHashes: DataFrame, path: String,
       maxHamming: Int = MaxHamming): DataFrame = {
     val spark = batchHashes.sparkSession
     val batch = batchHashes
-      .select(col("media_id"), col("dhash_hi"), col("dhash_lo")).cache()
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
     val ixSig = spark.read.parquet(s"$path/sig")
     val ixBands = spark.read.parquet(s"$path/bands")
     val exact = batch

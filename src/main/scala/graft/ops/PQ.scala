@@ -539,10 +539,31 @@ object PQ {
     * [[KMeans.trainedModel]]'s registry: the factor is deterministic in
     * (corpus plan, m, codes, iters), one small int, so memoization can
     * only skip repeated histogram jobs, never change a result.
+    *
+    * Bounded LRU, not an unbounded map: the key retains the full
+    * canonicalized logical plan (and through `LogicalRelation`, file-index
+    * state), so a long-lived session querying many distinct corpora would
+    * otherwise accumulate analyzed plans forever. 32 entries covers any
+    * realistic number of concurrently-served corpora while keeping
+    * retention O(1).
+    *
+    * Same-plan-same-data assumption (shared with [[KMeans.trainedModel]]):
+    * a memo hit requires plan identity, and the memo assumes the files
+    * under that plan are immutable for the session — re-writing a parquet
+    * path IN-SESSION and re-deriving from a reused DataFrame object would
+    * serve the stale R (as it would serve KMeans' stale centroids).
+    * Corpus snapshots here are immutable paths; new snapshot = new path =
+    * new plan = fresh derivation.
     */
-  private val refineCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
-    Int]()
+  private val refineCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
+      Int](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             Int, Int, Int), Int]): Boolean = size() > 32
+    })
 
   /** CORPUS-DERIVED refine factor — the `derivedDfCap`/`tuneBandsRows`
     * pattern applied to PQ serving (VERDICT r11 #2): estimate the deepest

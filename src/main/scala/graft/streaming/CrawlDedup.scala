@@ -34,11 +34,13 @@ import graft.sink.Sink
   * ([[NearDup.intraBatchDedup]] — exact norm-hash canonicals, then
   * verified minhash near-dups among the exact survivors), so only
   * in-batch canonicals face the index and same-batch copies route to the
-  * duplicate sink with `dup_of` at their in-batch canonical. If that
-  * canonical itself turns out to duplicate the index, its dependents keep
-  * pointing AT the canonical — `dup_of` is one hop, follow it
-  * transitively for the ultimate root (the same chain semantics the
-  * keep-list ops document). [[graft.ops.Dedup.streamingContentDedup]]
+  * duplicate sink with `dup_of` at the chain's ROOT (r13, ADVICE r12):
+  * if a copy's in-batch canonical itself duplicates the index, the
+  * sinked `dup_of` is resolved through the chain
+  * ([[NearDup.resolveDupRoots]] — pointer-jumping over the batch-sized
+  * verdicts), so duplicate-sink consumers never chain-follow; `status`
+  * still records the verdict that dropped the doc.
+  * [[graft.ops.Dedup.streamingContentDedup]]
   * upstream remains useful to shed exact within-watermark repeats before
   * they cost shingling at all.
   */
@@ -90,10 +92,18 @@ object CrawlDedup {
     // lineage makes the batch's verdicts immutable for the whole body.
     val canon = batchDf.join(
       intra.filter(col("status") === "kept").select("doc_id"), "doc_id")
+    // dup_of resolved to the ROOT canonical before anything downstream
+    // sees it (ADVICE r12): intraBatchDedup's one-hop pointers would
+    // otherwise surface chains (C→B with B itself a duplicate) in the
+    // duplicate sink. Resolution re-points dup_of only — doc_id/status
+    // partitions are unchanged, so counts and routing joins read the
+    // same resolved frame.
     val verdicts = timings.time("verdicts")(
-      NearDup.incrementalDedupAgainstIndex(canon, indexPath)
-        .unionByName(intra.filter(col("status") =!= "kept"))
-        .localCheckpoint(true))
+      NearDup.resolveDupRoots(
+        NearDup.incrementalDedupAgainstIndex(canon, indexPath)
+          .unionByName(intra.filter(col("status") =!= "kept"))
+          .localCheckpoint(true),
+        freeInput = true))
     try {
       val counts = verdicts.groupBy("status").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -85,10 +85,15 @@ object MediaIngest {
         Multimodal.intraBatchImageDedup(hashed.filter(col("decoded"))))
       val canonHashes = hashed.filter(col("decoded")).join(
         intra.filter(col("status") === "kept").select("media_id"), "media_id")
+      // dup_of resolved to the ROOT canonical (ADVICE r12 — see
+      // CrawlDedup.processBatch): one-hop in-batch pointers re-pointed at
+      // the doc nothing marks duplicate, statuses unchanged
       val verdicts = timings.time("verdicts")(
-        try Multimodal.incrementalImageDedupAgainstIndex(canonHashes, indexPath)
-          .unionByName(intra.filter(col("status") =!= "kept"))
-          .localCheckpoint(true)
+        try graft.ops.NearDup.resolveDupRoots(
+          Multimodal.incrementalImageDedupAgainstIndex(canonHashes, indexPath)
+            .unionByName(intra.filter(col("status") =!= "kept"))
+            .localCheckpoint(true),
+          idCol = "media_id", freeInput = true)
         finally intra.unpersist())
       try {
         val counts = verdicts.groupBy("status").count()

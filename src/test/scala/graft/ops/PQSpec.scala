@@ -166,7 +166,11 @@ class PQSpec extends SparkSpec {
     // the full ADC relation (pqAdcTopK's strict row_number list is NOT
     // the shortlist semantics at tie boundaries).
     val r = PQ.derivedRefineFactor(df)
-    val short = PQ.pqAdcTopK(df, nQueries = 4, topK = 63)
+    // topK = 64 = |corpus|: the local tie-rank recomputation below must
+    // see EVERY ADC row — a strict row_number top-63 would drop the 64th
+    // and make the containment assert spuriously fail if the derived R
+    // ever reaches 22 (3R >= 64 ⇒ tie-inclusive shortlist = whole corpus)
+    val short = PQ.pqAdcTopK(df, nQueries = 4, topK = 64)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
       .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
         val dists = rows.map(_._3).sorted

@@ -782,4 +782,25 @@ class TextNearDupSpec extends SparkSpec {
       assert(jobs.get() > 0)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("resolveDupRoots re-points chains of any depth at the root; " +
+    "index-side and kept targets pass through") {
+    import spark.implicits._
+    // 5→4→3→2→1 (depth 4: pointer-jumping needs 2 rounds), 7→6 with 6
+    // kept, 9→100 where 100 is absent from the relation (an index doc —
+    // already a root), statuses preserved verbatim
+    val v = Seq(
+      (1L, "kept", None), (2L, "near_dup", Some(1L)),
+      (3L, "exact_dup", Some(2L)), (4L, "near_dup", Some(3L)),
+      (5L, "exact_dup", Some(4L)), (6L, "kept", None),
+      (7L, "near_dup", Some(6L)), (9L, "exact_dup", Some(100L)))
+      .toDF("doc_id", "status", "dup_of")
+    val r = NearDup.resolveDupRoots(v.localCheckpoint(true))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), if (x.isNullAt(2)) -1L else x.getLong(2)))).toMap
+    assert(r(2L) == (("near_dup", 1L)) && r(3L) == (("exact_dup", 1L)) &&
+      r(4L) == (("near_dup", 1L)) && r(5L) == (("exact_dup", 1L)), r)
+    assert(r(7L) == (("near_dup", 6L)) && r(9L) == (("exact_dup", 100L)), r)
+    assert(r(1L) == (("kept", -1L)) && r(6L) == (("kept", -1L)), r)
+  }
 }

@@ -50,9 +50,10 @@ class CrawlDedupSpec extends SparkSpec {
         .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
       assert(dup(10L) == (("exact_dup", 1L)), dup)
       // r12: 10 and 11 arrived in the SAME batch and are near-dups of
-      // each other, so 11 resolves in-batch against 10 (chain 11→10→1)
-      // instead of waiting for the index verdict
-      assert(dup(11L) == (("near_dup", 10L)), dup)
+      // each other, so 11 resolves in-batch against 10; r13 (ADVICE):
+      // the sinked dup_of is the ROOT of the chain 11→10→1, not the
+      // one-hop pointer — consumers never chain-follow
+      assert(dup(11L) == (("near_dup", 1L)), dup)
       assert(dup(20L) == (("near_dup", 1L)), dup)  // still matches post-compact
       assert(dup(21L) == (("exact_dup", 12L)), dup) // matches batch-2's kept
       assert(sink.rowCount("accepted_documents") == 3) // 1, 2, 12
@@ -128,8 +129,8 @@ class CrawlDedupSpec extends SparkSpec {
     assert(m2.nExactDup == 1 && m2.nKept == 0, m2)
   }
 
-  test("in-batch dependents keep pointing at their in-batch canonical " +
-    "even when that canonical duplicates the index (one-hop dup_of chain)") {
+  test("in-batch dependents resolve dup_of to the ROOT canonical even " +
+    "when their in-batch canonical itself duplicates the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crawlch").toString
     CrawlDedup.initIndex(spark, dir)
     val sink = new InMemorySink
@@ -141,9 +142,11 @@ class CrawlDedupSpec extends SparkSpec {
     val dup = sink.tables("duplicate_documents")
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     // 10 (in-batch canonical) is a near-dup of index doc 1; 11 resolved
-    // in-batch against 10 — the chain 11 → 10 → 1 is followed hop by hop
+    // in-batch against 10, and the SINKED dup_of is the chain's root
+    // (11 → 10 → 1 ⇒ 1) while status still records WHY 11 was dropped
+    // (exact copy of its in-batch canonical)
     assert(dup(10L) == (("near_dup", 1L)), dup)
-    assert(dup(11L) == (("exact_dup", 10L)), dup)
+    assert(dup(11L) == (("exact_dup", 1L)), dup)
     // nothing entered the index
     assert(spark.read.parquet(s"$dir/norm").count() == 1)
   }

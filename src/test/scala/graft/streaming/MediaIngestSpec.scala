@@ -74,11 +74,12 @@ class MediaIngestSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(dup(10L) == (("exact_dup", 1L)), dup)
     // 10 and 11 share a hash and arrived TOGETHER: 11 resolves in-batch
-    // against 10 (one-hop chain 11 → 10 → 1)
-    assert(dup(11L) == (("exact_dup", 10L)), dup)
+    // against 10, and the SINKED dup_of is the chain's root (11 → 10 → 1
+    // ⇒ 1) — r13 root resolution, same contract as the text loop
+    assert(dup(11L) == (("exact_dup", 1L)), dup)
     // 12 is ALSO in batch 1: its smallest in-batch verified partner is 10
-    // (chain 12 → 10 → 1), same one-hop semantics as the text loop
-    assert(dup(12L) == (("near_dup", 10L)), dup)
+    // (chain 12 → 10 → 1 ⇒ root 1)
+    assert(dup(12L) == (("near_dup", 1L)), dup)
     // the index holds exactly the kept signatures
     val ix = spark.read.parquet(s"$dir/sig").select("ix_id")
       .collect().map(_.getLong(0)).toSet

@@ -57,6 +57,70 @@ def data_fingerprint():
         _fp = ";".join(parts)
     return _fp
 
+def materialize_ctes(sql):
+    """Rewrite `name AS (` to `name AS MATERIALIZED (` ONLY at CTE
+    positions — names preceded by WITH, or by a comma at the owning WITH
+    clause's paren depth. Nested WITH clauses (a CTE body containing its
+    own WITH) get their own scope on a stack, so their CTEs are hinted
+    too — the PQ oracles nest the kmeans pipeline this way. A blind regex
+    would also rewrite a matching token sequence inside a string literal
+    or a non-CTE alias (ADVICE r12); here string literals are copied
+    verbatim and words at non-CTE positions are left untouched."""
+    out = []
+    i, n = 0, len(sql)
+    depth = 0
+    scopes = []  # [(base_depth, expect_cte)] — one per open WITH clause
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal; '' escapes
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1]); i = j + 1; continue
+        if c == '-' and i + 1 < n and sql[i + 1] == '-':  # line comment
+            j = sql.find('\n', i)
+            j = n if j < 0 else j
+            out.append(sql[i:j]); i = j; continue
+        if c == '(':
+            depth += 1; out.append(c); i += 1; continue
+        if c == ')':
+            depth -= 1
+            while scopes and depth < scopes[-1][0]:
+                scopes.pop()  # the enclosing paren of a nested WITH closed
+            out.append(c); i += 1; continue
+        if c == ',' and scopes and depth == scopes[-1][0]:
+            scopes[-1] = (scopes[-1][0], True)
+            out.append(c); i += 1; continue
+        m = re.match(r"\w+", sql[i:])
+        if m:
+            w = m.group(0)
+            if w.upper() == "WITH":
+                scopes.append((depth, True))
+                out.append(w); i += len(w); continue
+            if scopes and depth == scopes[-1][0]:
+                base, expect = scopes[-1]
+                if w.upper() == "SELECT":
+                    scopes.pop()  # this WITH's main query begins
+                    out.append(w); i += len(w); continue
+                if expect:
+                    m2 = re.match(r"(\s+AS\s*)\(", sql[i + len(w):],
+                                  re.IGNORECASE)
+                    scopes[-1] = (base, False)
+                    if m2:
+                        out.append(w + m2.group(1) + "MATERIALIZED (")
+                        i += len(w) + m2.end()
+                        depth += 1  # the consumed `(` opens the CTE body
+                        continue
+            out.append(w); i += len(w); continue
+        out.append(c); i += 1
+    return "".join(out)
+
+
 def cached_oracle(name, sql):
     """Return (expected_df, error_string)."""
     key = None
@@ -79,7 +143,7 @@ def cached_oracle(name, sql):
     # rejects the combination).
     run_sql = sql
     if os.environ.get("ORACLE_MATERIALIZE") and "RECURSIVE" not in sql:
-        run_sql = re.sub(r"\b(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
+        run_sql = materialize_ctes(sql)
     try:
         rel = con.sql(run_sql)
         # HUGEINT (e.g. SUM over BIGINT) survives str-compare here but the
