@@ -431,8 +431,10 @@ object StreamScaleProbe {
           f"""{"batch": ${m.batchId}, "n_in": ${m.nIn}, "images": ${m.nImages}, "kept": ${m.nAccepted - m.nPassthrough}, "exact_dup": ${m.nExactDup}, "near_dup": ${m.nNearDup}, "decode_err": ${m.nDecodeErr}, "sec": $s%.2f}"""
         }.mkString("[", ", ", "]")
         val ixRows = spark.read.parquet(s"$ixPath/sig").count()
-        Some(s"""{"stages": $stages, "batches": $batches, "index_rows": $ixRows}""")
+        val decodes = graft.ops.Multimodal.MediaCodec.decodeCalls.get()
+        Some(s"""{"stages": $stages, "batches": $batches, "index_rows": $ixRows, "decode_calls": $decodes}""")
       }
+      graft.ops.Multimodal.MediaCodec.decodeCalls.set(0)
       results += runProbe("media_ingest",
         () => sink.counts("accepted_media") + sink.counts("duplicate_media") +
           sink.counts("rejected_media"),

@@ -50,12 +50,16 @@ object MediaIngest {
       nNearDup: Long,
       nAccepted: Long)
 
-  /** Create an EMPTY persisted signature index at `path`. */
+  /** Create an EMPTY persisted signature index at `path` (sig/ + bands/
+    * + the payload/ byte-identity relation).
+    */
   def initIndex(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     Multimodal.writeImageSigIndex(
       Seq.empty[(Long, Long, Long)].toDF("media_id", "dhash_hi", "dhash_lo"),
       path)
+    Seq.empty[(Long, String)].toDF("ix_id", "payload_hash")
+      .write.mode("overwrite").parquet(s"$path/payload")
   }
 
   /** Process one micro-batch (directly unit-testable): kind gate →
@@ -67,75 +71,128 @@ object MediaIngest {
       indexPath: String,
       sink: Sink,
       timings: DocIngest.StageTimings = new DocIngest.StageTimings): MediaBatchMetrics = {
+    val spark = batchDf.sparkSession
     val images = batchDf.filter(col("kind") === "image")
     val passthrough = batchDf.filter(col("kind") =!= "image")
-    // decode+hash ONCE, pinned eagerly: hashes feed the verdict joins,
-    // the routing joins and the index write-back — and the verdict pass
-    // is a read-modify-write against the index (see the appendDedupIndex
-    // recache note), so the rows must be immutable local blocks before
-    // any append lands
-    val hashed = timings.time("decode_hash")(
-      Multimodal.hashImageBatch(images).localCheckpoint(true))
+    // 0. BYTE-LEVEL PRE-GATE (VERDICT r12 #1 — the measured hot spot:
+    // decode_hash was 34.2 s of 62.1 s while ~72% of crawl traffic is
+    // byte-identical re-crawls that got fully PNG-decoded before the
+    // signature join could reject them). md5 the RAW payload: same bytes
+    // ⇒ same pixels ⇒ same dHash ⇒ the decode path's exact_dup verdict,
+    // so byte-matches — within the batch (only the smallest media_id of
+    // each payload group decodes) and against the index's payload/
+    // relation — skip the codec entirely. Pinned eagerly: the gate reads
+    // the payload index and the write-back below appends to it (the
+    // read-modify-write recache hazard).
+    val pay = timings.time("payload_hash")(
+      Multimodal.payloadHashes(images).localCheckpoint(true))
     try {
-      // within-batch resolution first (the text loop's same-batch
-      // contract, image edition): only in-batch canonicals face the
-      // index; same-batch copies route with dup_of at their in-batch
-      // canonical
-      val intra = timings.time("intra_batch")(
-        Multimodal.intraBatchImageDedup(hashed.filter(col("decoded"))))
-      val canonHashes = hashed.filter(col("decoded")).join(
-        intra.filter(col("status") === "kept").select("media_id"), "media_id")
-      // dup_of resolved to the ROOT canonical (ADVICE r12 — see
-      // CrawlDedup.processBatch): one-hop in-batch pointers re-pointed at
-      // the doc nothing marks duplicate, statuses unchanged
-      val verdicts = timings.time("verdicts")(
-        try graft.ops.NearDup.resolveDupRoots(
-          Multimodal.incrementalImageDedupAgainstIndex(canonHashes, indexPath)
-            .unionByName(intra.filter(col("status") =!= "kept"))
-            .localCheckpoint(true),
-          idCol = "media_id", freeInput = true)
-        finally intra.unpersist())
+      val payCanon = pay.groupBy("payload_hash").agg(min("media_id").as("canon"))
+      val payIntra = pay.join(payCanon, Seq("payload_hash"))
+        .filter(col("media_id") =!= col("canon"))
+        .select(col("media_id"), lit("exact_dup").as("status"),
+          col("canon").as("dup_of"))
+      val canonPay = pay.join(payIntra.select(col("media_id").as("xid")),
+        col("media_id") === col("xid"), "left_anti")
+      // self-match excluded (replay: own payload rows already appended)
+      val payIdxDup = canonPay
+        .join(Multimodal.payloadIndex(spark, indexPath), Seq("payload_hash"))
+        .filter(col("ix_id") =!= col("media_id"))
+        .groupBy("media_id").agg(min("ix_id").as("dup_of"))
+        .select(col("media_id"), lit("exact_dup").as("status"), col("dup_of"))
+      val preVerdicts = timings.time("payload_gate")(
+        payIntra.unionByName(payIdxDup).localCheckpoint(true))
+      // 1. only NOVEL payloads pay the codec; pinned eagerly: hashes feed
+      // the verdict joins, the routing joins and the index write-back
+      val novel = images.join(
+        preVerdicts.select("media_id"), Seq("media_id"), "left_anti")
+      val hashed = timings.time("decode_hash")(
+        Multimodal.hashImageBatch(novel).localCheckpoint(true))
       try {
-        val counts = verdicts.groupBy("status").count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val nKept = counts.getOrElse("kept", 0L)
-        val nExact = counts.getOrElse("exact_dup", 0L)
-        val nNear = counts.getOrElse("near_dup", 0L)
-        val nDecodeErr = hashed.filter(!col("decoded")).count()
-        val nPass = passthrough.count()
-        val keptHashes = hashed
-          .join(verdicts.filter(col("status") === "kept").select("media_id"),
-            "media_id")
-        if (nKept > 0) {
-          // write-back FIRST (idempotent for verdicts AND routing — the
-          // self-match exclusion covers the replay window)
-          timings.time("index_append")(
-            Multimodal.appendImageSigIndex(keptHashes, indexPath))
-          timings.time("accepted_append")(
-            sink.append(batchDf.join(keptHashes.select("media_id"), "media_id"),
-              "accepted_media"))
+        // 2. within-batch resolution among the decoded novel payloads
+        // (the text loop's same-batch contract, image edition)
+        val intra = timings.time("intra_batch")(
+          Multimodal.intraBatchImageDedup(hashed.filter(col("decoded"))))
+        val canonHashes = hashed.filter(col("decoded")).join(
+          intra.filter(col("status") === "kept").select("media_id"), "media_id")
+        // payload copies of an UNDECODABLE canonical inherit its verdict:
+        // byte-identical bytes fail the codec identically, so they route
+        // decode_error exactly as the pre-gate-less path decoded-and-
+        // failed each of them (dup_of cleared — there is no canonical)
+        val badIds = hashed.filter(!col("decoded"))
+          .select(col("media_id").as("bad_id"))
+        // 3. one verdict relation: index signature verdicts over the
+        // decoded canonicals ∪ in-batch image dups ∪ payload-gate dups,
+        // dup_of resolved to the ROOT canonical (ADVICE r12)
+        val verdicts = timings.time("verdicts") {
+          val raw = Multimodal
+            .incrementalImageDedupAgainstIndex(canonHashes, indexPath)
+            .unionByName(intra.filter(col("status") =!= "kept"))
+            .unionByName(preVerdicts)
+          val adj = raw.join(badIds, raw("dup_of") === col("bad_id"), "left")
+            .select(raw("media_id"),
+              when(col("bad_id").isNotNull, lit("decode_error"))
+                .otherwise(raw("status")).as("status"),
+              when(col("bad_id").isNotNull, lit(null).cast("long"))
+                .otherwise(raw("dup_of")).as("dup_of"))
+            .localCheckpoint(true)
+          intra.unpersist()
+          preVerdicts.unpersist()
+          graft.ops.NearDup.resolveDupRoots(
+            adj, idCol = "media_id", freeInput = true)
         }
-        if (nPass > 0)
-          timings.time("passthrough_append")(
-            sink.append(passthrough, "accepted_media"))
-        if (nExact + nNear > 0)
-          timings.time("duplicate_append")(
-            sink.append(verdicts.filter(col("status") =!= "kept"),
-              "duplicate_media"))
-        if (nDecodeErr > 0)
-          timings.time("rejected_append")(
-            sink.append(hashed.filter(!col("decoded"))
-              .select(col("media_id"), lit("decode_error").as("reject_reason")),
-              "rejected_media"))
-        MediaBatchMetrics(batchId, nKept + nExact + nNear + nDecodeErr + nPass,
-          nKept + nExact + nNear + nDecodeErr, nPass, nDecodeErr,
-          nExact, nNear, nKept + nPass)
+        try {
+          val counts = verdicts.groupBy("status").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val nKept = counts.getOrElse("kept", 0L)
+          val nExact = counts.getOrElse("exact_dup", 0L)
+          val nNear = counts.getOrElse("near_dup", 0L)
+          val nDecodeErr = hashed.filter(!col("decoded")).count() +
+            counts.getOrElse("decode_error", 0L)
+          val nPass = passthrough.count()
+          val keptIds = verdicts.filter(col("status") === "kept")
+            .select("media_id")
+          val keptHashes = hashed.join(keptIds, "media_id")
+          if (nKept > 0) {
+            // write-back FIRST (idempotent for verdicts AND routing — the
+            // self-match exclusions cover the replay window)
+            timings.time("index_append") {
+              Multimodal.appendImageSigIndex(keptHashes, indexPath)
+              Multimodal.appendPayloadIndex(pay.join(keptIds, "media_id"),
+                indexPath)
+            }
+            timings.time("accepted_append")(
+              sink.append(batchDf.join(keptHashes.select("media_id"), "media_id"),
+                "accepted_media"))
+          }
+          if (nPass > 0)
+            timings.time("passthrough_append")(
+              sink.append(passthrough, "accepted_media"))
+          if (nExact + nNear > 0)
+            timings.time("duplicate_append")(
+              sink.append(verdicts.filter(
+                col("status").isin("exact_dup", "near_dup")),
+                "duplicate_media"))
+          if (nDecodeErr > 0)
+            timings.time("rejected_append")(
+              sink.append(hashed.filter(!col("decoded")).select(col("media_id"))
+                .unionByName(verdicts.filter(col("status") === "decode_error")
+                  .select(col("media_id")))
+                .select(col("media_id"), lit("decode_error").as("reject_reason")),
+                "rejected_media"))
+          MediaBatchMetrics(batchId, nKept + nExact + nNear + nDecodeErr + nPass,
+            nKept + nExact + nNear + nDecodeErr, nPass, nDecodeErr,
+            nExact, nNear, nKept + nPass)
+        } finally {
+          verdicts.unpersist()
+          ()
+        }
       } finally {
-        verdicts.unpersist()
+        hashed.unpersist()
         ()
       }
     } finally {
-      hashed.unpersist()
+      pay.unpersist()
       ()
     }
   }

@@ -99,6 +99,60 @@ class MediaIngestSpec extends SparkSpec {
       replay.nAccepted == 2, replay)
   }
 
+  test("payload pre-gate: byte-identical copies skip the codec entirely, " +
+    "verdicts identical to the decode path's") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediapg").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    val basePng = png(baseF)
+    val otherPng = png(otherF)
+    // batch 0: image 1 + two byte-copies of it, plus one distinct image —
+    // only the two payload CANONICALS (1, 4) may touch the codec
+    MediaCodec.decodeCalls.set(0)
+    val m0 = MediaIngest.processBatch(
+      mediaDf((1L, "image", basePng), (2L, "image", basePng),
+        (3L, "image", basePng), (4L, "image", otherPng)),
+      0L, dir, sink)
+    assert(m0.nAccepted == 2 && m0.nExactDup == 2 && m0.nDecodeErr == 0, m0)
+    assert(MediaCodec.decodeCalls.get() == 2,
+      s"payload copies decoded: ${MediaCodec.decodeCalls.get()} calls")
+    // batch 1: byte re-crawls of both kept images — the dominant crawl
+    // duplicate class — must verdict exact_dup with ZERO decode calls
+    MediaCodec.decodeCalls.set(0)
+    val m1 = MediaIngest.processBatch(
+      mediaDf((10L, "image", basePng), (11L, "image", otherPng)),
+      1L, dir, sink)
+    assert(m1.nExactDup == 2 && m1.nAccepted == 0, m1)
+    assert(MediaCodec.decodeCalls.get() == 0,
+      s"re-crawl decoded: ${MediaCodec.decodeCalls.get()} calls")
+    val dup = sink.tables("duplicate_media")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(dup(2L) == (("exact_dup", 1L)) && dup(3L) == (("exact_dup", 1L)), dup)
+    assert(dup(10L) == (("exact_dup", 1L)) && dup(11L) == (("exact_dup", 4L)), dup)
+    // the payload relation carries exactly the kept images' byte hashes
+    val payIx = spark.read.parquet(s"$dir/payload").select("ix_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(payIx == Set(1L, 4L), payIx)
+  }
+
+  test("byte-identical copies of an UNDECODABLE payload inherit " +
+    "decode_error (the pre-gate-less routing), never exact_dup of a " +
+    "rejected canonical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediabad").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    val bad = "definitely not a png".getBytes
+    val m = MediaIngest.processBatch(
+      mediaDf((1L, "image", bad), (2L, "image", bad),
+        (3L, "image", png(baseF))),
+      0L, dir, sink)
+    assert(m.nDecodeErr == 2 && m.nAccepted == 1 && m.nExactDup == 0, m)
+    val rej = sink.tables("rejected_media")
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rej == Set((1L, "decode_error"), (2L, "decode_error")), rej)
+    assert(sink.tables("accepted_media").map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("streaming wrapper drains batches through the gate with metrics " +
     "(MemoryStream end-to-end)") {
     implicit val sqlCtx = spark.sqlContext
