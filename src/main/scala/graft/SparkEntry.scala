@@ -510,6 +510,22 @@ object SparkEntry {
     // frame-hash equi-join, never all pairs
     "q116_video_near_dups" -> ((s, dir) =>
       Multimodal.videoNearDups(Tables.documents(s, dir))),
+    // audio fingerprint of every DECODED WAV (sign-of-amplitude-delta
+    // over 65 fixed PCM windows - integer, scale-invariant); oracle
+    // recomputes the window-amplitude formula closed-form, so the
+    // decode -> fingerprint pipeline is verified bit-for-bit like q112
+    "q117_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprints(Tables.documents(s, dir))),
+    // near-duplicate audio pairs over corpus + planted re-encode /
+    // amplitude-halved variants via the banded exact Hamming join -
+    // the dedup CATCH itself is hash-checked cross-engine
+    "q118_audio_near_dups" -> ((s, dir) =>
+      Multimodal.audioNearDups(Tables.documents(s, dir))),
+    // q118's pairs closed into SURVIVORS (hub-budgeted candidates ->
+    // components -> min media_id) - the audio twin of q114, completing
+    // the multimodal dedup matrix
+    "q119_audio_dedup_keeplist" -> ((s, dir) =>
+      Multimodal.audioDedupKeepList(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -833,5 +849,8 @@ object SparkEntry {
     "q114_image_dedup_keeplist" -> Multimodal.imageDedupKeepListSql(),
     "q115_video_frame_dhash" -> Multimodal.videoFrameDHashesSql(),
     "q116_video_near_dups" -> Multimodal.videoNearDupsSql(),
+    "q117_audio_fingerprint" -> Multimodal.audioFingerprintsSql,
+    "q118_audio_near_dups" -> Multimodal.audioNearDupsSql(),
+    "q119_audio_dedup_keeplist" -> Multimodal.audioDedupKeepListSql(),
   )
 }

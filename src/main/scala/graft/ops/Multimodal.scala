@@ -501,6 +501,311 @@ object Multimodal {
       |  CAST(peak AS INT) AS peak
       |FROM sm ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Audio fingerprint + near-dup family (VERDICT r12 #4): images and
+  // video both had fingerprint → banded near-dup → keep-list; this
+  // completes the multimodal dedup matrix for audio. The fingerprint is
+  // the audio analog of dHash: SIGN-OF-AMPLITUDE-DELTA over fixed PCM
+  // windows — integer end to end (no FFT, no transcendentals), closed-
+  // form mirrorable in the oracle like the dHash luma formula, and
+  // structurally INVARIANT under uniform amplitude scaling (the
+  // dominant benign re-master transform multiplies every window
+  // amplitude by the same factor, preserving each pairwise order except
+  // at integer-rounding near-ties — small measured Hamming, not
+  // asserted zero) and under container re-encoding (the PCM is
+  // unchanged, so the fingerprint is bit-identical).
+  // ------------------------------------------------------------------
+
+  /** Fixed amplitude-window count: 65 windows → 64 sign-of-delta bits,
+    * the audio twin of the 9×8 dHash grid (so the 64-bit fingerprint
+    * reuses the same 8×8-bit banded Hamming machinery end to end).
+    */
+  private val AFpWindows = 65
+
+  /** Deterministic variant-id offsets for [[audioVariantCorpus]]: the
+    * planted re-encode / amplitude-scale twins live at `id + offset`,
+    * far above any document id, so pair relations read unambiguously.
+    */
+  val AudioReEncOffset = 1000000000L
+  val AudioScaleOffset = 2000000000L
+
+  /** 64-bit audio fingerprint of a PCM buffer: split into [[AFpWindows]]
+    * fixed windows (the dHash grid's floor/guard boundary arithmetic, so
+    * short buffers degrade to overlapping windows instead of erroring),
+    * window amplitude = Σ|sample| (Long — no overflow below 2^47
+    * samples), bit w set iff amp(w+1) > amp(w).
+    */
+  def audioFp64(pcm: Array[Short]): Long = {
+    val W = AFpWindows
+    val n = pcm.length
+    if (n == 0) return 0L
+    val amps = new Array[Long](W)
+    var w = 0
+    while (w < W) {
+      val x0 = (w.toLong * n / W).toInt
+      val x1 = math.max(x0 + 1, ((w + 1).toLong * n / W).toInt)
+      var s = 0L
+      var i = x0
+      while (i < x1) { s += math.abs(pcm(i).toInt); i += 1 }
+      amps(w) = s
+      w += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (amps(b + 1) > amps(b)) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** Decode → fingerprint, one partition-local pass (payloads never
+    * shuffle) — shared by the corpus and variant entry points.
+    */
+  private def audioFingerprintsOf(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .map { m =>
+        val pcm = MediaCodec.decodeWav(m.content).getOrElse(
+          sys.error(s"undecodable WAV for media_id=${m.media_id}"))
+        val fp = audioFp64(pcm)
+        (m.media_id, pcm.length.toLong, fp >>> 32, fp & 0xFFFFFFFFL)
+      }
+      .toDF("media_id", "n_samples", "fp_hi", "fp_lo")
+  }
+
+  /** Per-clip audio fingerprint from DECODED payloads (oracle-checked as
+    * q117): the PCM comes out of the real WAV decode, the oracle computes
+    * the window-amplitude formula closed-form — decode → fingerprint
+    * verified bit-for-bit, like q112's decode → dHash. The 64-bit
+    * fingerprint ships as two unsigned 32-bit halves like the dHashes.
+    */
+  def audioFingerprints(documents: DataFrame): DataFrame =
+    audioFingerprintsOf(audioCorpus(documents)).orderBy("media_id")
+
+  /** The audio corpus PLUS its two deterministic planted variants, all
+    * REAL WAV payloads: a container re-encode at a different sample rate
+    * (identical PCM ⇒ identical fingerprint) and an amplitude-halved
+    * re-master (`s/2` truncated ⇒ window amplitudes halve with floor
+    * rounding ⇒ near-identical fingerprint). These are the benign
+    * transforms an audio dedup must catch; making them part of the
+    * corpus makes the catch itself HASH-CHECKED cross-engine (both
+    * engines must find exactly the same pairs at the same distances)
+    * instead of only spec-asserted.
+    */
+  def audioVariantCorpus(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .repartition(col("doc_id")) // see imageCorpus — single-split hazard
+      .as[Long]
+      .flatMap { id =>
+        val n = audioLen(id)
+        val pcm = Array.tabulate(n)(i => audioSample(id, i))
+        Seq(
+          MediaRow(id, "audio", "wav", n, 1, MediaCodec.encodeWav(pcm)),
+          MediaRow(id + AudioReEncOffset, "audio", "wav", n, 1,
+            MediaCodec.encodeWav(pcm, sampleRate = 16000f)),
+          MediaRow(id + AudioScaleOffset, "audio", "wav", n, 1,
+            MediaCodec.encodeWav(pcm.map(s => (s / 2).toShort))))
+      }
+  }
+
+  /** The 8×8-bit band split of a fingerprint relation — [[dhashBands]]
+    * under the audio column names.
+    */
+  private def afpBands(fp: DataFrame): DataFrame =
+    dhashBands(fp.select(col("media_id"), col("fp_hi").as("dhash_hi"),
+      col("fp_lo").as("dhash_lo")))
+
+  /** Near-duplicate audio pairs over the corpus + planted variants:
+    * every (a < b) within fingerprint Hamming ≤ `maxHamming`, via the
+    * same banded exact Hamming join as [[imageNearDups]] (8 bands × 8
+    * bits ⇒ recall EXACT for hamming ≤ 7 by pigeonhole). Re-encodes land
+    * at hamming 0; amplitude-halves land within a few bits (each bit
+    * flips only when floor-rounding crosses an amplitude near-tie).
+    * Scale shape: candidates keyed on (band, value); pseudo-random
+    * fingerprints collide at ~n²/2^8 per band, so the PAIR relation's
+    * candidate volume is inherently corpus-quadratic over 256 buckets —
+    * the keep-list twin ([[audioDedupKeepList]]) is the scale path,
+    * exactly as q113 vs q114 for images.
+    */
+  def audioNearDups(
+      documents: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    val fp = audioFingerprintsOf(audioVariantCorpus(documents))
+      .select(col("media_id"), col("fp_hi"), col("fp_lo")).cache()
+    val bands = afpBands(fp)
+    val cand = bands.toDF("media_a", "band_idx", "band_val")
+      .join(bands.toDF("media_b", "band_idx_b", "band_val_b"),
+        col("band_idx") === col("band_idx_b") &&
+          col("band_val") === col("band_val_b") &&
+          col("media_a") < col("media_b"))
+      .select("media_a", "media_b").distinct()
+    cand
+      .join(fp.toDF("media_a", "hi_a", "lo_a"), Seq("media_a"))
+      .join(fp.toDF("media_b", "hi_b", "lo_b"), Seq("media_b"))
+      .select(col("media_a"), col("media_b"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("media_a", "media_b")
+  }
+
+  /** The deduplicated AUDIO corpus — q118's pairs closed into survivors
+    * via the shared star-rounds components, with the same HUB-BUDGETED
+    * candidate generation (and the same honest recall-budget caveat) as
+    * [[imageDedupKeepList]]: in the clone-family regime every member
+    * reaches the bucket's representatives, so survivors equal the
+    * unbudgeted join's at members·budget instead of members² cost.
+    */
+  def audioDedupKeepList(
+      documents: DataFrame, maxHamming: Int = MaxHamming,
+      bucketBudget: Int = graft.ops.NearDup.BucketBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = audioFingerprintsOf(audioVariantCorpus(documents)).cache()
+    val bands = afpBands(
+      fp.select(col("media_id"), col("fp_hi"), col("fp_lo")))
+    val w = Window.partitionBy("band_idx", "band_val").orderBy("media_id")
+    val hubs = bands
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= bucketBudget)
+      .select(col("media_id").as("media_a"), col("band_idx"), col("band_val"))
+    val cand = bands.toDF("media_b", "band_idx", "band_val")
+      .join(hubs, Seq("band_idx", "band_val"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b").distinct()
+    val pairs = cand
+      .join(fp.select(col("media_id").as("media_a"), col("fp_hi").as("hi_a"),
+        col("fp_lo").as("lo_a")), Seq("media_a"))
+      .join(fp.select(col("media_id").as("media_b"), col("fp_hi").as("hi_b"),
+        col("fp_lo").as("lo_b")), Seq("media_b"))
+      .filter(expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)")
+        <= maxHamming)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val losers = graft.ops.NearDup.components(pairs)
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id").as("loser_id"))
+    fp.select("media_id", "n_samples")
+      .join(losers, col("media_id") === col("loser_id"), "left_anti")
+      .select("media_id", "n_samples")
+      .orderBy("media_id")
+  }
+
+  /** The shared audio-fingerprint CTE chain (adoc → avar → awin → aamp →
+    * afp): the closed-form sample formula, identical window boundaries,
+    * floor divisions and bit packing to [[audioFp64]]. `withVariants`
+    * adds the re-encode (same amplitudes) and amplitude-halved
+    * (`abs // 2` — |trunc(s/2)| = ⌊|s|/2⌋ for 16-bit PCM) twins.
+    */
+  private def afpCtesSql(withVariants: Boolean): String = {
+    val src =
+      if (withVariants)
+        """avar AS (
+          |  SELECT media_id + v.off AS vid, media_id, n, v.dv
+          |  FROM adoc, (VALUES (CAST(0 AS BIGINT), 1),
+          |                     (CAST(1000000000 AS BIGINT), 1),
+          |                     (CAST(2000000000 AS BIGINT), 2)) v(off, dv))"""
+          .stripMargin
+      else
+        "avar AS (SELECT media_id AS vid, media_id, n, 1 AS dv FROM adoc)"
+    s"""adoc AS (
+       |  SELECT doc_id AS media_id, CAST(doc_id % 400 + 100 AS INT) AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |$src,
+       |awin AS (
+       |  SELECT vid, media_id, dv, w.g AS w,
+       |    (w.g * n) // $AFpWindows AS x0,
+       |    GREATEST((w.g * n) // $AFpWindows + 1,
+       |             ((w.g + 1) * n) // $AFpWindows) AS x1
+       |  FROM avar,
+       |    LATERAL (SELECT unnest(generate_series(0, ${AFpWindows - 1})) AS g) w),
+       |aamp AS (
+       |  SELECT vid, w,
+       |    CAST(SUM(abs((i.g*73 + media_id*131) % 65536 - 32768) // dv)
+       |      AS BIGINT) AS amp
+       |  FROM awin,
+       |    LATERAL (SELECT unnest(generate_series(x0, x1 - 1)) AS g) i
+       |  GROUP BY vid, w),
+       |afp AS (
+       |  SELECT a.vid AS media_id,
+       |    CAST(SUM(CASE WHEN b.amp > a.amp AND a.w >= 32
+       |      THEN (CAST(1 AS BIGINT) << (a.w - 32)) ELSE 0 END) AS BIGINT)
+       |      AS fp_hi,
+       |    CAST(SUM(CASE WHEN b.amp > a.amp AND a.w < 32
+       |      THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END) AS BIGINT)
+       |      AS fp_lo
+       |  FROM aamp a JOIN aamp b ON a.vid = b.vid AND b.w = a.w + 1
+       |  WHERE a.w < 64
+       |  GROUP BY a.vid)""".stripMargin
+  }
+
+  def audioFingerprintsSql: String =
+    s"""WITH ${afpCtesSql(false)}
+       |SELECT d.media_id, CAST(d.n AS BIGINT) AS n_samples, f.fp_hi, f.fp_lo
+       |FROM adoc d JOIN afp f USING (media_id)
+       |ORDER BY media_id""".stripMargin
+
+  private def afpBandsSql: String =
+    s"""bands AS (
+       |  SELECT media_id, b.g AS band_idx,
+       |    (CASE WHEN b.g < 4 THEN fp_lo ELSE fp_hi END
+       |      // (CAST(1 AS BIGINT) << ((b.g % 4) * 8))) % 256 AS band_val
+       |  FROM afp,
+       |    LATERAL (SELECT unnest(generate_series(0, ${DHashBands - 1})) AS g) b)"""
+      .stripMargin
+
+  def audioNearDupsSql(maxHamming: Int = MaxHamming): String =
+    s"""WITH ${afpCtesSql(true)},
+       |$afpBandsSql,
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.media_id < b.media_id)
+       |SELECT media_a, media_b,
+       |  CAST(bit_count(xor(fa.fp_hi, fb.fp_hi)) +
+       |       bit_count(xor(fa.fp_lo, fb.fp_lo)) AS INT) AS hamming
+       |FROM cand c
+       |JOIN afp fa ON fa.media_id = c.media_a
+       |JOIN afp fb ON fb.media_id = c.media_b
+       |WHERE bit_count(xor(fa.fp_hi, fb.fp_hi)) +
+       |      bit_count(xor(fa.fp_lo, fb.fp_lo)) <= $maxHamming
+       |ORDER BY media_a, media_b""".stripMargin
+
+  def audioDedupKeepListSql(
+      maxHamming: Int = MaxHamming,
+      bucketBudget: Int = graft.ops.NearDup.BucketBudget): String =
+    s"""WITH RECURSIVE ${afpCtesSql(true)},
+       |$afpBandsSql,
+       |hubs AS (
+       |  SELECT * FROM bands
+       |  QUALIFY row_number() OVER (PARTITION BY band_idx, band_val
+       |    ORDER BY media_id) <= $bucketBudget),
+       |cand AS (
+       |  SELECT DISTINCT h.media_id AS media_a, b.media_id AS media_b
+       |  FROM hubs h JOIN bands b
+       |    ON h.band_idx = b.band_idx AND h.band_val = b.band_val
+       |   AND h.media_id < b.media_id),
+       |pairs AS (
+       |  SELECT media_a, media_b
+       |  FROM cand c
+       |  JOIN afp fa ON fa.media_id = c.media_a
+       |  JOIN afp fb ON fb.media_id = c.media_b
+       |  WHERE bit_count(xor(fa.fp_hi, fb.fp_hi)) +
+       |        bit_count(xor(fa.fp_lo, fb.fp_lo)) <= $maxHamming),
+       |edges AS (SELECT media_a AS a, media_b AS b FROM pairs
+       |          UNION SELECT media_b, media_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |label AS (
+       |  SELECT src AS media_id, least(src, min(dst)) AS label
+       |  FROM reach GROUP BY src)
+       |SELECT v.vid AS media_id, CAST(v.n AS BIGINT) AS n_samples
+       |FROM avar v LEFT JOIN label l ON v.vid = l.media_id
+       |WHERE l.media_id IS NULL OR l.label = l.media_id
+       |ORDER BY media_id""".stripMargin
+
   /** Deterministic video-corpus shape shared by the Spark encode side and
     * the DuckDB oracle: video docs (doc_id % 3 == 2) get a Y4M stream of
     * `doc_id % 6 + 2` frames at `(doc_id % 16 + 8) × (doc_id % 12 + 8)`,

@@ -264,4 +264,55 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set(
       (2L, 1L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0), (3L, 1L, 1.0)), got)
   }
+
+  test("audio fingerprint: container re-encode is bit-identical, " +
+    "amplitude scaling stays within the near radius, unrelated audio " +
+    "is far outside it") {
+    import Multimodal.MediaCodec
+    // structured amplitude profile: window sums differ decisively, so
+    // halving (floor) cannot flip the deltas — the scaled twin is
+    // hash-IDENTICAL here; the formula corpus adds the near-tie noise
+    val pcm = Array.tabulate(400)(i =>
+      ((i % 97) * 300 - 14000 + (i / 97) * 800).toShort)
+    val fpBase = Multimodal.audioFp64(pcm)
+    assert(fpBase == Multimodal.audioFp64(
+      MediaCodec.decodeWav(MediaCodec.encodeWav(pcm, 16000f)).get),
+      "re-encode at a different sample rate changed the fingerprint")
+    val scaled = pcm.map(s => (s / 2).toShort)
+    val dScale = java.lang.Long.bitCount(fpBase ^ Multimodal.audioFp64(scaled))
+    assert(dScale <= Multimodal.MaxHamming, s"scaled hamming $dScale")
+    val noise = Array.tabulate(400)(i =>
+      (((i * 7919 + 13) % 65536) - 32768).toShort)
+    val dOther = java.lang.Long.bitCount(fpBase ^ Multimodal.audioFp64(noise))
+    assert(dOther > Multimodal.MaxHamming, s"unrelated hamming $dOther")
+  }
+
+  test("audio near-dups over the variant corpus: every original pairs " +
+    "with its re-encode at hamming 0; keep-list survivors are the " +
+    "component minima") {
+    val d = docs((1L, "a"), (4L, "b"), (7L, "c"), (10L, "d"), (2L, "x"))
+    val pairs = Multimodal.audioNearDups(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (id, id + ReEncOffset) at hamming 0 for every audio doc (ids ≡ 1
+    // mod 3: 1, 4, 7, 10 — doc 2 is not audio-kind); the p._1 bound
+    // keeps re-encode→scaled pairs (also offset 1e9 apart) out
+    val re = pairs.filter(p => p._1 < Multimodal.AudioReEncOffset &&
+      p._2 == p._1 + Multimodal.AudioReEncOffset)
+    assert(re.map(_._1).toSet == Set(1L, 4L, 7L, 10L), re.toSeq)
+    assert(re.forall(_._3 == 0), re.toSeq)
+    // keep-list: each original's component (re-encode always, scaled
+    // variant whenever its hamming lands inside the radius) collapses
+    // to the original id; survivors = originals + any scaled variants
+    // outside the radius — never a re-encode id
+    val kept = Multimodal.audioDedupKeepList(d)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 4L, 7L, 10L).subsetOf(kept), kept)
+    assert(!kept.exists(id => id >= Multimodal.AudioReEncOffset &&
+      id < Multimodal.AudioScaleOffset), kept)
+    // pair relation and keep-list agree: a scaled variant is kept iff
+    // it pairs with nothing
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val scaledIds = Set(1L, 4L, 7L, 10L).map(_ + Multimodal.AudioScaleOffset)
+    assert(scaledIds.filter(kept) == scaledIds.filterNot(paired), (kept, paired))
+  }
 }
