@@ -428,7 +428,7 @@ object StreamScaleProbe {
           case (stage, c, s) => f""""$stage": {"batches": $c, "sec": $s%.2f}"""
         }.mkString("{", ", ", "}")
         val batches = perBatch.map { case (m, s) =>
-          f"""{"batch": ${m.batchId}, "n_in": ${m.nIn}, "images": ${m.nImages}, "kept": ${m.nAccepted - m.nPassthrough}, "exact_dup": ${m.nExactDup}, "near_dup": ${m.nNearDup}, "decode_err": ${m.nDecodeErr}, "sec": $s%.2f}"""
+          f"""{"batch": ${m.batchId}, "n_in": ${m.nIn}, "images": ${m.nImages}, "videos": ${m.nVideos}, "kept": ${m.nAccepted - m.nPassthrough}, "exact_dup": ${m.nExactDup}, "near_dup": ${m.nNearDup}, "decode_err": ${m.nDecodeErr}, "sec": $s%.2f}"""
         }.mkString("[", ", ", "]")
         val ixRows = spark.read.parquet(s"$ixPath/sig").count()
         val decodes = graft.ops.Multimodal.MediaCodec.decodeCalls.get()
@@ -443,6 +443,88 @@ object StreamScaleProbe {
           spark.readStream.schema(mediaSchema)
             .option("maxFilesPerTrigger", Files / 10).parquet(mediaPath),
           ckpt("media"), ixPath, sink,
+          trigger = Some(Trigger.AvailableNow()), timings = timings,
+          metricsOut = { m =>
+            val now = System.nanoTime()
+            perBatch += ((m, (now - lastT) / 1e9))
+            lastT = now
+          })
+      }
+    }
+
+    // ---- probe 4b: streaming VIDEO ingest (frame-hash containment) -------
+    // The r13 video branch at probe volume: waves of 5 byte-identical
+    // clips (the payload pre-gate path), cross-wave shared-content
+    // classes whose clips are frame-PREFIXES of each other (the
+    // containment path: a shorter clip of an indexed class is a
+    // near_dup; a longer one has novel frames and is kept), plus audio
+    // passthrough and dead-letter rows — per-stage timings in the
+    // artifact beside the image row.
+    locally {
+      import spark.implicits._
+      val vidPath = s"$out/media-video"
+      val vidMult = math.max(5, docMult / 5)
+      if (!new java.io.File(s"$vidPath/_SUCCESS").exists()) {
+        graft.sources.Tables.documents(spark, base).select(col("doc_id"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(vidMult - 1))).as("k"))
+          .select((col("doc_id") * vidMult + col("k")).as("media_id"),
+            ((col("doc_id") * vidMult + col("k") - pmod(col("k"), lit(5)))
+              / 5).cast("long").as("wave"),
+            pmod(col("doc_id") * vidMult + col("k"), lit(41)).as("cls"))
+          .repartitionByRange(Files, col("media_id"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, wv, cls) =>
+              if (cls == 40L) (id, "video", "not a y4m".getBytes)
+              else if (cls >= 37L) (id, "audio", Array[Byte](1, 2, 3))
+              else {
+                // shared-content class + wave-independent frame count:
+                // same class ⇒ same frame pixels, so shorter clips are
+                // strict frame-set prefixes of longer ones
+                val c = (wv % 200L).toInt
+                val n = 3 + ((wv / 200L) % 4L).toInt
+                (id, "video", graft.ops.Multimodal.MediaCodec.encodeY4m(
+                  12, 10, n,
+                  (f, x, y) => ((x + 16 * f) * (73 + c) + y * 17) % 251))
+              }
+            }
+          }
+          .toDF("media_id", "kind", "content")
+          .write.mode("overwrite").parquet(vidPath)
+        val fs = new java.io.File(vidPath).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val t0 = System.currentTimeMillis() - fs.length * 2000L
+        fs.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+      }
+      val vidSchema = spark.read.parquet(vidPath).schema
+      val nVid = spark.read.parquet(vidPath).count()
+      val ixPath = s"$out/media-video-index"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ixPath))
+      graft.streaming.MediaIngest.initIndex(spark, ixPath)
+      val sink = new CountingSink
+      val timings = new DocIngest.StageTimings
+      val perBatch = scala.collection.mutable.ArrayBuffer[(graft.streaming.MediaIngest.MediaBatchMetrics, Double)]()
+      var lastT = System.nanoTime()
+      def vidInfo: Option[String] = {
+        val stages = timings.snapshot.map {
+          case (stage, c, s) => f""""$stage": {"batches": $c, "sec": $s%.2f}"""
+        }.mkString("{", ", ", "}")
+        val batches = perBatch.map { case (m, s) =>
+          f"""{"batch": ${m.batchId}, "n_in": ${m.nIn}, "videos": ${m.nVideos}, "kept": ${m.nAccepted - m.nPassthrough}, "exact_dup": ${m.nExactDup}, "near_dup": ${m.nNearDup}, "decode_err": ${m.nDecodeErr}, "sec": $s%.2f}"""
+        }.mkString("[", ", ", "]")
+        val ixClips = spark.read.parquet(s"$ixPath/vframes")
+          .select("ix_id").distinct().count()
+        Some(s"""{"stages": $stages, "batches": $batches, "index_clips": $ixClips}""")
+      }
+      results += runProbe("media_ingest_video",
+        () => sink.counts("accepted_media") + sink.counts("duplicate_media") +
+          sink.counts("rejected_media"),
+        expectedInput = nVid, info = () => vidInfo) {
+        graft.streaming.MediaIngest.start(spark,
+          spark.readStream.schema(vidSchema)
+            .option("maxFilesPerTrigger", Files / 10).parquet(vidPath),
+          ckpt("media-video"), ixPath, sink,
           trigger = Some(Trigger.AvailableNow()), timings = timings,
           metricsOut = { m =>
             val now = System.nanoTime()

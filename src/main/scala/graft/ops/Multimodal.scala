@@ -1616,4 +1616,154 @@ object Multimodal {
        |FROM shared s JOIN counts c ON s.video_a = c.media_id
        |WHERE CAST(s.n_shared AS DOUBLE) / c.n_hashes >= $minContainment
        |ORDER BY video_a, video_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Streaming VIDEO dedup (VERDICT r12 #3): the q115/q116 batch
+  // machinery wired for the MediaIngest loop — tolerant decode (dead-
+  // letter instead of sys.error), within-batch containment resolution,
+  // and verdicts against a persisted per-clip FRAME-HASH relation
+  // (`vframes/`: ix_id, dhash_hi, dhash_lo — 16 bytes per kept
+  // keyframe, never pixels) with the same crash-safe at-least-once
+  // append discipline as sig/bands/payload.
+  // ------------------------------------------------------------------
+
+  /** Default containment threshold for the video dedup verdicts —
+    * q116's bar: ≥90% of a clip's distinct keyframe hashes appearing in
+    * another clip marks it a (directed) duplicate.
+    */
+  val MinContainment = 0.9
+
+  /** Decode + per-keyframe dHash for a raw streaming batch: one
+    * partition-local pass, `decoded = false` marker rows (frame_idx −1,
+    * zero hashes) for unparseable payloads — the dead-letter branch,
+    * like [[hashImageBatch]].
+    */
+  def hashVideoBatch(batch: DataFrame, every: Int = 1): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.decodeY4m(bytes) match {
+            case Some(v) =>
+              (0 until v.frames.length by every).map { f =>
+                val plane = v.frames(f)
+                val px = new Array[Int](plane.length)
+                var i = 0
+                while (i < plane.length) { px(i) = plane(i) & 0xff; i += 1 }
+                val dh = dHash64(px, v.width, v.height)
+                (id, true, f, dh >>> 32, dh & 0xFFFFFFFFL)
+              }
+            case None => Seq((id, false, -1, 0L, 0L))
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "frame_idx", "dhash_hi", "dhash_lo")
+  }
+
+  /** WITHIN-batch video dedup verdicts over decoded frame hashes — the
+    * containment edition of [[intraBatchImageDedup]]: clip `a` is a
+    * `near_dup` when ≥ `minContainment` of its distinct keyframe hashes
+    * appear in a clip with MORE distinct hashes (a truncation resolves
+    * against its original, never the reverse) or an equal-hash-count
+    * clip with a smaller id (mutual-containment ties). `dup_of` = the
+    * largest such container, ties to the smallest id. Kept clips are
+    * pairwise non-contained under this order (the relation is strict on
+    * (n_hashes, −id)), so only canonicals face the index. EAGER
+    * (localCheckpoint-pinned); callers unpersist.
+    */
+  def intraBatchVideoDedup(
+      frameHashes: DataFrame,
+      minContainment: Double = MinContainment): DataFrame = {
+    val fh = frameHashes
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo")).distinct()
+    val counts = fh.groupBy("media_id").agg(count(lit(1)).as("n_hashes"))
+    val shared = fh.toDF("media_a", "dhash_hi", "dhash_lo")
+      .join(fh.toDF("media_b", "dhash_hi", "dhash_lo"),
+        Seq("dhash_hi", "dhash_lo"))
+      .filter(col("media_a") =!= col("media_b"))
+      .groupBy("media_a", "media_b").agg(count(lit(1)).as("n_shared"))
+    val dups = shared
+      .join(counts.toDF("media_a", "n_a"), Seq("media_a"))
+      .join(counts.toDF("media_b", "n_b"), Seq("media_b"))
+      .filter(col("n_shared").cast("double") / col("n_a")
+        >= minContainment)
+      .filter(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("media_b") < col("media_a")))
+      .groupBy(col("media_a").as("media_id"))
+      .agg(max_by(col("media_b"),
+        struct(col("n_b"), -col("media_b"))).as("dup_of"))
+      .select(col("media_id"), lit("near_dup").as("status"), col("dup_of"))
+    frameHashes.select("media_id").distinct()
+      .join(dups, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("status"), lit("kept")).as("status"),
+        col("dup_of"))
+      .localCheckpoint(true)
+  }
+
+  /** The index's per-clip frame-hash relation — reads empty when absent
+    * (pre-video indexes keep working; every clip is then novel).
+    */
+  def videoFrameIndex(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/vframes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/vframes")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("ix_id", "dhash_hi", "dhash_lo")
+    }
+  }
+
+  /** Append a batch's KEPT clips' distinct keyframe hashes — the video
+    * write-back. Replays re-append the same rows; the verdict join
+    * counts DISTINCT shared hashes per (clip, ix clip), so duplicated
+    * index rows never inflate containment (no compaction needed for
+    * correctness, only for storage).
+    */
+  def appendVideoFrameIndex(keptFrameHashes: DataFrame, path: String): Unit = {
+    keptFrameHashes
+      .select(col("media_id").as("ix_id"), col("dhash_hi"), col("dhash_lo"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/vframes")
+    ()
+  }
+
+  /** Verdicts for a batch's decoded frame hashes against the persisted
+    * frame-hash index: clip → `near_dup` of the SMALLEST index clip
+    * containing ≥ `minContainment` of its distinct keyframe hashes,
+    * `kept` otherwise. Directed — a supercut arriving after its
+    * truncation is kept (it has novel frames), the q116 semantics.
+    * Self-matches excluded for replay idempotency; every join's small
+    * side is the batch (the index relation streams through an
+    * equi-join on the 64-bit hash, batch-sized shuffles only). The
+    * skew regime is a constant frame shared by everything (black
+    * frames, station idents) — its index posting list is the hot-
+    * shingle analog; at corpus scale put a frame-df cap in front,
+    * the same dial as the text posting joins.
+    */
+  def incrementalVideoDedupAgainstIndex(
+      frameHashes: DataFrame, path: String,
+      minContainment: Double = MinContainment): DataFrame = {
+    val spark = frameHashes.sparkSession
+    val fh = frameHashes
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo")).distinct()
+    val counts = fh.groupBy("media_id").agg(count(lit(1)).as("n_hashes"))
+    val shared = fh
+      .join(videoFrameIndex(spark, path), Seq("dhash_hi", "dhash_lo"))
+      .filter(col("ix_id") =!= col("media_id"))
+      .groupBy("media_id", "ix_id")
+      .agg(countDistinct(col("dhash_hi"), col("dhash_lo")).as("n_shared"))
+    val dup = shared
+      .join(counts, Seq("media_id"))
+      .filter(col("n_shared").cast("double") / col("n_hashes")
+        >= minContainment)
+      .groupBy("media_id").agg(min("ix_id").as("dup_of"))
+    frameHashes.select("media_id").distinct()
+      .join(dup, Seq("media_id"), "left")
+      .select(col("media_id"),
+        when(col("dup_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        col("dup_of"))
+  }
 }

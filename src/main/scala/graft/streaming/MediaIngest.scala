@@ -11,22 +11,26 @@ import graft.sink.Sink
   * is text-only, but a crawl yields mixed text+media): each micro-batch
   * of media rows (`media_id`, `kind`, `content` binary) flows through
   *
-  *   1. the declared-kind gate — only `kind = "image"` rows enter the
-  *      perceptual pipeline; other kinds pass through to the accepted
-  *      sink unexamined (their dedup branches plug in beside this one —
-  *      the video twin is [[graft.ops.Multimodal.videoNearDups]]'s
-  *      frame-hash machinery);
-  *   2. decode → dHash ([[Multimodal.hashImageBatch]] — one
-  *      partition-local pass, payloads never shuffle); undecodable bytes
-  *      route to the rejected sink as `decode_error` (the dead-letter
-  *      pattern);
-  *   3. the PERSISTED-signature gate
+  *   1. the declared-kind gate — `image` and `video` rows enter their
+  *      perceptual pipelines; other kinds pass through to the accepted
+  *      sink unexamined;
+  *   2. the byte-level payload pre-gate (md5 of the raw bytes vs the
+  *      index's `payload/` relation + within-batch payload groups) —
+  *      byte-identical re-crawls of EITHER kind verdict `exact_dup`
+  *      without touching a codec;
+  *   3. decode → signature for novel payloads only
+  *      ([[Multimodal.hashImageBatch]] dHash / [[Multimodal.hashVideoBatch]]
+  *      per-keyframe dHash — one partition-local pass, payloads never
+  *      shuffle); undecodable bytes route to the rejected sink as
+  *      `decode_error` (the dead-letter pattern);
+  *   4. the PERSISTED-signature gates
   *      ([[Multimodal.incrementalImageDedupAgainstIndex]] — exact-hash
-  *      equi-join + hub-budgeted banded Hamming against the index, the
-  *      image twin of the text crawl loop's verdicts): kept images
-  *      append their signatures back so the NEXT batch sees them;
-  *      duplicates land in the duplicate sink with their `dup_of`
-  *      canonical.
+  *      equi-join + hub-budgeted banded Hamming;
+  *      [[Multimodal.incrementalVideoDedupAgainstIndex]] — directed
+  *      frame-hash containment over the `vframes/` relation, the q116
+  *      semantics): kept media append their signatures back so the NEXT
+  *      batch sees them; duplicates land in the duplicate sink with
+  *      `dup_of` resolved to the ROOT canonical.
   *
   * Scale shape per batch: decode cost is batch-linear and partition-
   * local; the index joins stream the two signature relations with
@@ -44,6 +48,7 @@ object MediaIngest {
       batchId: Long,
       nIn: Long,
       nImages: Long,
+      nVideos: Long,
       nPassthrough: Long,
       nDecodeErr: Long,
       nExactDup: Long,
@@ -60,6 +65,8 @@ object MediaIngest {
       path)
     Seq.empty[(Long, String)].toDF("ix_id", "payload_hash")
       .write.mode("overwrite").parquet(s"$path/payload")
+    Seq.empty[(Long, Long, Long)].toDF("ix_id", "dhash_hi", "dhash_lo")
+      .write.mode("overwrite").parquet(s"$path/vframes")
   }
 
   /** Process one micro-batch (directly unit-testable): kind gate →
@@ -72,20 +79,21 @@ object MediaIngest {
       sink: Sink,
       timings: DocIngest.StageTimings = new DocIngest.StageTimings): MediaBatchMetrics = {
     val spark = batchDf.sparkSession
-    val images = batchDf.filter(col("kind") === "image")
-    val passthrough = batchDf.filter(col("kind") =!= "image")
+    val examined = batchDf.filter(col("kind").isin("image", "video"))
+    val passthrough = batchDf.filter(!col("kind").isin("image", "video"))
     // 0. BYTE-LEVEL PRE-GATE (VERDICT r12 #1 — the measured hot spot:
     // decode_hash was 34.2 s of 62.1 s while ~72% of crawl traffic is
     // byte-identical re-crawls that got fully PNG-decoded before the
     // signature join could reject them). md5 the RAW payload: same bytes
-    // ⇒ same pixels ⇒ same dHash ⇒ the decode path's exact_dup verdict,
-    // so byte-matches — within the batch (only the smallest media_id of
-    // each payload group decodes) and against the index's payload/
-    // relation — skip the codec entirely. Pinned eagerly: the gate reads
-    // the payload index and the write-back below appends to it (the
-    // read-modify-write recache hazard).
+    // ⇒ same pixels/frames ⇒ same signature ⇒ the decode path's
+    // exact_dup verdict, so byte-matches — within the batch (only the
+    // smallest media_id of each payload group decodes) and against the
+    // index's payload/ relation — skip the codec entirely, for images
+    // AND video. Pinned eagerly: the gate reads the payload index and
+    // the write-back below appends to it (the read-modify-write recache
+    // hazard).
     val pay = timings.time("payload_hash")(
-      Multimodal.payloadHashes(images).localCheckpoint(true))
+      Multimodal.payloadHashes(examined).localCheckpoint(true))
     try {
       val payCanon = pay.groupBy("payload_hash").agg(min("media_id").as("canon"))
       val payIntra = pay.join(payCanon, Seq("payload_hash"))
@@ -102,32 +110,47 @@ object MediaIngest {
         .select(col("media_id"), lit("exact_dup").as("status"), col("dup_of"))
       val preVerdicts = timings.time("payload_gate")(
         payIntra.unionByName(payIdxDup).localCheckpoint(true))
-      // 1. only NOVEL payloads pay the codec; pinned eagerly: hashes feed
-      // the verdict joins, the routing joins and the index write-back
-      val novel = images.join(
+      // 1. only NOVEL payloads pay a codec; pinned eagerly: hashes feed
+      // the verdict joins, the routing joins and the index write-backs
+      val novel = examined.join(
         preVerdicts.select("media_id"), Seq("media_id"), "left_anti")
       val hashed = timings.time("decode_hash")(
-        Multimodal.hashImageBatch(novel).localCheckpoint(true))
+        Multimodal.hashImageBatch(novel.filter(col("kind") === "image"))
+          .localCheckpoint(true))
+      val vhashed = timings.time("decode_video")(
+        Multimodal.hashVideoBatch(novel.filter(col("kind") === "video"))
+          .localCheckpoint(true))
       try {
         // 2. within-batch resolution among the decoded novel payloads
-        // (the text loop's same-batch contract, image edition)
+        // (the text loop's same-batch contract): images by banded
+        // Hamming, videos by frame-hash containment
         val intra = timings.time("intra_batch")(
           Multimodal.intraBatchImageDedup(hashed.filter(col("decoded"))))
+        val vintra = timings.time("intra_batch_video")(
+          Multimodal.intraBatchVideoDedup(vhashed.filter(col("decoded"))))
         val canonHashes = hashed.filter(col("decoded")).join(
           intra.filter(col("status") === "kept").select("media_id"), "media_id")
+        val canonVFrames = vhashed.filter(col("decoded")).join(
+          vintra.filter(col("status") === "kept").select("media_id"), "media_id")
         // payload copies of an UNDECODABLE canonical inherit its verdict:
         // byte-identical bytes fail the codec identically, so they route
         // decode_error exactly as the pre-gate-less path decoded-and-
         // failed each of them (dup_of cleared — there is no canonical)
-        val badIds = hashed.filter(!col("decoded"))
+        val badIds = hashed.filter(!col("decoded")).select("media_id")
+          .unionByName(vhashed.filter(!col("decoded")).select("media_id"))
+          .distinct()
           .select(col("media_id").as("bad_id"))
-        // 3. one verdict relation: index signature verdicts over the
-        // decoded canonicals ∪ in-batch image dups ∪ payload-gate dups,
-        // dup_of resolved to the ROOT canonical (ADVICE r12)
+        // 3. one verdict relation: index verdicts over the decoded
+        // canonicals (image signatures + video frame containment) ∪
+        // in-batch dups ∪ payload-gate dups, dup_of resolved to the
+        // ROOT canonical (ADVICE r12)
         val verdicts = timings.time("verdicts") {
           val raw = Multimodal
             .incrementalImageDedupAgainstIndex(canonHashes, indexPath)
+            .unionByName(Multimodal
+              .incrementalVideoDedupAgainstIndex(canonVFrames, indexPath))
             .unionByName(intra.filter(col("status") =!= "kept"))
+            .unionByName(vintra.filter(col("status") =!= "kept"))
             .unionByName(preVerdicts)
           val adj = raw.join(badIds, raw("dup_of") === col("bad_id"), "left")
             .select(raw("media_id"),
@@ -137,6 +160,7 @@ object MediaIngest {
                 .otherwise(raw("dup_of")).as("dup_of"))
             .localCheckpoint(true)
           intra.unpersist()
+          vintra.unpersist()
           preVerdicts.unpersist()
           graft.ops.NearDup.resolveDupRoots(
             adj, idCol = "media_id", freeInput = true)
@@ -147,22 +171,29 @@ object MediaIngest {
           val nKept = counts.getOrElse("kept", 0L)
           val nExact = counts.getOrElse("exact_dup", 0L)
           val nNear = counts.getOrElse("near_dup", 0L)
-          val nDecodeErr = hashed.filter(!col("decoded")).count() +
+          val nDecodeErr =
+            hashed.filter(!col("decoded")).count() +
+            vhashed.filter(!col("decoded")).select("media_id").distinct().count() +
             counts.getOrElse("decode_error", 0L)
           val nPass = passthrough.count()
+          val nVideos = examined.filter(col("kind") === "video").count()
           val keptIds = verdicts.filter(col("status") === "kept")
             .select("media_id")
           val keptHashes = hashed.join(keptIds, "media_id")
+          val keptVFrames = vhashed.join(keptIds, "media_id")
           if (nKept > 0) {
             // write-back FIRST (idempotent for verdicts AND routing — the
             // self-match exclusions cover the replay window)
             timings.time("index_append") {
-              Multimodal.appendImageSigIndex(keptHashes, indexPath)
+              if (!keptHashes.isEmpty)
+                Multimodal.appendImageSigIndex(keptHashes, indexPath)
+              if (!keptVFrames.isEmpty)
+                Multimodal.appendVideoFrameIndex(keptVFrames, indexPath)
               Multimodal.appendPayloadIndex(pay.join(keptIds, "media_id"),
                 indexPath)
             }
             timings.time("accepted_append")(
-              sink.append(batchDf.join(keptHashes.select("media_id"), "media_id"),
+              sink.append(batchDf.join(keptIds, "media_id"),
                 "accepted_media"))
           }
           if (nPass > 0)
@@ -176,19 +207,22 @@ object MediaIngest {
           if (nDecodeErr > 0)
             timings.time("rejected_append")(
               sink.append(hashed.filter(!col("decoded")).select(col("media_id"))
+                .unionByName(vhashed.filter(!col("decoded"))
+                  .select("media_id").distinct())
                 .unionByName(verdicts.filter(col("status") === "decode_error")
                   .select(col("media_id")))
                 .select(col("media_id"), lit("decode_error").as("reject_reason")),
                 "rejected_media"))
           MediaBatchMetrics(batchId, nKept + nExact + nNear + nDecodeErr + nPass,
-            nKept + nExact + nNear + nDecodeErr, nPass, nDecodeErr,
-            nExact, nNear, nKept + nPass)
+            nKept + nExact + nNear + nDecodeErr - nVideos, nVideos,
+            nPass, nDecodeErr, nExact, nNear, nKept + nPass)
         } finally {
           verdicts.unpersist()
           ()
         }
       } finally {
         hashed.unpersist()
+        vhashed.unpersist()
         ()
       }
     } finally {

@@ -153,6 +153,54 @@ class MediaIngestSpec extends SparkSpec {
     assert(sink.tables("accepted_media").map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("video branch: truncations and re-ordered re-encodes dedup against " +
+    "the persisted frame-hash index across batches; supercuts with novel " +
+    "frames are kept (directed containment)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediavx").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    // structurally-distinct frames (see MultimodalSpec's video test)
+    def px(f: Int)(x: Int, y: Int) = ((x + 16 * f) * 73 + y * 17) % 251
+    def oth(f: Int)(x: Int, y: Int) = (250 - x * 13 + y * 29 + f * 5).abs % 256
+    def y4m(n: Int, p: Int => (Int, Int) => Int) =
+      MediaCodec.encodeY4m(16, 12, n, (f, x, y) => p(f)(x, y))
+    // batch 0: the 6-frame original + an unrelated clip
+    val m0 = MediaIngest.processBatch(
+      mediaDf((1L, "video", y4m(6, px)), (2L, "video", y4m(6, oth))),
+      0L, dir, sink)
+    assert(m0.nVideos == 2 && m0.nAccepted == 2 && m0.nImages == 0, m0)
+    // batch 1: a truncation (first half), a frame-REVERSED re-encode
+    // (same frame set, different bytes — must go through containment,
+    // not the payload gate), and a byte-identical re-crawl (payload
+    // gate, no decode)
+    val m1 = MediaIngest.processBatch(
+      mediaDf((10L, "video", y4m(3, px)),
+        (11L, "video", y4m(6, f => px(5 - f))),
+        (12L, "video", y4m(6, px))),
+      1L, dir, sink)
+    assert(m1.nExactDup == 1 && m1.nNearDup == 2 && m1.nAccepted == 0, m1)
+    val dup = sink.tables("duplicate_media")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // 10 ⊆ 11 in-batch (11 has more distinct frames), 11 == clip 1's
+    // frame set against the index — roots resolve the whole chain to 1
+    assert(dup(10L) == (("near_dup", 1L)), dup)
+    assert(dup(11L) == (("near_dup", 1L)), dup)
+    assert(dup(12L) == (("exact_dup", 1L)), dup)
+    // batch 2: a 9-frame supercut extending the original (6/9 shared <
+    // 0.9 ⇒ kept, DIRECTED) and its own in-batch truncation
+    val m2 = MediaIngest.processBatch(
+      mediaDf((20L, "video", y4m(9, px)), (21L, "video", y4m(2, px))),
+      2L, dir, sink)
+    assert(m2.nAccepted == 1 && m2.nNearDup == 1, m2)
+    val dup2 = sink.tables("duplicate_media")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(dup2(21L) == (("near_dup", 20L)), dup2)
+    // the frame index holds exactly the kept clips' distinct hashes
+    val ix = spark.read.parquet(s"$dir/vframes")
+      .select("ix_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ix == Set(1L, 2L, 20L), ix)
+  }
+
   test("streaming wrapper drains batches through the gate with metrics " +
     "(MemoryStream end-to-end)") {
     implicit val sqlCtx = spark.sqlContext
@@ -167,9 +215,13 @@ class MediaIngestSpec extends SparkSpec {
       mem.toDF().toDF("media_id", "kind", "content"),
       ckpt, dir, sink, metricsOut = metrics += _)
     try {
-      mem.addData((1L, "image", png(baseF)), (2L, "video", Array[Byte](9)))
+      // video rows are EXAMINED since r13 — garbage Y4M dead-letters
+      mem.addData((1L, "image", png(baseF)), (2L, "video", Array[Byte](9)),
+        (3L, "audio", Array[Byte](7)))
       q.processAllAvailable()
-      assert(metrics.last.nAccepted == 2 && metrics.last.nPassthrough == 1)
+      assert(metrics.last.nAccepted == 2 && metrics.last.nPassthrough == 1 &&
+        metrics.last.nDecodeErr == 1 && metrics.last.nVideos == 1,
+        metrics.last)
       mem.addData((10L, "image", png(shiftF))) // cross-batch dup by hash
       q.processAllAvailable()
       assert(metrics.last.nExactDup == 1 && metrics.last.nAccepted == 0,
