@@ -49,6 +49,23 @@ object PQTune {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val n = emb.count()
     println(s"[pqtune] corpus $sfDir n=$n")
+    // `rfloor` mode (r13, VERDICT r12 #7): sweep the REFINE FACTOR at the
+    // default PQ8x256 config — the 1x iid corpus sits at recall 0.86
+    // through the derived default (floor regime), and the floor must be
+    // sized from this measurement, not asserted
+    if (args.contains("rfloor")) {
+      val derived = graft.ops.PQ.derivedRefineFactor(emb)
+      println(s"[pqtune] derivedRefineFactor=$derived")
+      for (r <- Seq(0, 10, 12, 16, 20, 24, 32)) {
+        val t0 = System.nanoTime()
+        val rec = graft.ops.PQ.pqRefineRecall(emb, refineFactor = r)
+          .agg(avg("recall")).head().getDouble(0)
+        println(f"[pqtune] refineFactor=${if (r == 0) s"derived($derived)" else r.toString}%s " +
+          f"refine_recall@5=$rec%.3f (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      }
+      spark.stop()
+      return
+    }
     for ((m, codes) <- Seq((4, 8), (8, 64), (8, 256), (16, 64), (16, 256))) {
       val t0 = System.nanoTime()
       val adc = graft.ops.PQ.pqRecall(emb, m = m, codes = codes)

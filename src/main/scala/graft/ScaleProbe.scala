@@ -355,6 +355,21 @@ object ScaleProbe {
         if (label != "1x" && sys.env.getOrElse("SPARK_GRAFT_BPE256", "0") == "1")
           time(s"$label bpe_merges=256")(
             graft.ops.BPE.bpeMerges(docs, merges = 256).count())
+        // 32k merges — production tokenizer depth (VERDICT r12 #6). The
+        // testdata vocabulary is 31 distinct words (every merge path
+        // exhausts at ~130 steps), so DEPTH is probed on a deterministic
+        // word-RICH corpus: one md5-hex word per doc id, capped at 128k
+        // vocabulary (~4M initial symbols — sustains 32k merges with two
+        // orders of magnitude to spare). The r13 incremental trainer
+        // (per-word count deltas + lazy heap) makes this driver-minutes;
+        // the old full-recount loop was O(merges · Σlen) and hopeless.
+        if (label != "1x") {
+          val rich = docs.select(col("doc_id"),
+            md5(concat(lit("bpe|"), col("doc_id"))).as("text"))
+          time(s"$label bpe_merges_local=32768 rich-vocab")(
+            graft.ops.BPE.bpeMergesLocal(rich, merges = 32768,
+              trainCap = 131072).count())
+        }
         if (label != "1x") {
           // the remedies for fixed bucket/cell counts: scale the plane count
           // with the corpus (16 → 128 buckets), and multiply IVF cells by

@@ -1358,6 +1358,72 @@ object Multimodal {
     }
   }
 
+  /** COMBINED within-batch + against-index image verdicts in ONE pass
+    * (r13 — the media loop previously ran [[intraBatchImageDedup]] and
+    * [[incrementalImageDedupAgainstIndex]] as separate stages, ~10 extra
+    * shuffles + an eager checkpoint per micro-batch of pure scheduling
+    * overhead): the match side is the persisted index ∪ the batch
+    * itself, with admissibility (index: `ix_id ≠ media_id`, the replay
+    * self-match rule; batch: `ix_id < media_id`, the intra canonical
+    * rule). `dup_of` = the smallest admissible match — exact (identical
+    * hash) wins over near (banded Hamming), exactly the two-stage
+    * semantics after root resolution: batch-side targets may themselves
+    * be duplicates, and the caller's [[NearDup.resolveDupRoots]] lands
+    * them on the same roots the staged form reached hop by hop (exact
+    * copies share hashes, so a near match to a copy is a near match to
+    * its canonical at the SAME Hamming distance — kept sets are
+    * identical). Index bands stay hub-budgeted from write time; batch
+    * bands are complete.
+    */
+  def imageDedupVerdicts(
+      batchHashes: DataFrame, path: String,
+      maxHamming: Int = MaxHamming): DataFrame = {
+    val spark = batchHashes.sparkSession
+    val batch = batchHashes
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
+    val ixSig = spark.read.parquet(s"$path/sig")
+    val sideSig = ixSig.select(col("ix_id"), col("dhash_hi"),
+        col("dhash_lo"), lit(true).as("from_ix"))
+      .unionByName(batch.select(col("media_id").as("ix_id"), col("dhash_hi"),
+        col("dhash_lo"), lit(false).as("from_ix")))
+    val admissible = (col("from_ix") && col("ix_id") =!= col("media_id")) ||
+      (!col("from_ix") && col("ix_id") < col("media_id"))
+    val exact = batch.join(sideSig, Seq("dhash_hi", "dhash_lo"))
+      .filter(admissible)
+      .groupBy("media_id").agg(min("ix_id").as("exact_of"))
+    val batchBands = dhashBands(batch)
+    val sideBands = spark.read.parquet(s"$path/bands")
+      .withColumn("from_ix", lit(true))
+      .unionByName(batchBands.select(col("media_id").as("ix_id"),
+        col("band_idx"), col("band_val"), lit(false).as("from_ix")))
+    // no distinct on candidates: duplicate (media, ix) rows from multi-
+    // band collisions (≤ 8) re-verify the same cheap bit_count and the
+    // min-aggregation dedupes — cheaper than a dedicated exchange+agg
+    // stage per micro-batch
+    val cand = batchBands
+      .join(sideBands, Seq("band_idx", "band_val"))
+      .filter(admissible)
+      .select(col("media_id"), col("ix_id"))
+    val sideHashes = ixSig
+      .select(col("ix_id"), col("dhash_hi").as("ix_hi"), col("dhash_lo").as("ix_lo"))
+      .unionByName(batch.select(col("media_id").as("ix_id"),
+        col("dhash_hi").as("ix_hi"), col("dhash_lo").as("ix_lo")))
+    val near = cand
+      .join(batch, Seq("media_id"))
+      .join(sideHashes, Seq("ix_id"))
+      .filter(expr("bit_count(dhash_hi ^ ix_hi)") +
+        expr("bit_count(dhash_lo ^ ix_lo)") <= maxHamming)
+      .groupBy("media_id").agg(min("ix_id").as("near_of"))
+    batch.select("media_id")
+      .join(exact, Seq("media_id"), "left")
+      .join(near, Seq("media_id"), "left")
+      .select(col("media_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+  }
+
   /** WITHIN-batch image dedup verdicts — the image edition of
     * [[NearDup.intraBatchDedup]], over an already-hashed batch: identical
     * 64-bit hashes resolve to the smallest media_id (`exact_dup`), then

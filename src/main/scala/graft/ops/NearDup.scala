@@ -1622,38 +1622,52 @@ object NearDup {
     * ultimate canonical without chain-following). `status` is left as-is
     * (it records WHY the doc was dropped); only `dup_of` is re-pointed.
     *
-    * Pointer-jumping: each round replaces `dup_of` with the parent's
-    * `dup_of` wherever the parent is itself a duplicate, HALVING the
-    * remaining chain depth — O(log maxChain) batch-sized self-joins,
-    * and in-batch chains are strictly doc_id-decreasing so there are no
-    * cycles. Index-side targets (ids absent from `verdicts`) are already
-    * roots and pass through untouched. Input should be pinned
-    * (localCheckpoint) by the caller; each round's intermediate is
-    * pinned and the superseded round's blocks are freed eagerly.
+    * Pointer-jumping: a jump replaces `dup_of` with the parent's
+    * `dup_of` wherever the parent is itself a duplicate, halving the
+    * remaining chain depth; each ROUND composes TWO jumps lazily before
+    * one eager materialization (chains of depth ≤ 4 — every chain the
+    * streaming loops produce — resolve in a single round of exactly two
+    * Spark jobs: the checkpoint and the residual-pending count). The
+    * jump-first shape is deliberate: the callers' batches practically
+    * always contain at least one chain, so a check-first loop pays the
+    * same materialization PLUS an extra count per batch. In-batch
+    * chains are strictly decreasing on the intra orders, so there are
+    * no cycles (a defensive round cap turns a violated invariant into
+    * an exception instead of an infinite loop). Index-side targets (ids
+    * absent from `verdicts`) are already roots and pass through
+    * untouched. Input should be pinned (localCheckpoint) by the caller;
+    * superseded rounds' blocks are freed eagerly.
     */
   def resolveDupRoots(
       verdicts: DataFrame, idCol: String = "doc_id",
       freeInput: Boolean = false): DataFrame = {
+    def jump(v: DataFrame): DataFrame = {
+      val parents = v.filter(col("status") =!= "kept")
+        .select(col(idCol).as("p_id"), col("dup_of").as("p_dup"))
+      v.join(parents, v("dup_of") === col("p_id"), "left")
+        .select(v(idCol), v("status"),
+          coalesce(col("p_dup"), v("dup_of")).as("dup_of"))
+    }
     def pending(v: DataFrame): Long = v
       .filter(col("dup_of").isNotNull)
       .join(v.filter(col("status") =!= "kept").select(col(idCol).as("p_id")),
         col("dup_of") === col("p_id"), "left_semi")
       .count()
     var cur = verdicts
-    while (pending(cur) > 0) {
-      val parents = cur.filter(col("status") =!= "kept")
-        .select(col(idCol).as("p_id"), col("dup_of").as("p_dup"))
-      val next = cur
-        .join(parents, cur("dup_of") === col("p_id"), "left")
-        .select(col(idCol), col("status"),
-          coalesce(col("p_dup"), cur("dup_of")).as("dup_of"))
-        .localCheckpoint(true)
+    var rounds = 0
+    while ({
+      val next = jump(jump(cur)).localCheckpoint(true)
       // `freeInput` lets a streaming caller hand over its pinned verdict
       // frame wholesale: the superseded blocks are freed here instead of
       // leaking per micro-batch until the ContextCleaner gets to them
       if ((cur ne verdicts) || freeInput) freeLocalCheckpoint(cur)
       cur = next
-    }
+      rounds += 1
+      require(rounds <= 40,
+        s"resolveDupRoots: chains unresolved after $rounds rounds — " +
+          "a dup_of cycle would violate the strictly-decreasing intra order")
+      pending(cur) > 0
+    }) ()
     cur
   }
 

@@ -532,8 +532,20 @@ object PQ {
     * ties don't trigger) yet the family outnumbers R·k, so the strict
     * part of the cutoff truncates mid-family however the ties are
     * handled. Pass an explicit `refineFactor > 0` to override.
+    *
+    * The floor itself is MEASUREMENT-SIZED (r13, VERDICT r12 #7 —
+    * `graft.PQTune <sfDir> rfloor` sweeps it; PQTUNE_r13.json): on the
+    * iid 1× corpus (n=2000) floor 10 serves recall 0.86 — below the
+    * 0.9 bar the clone decades meet — while 16 measures 0.94 (12→0.88,
+    * 24→0.96; the sf0.01 corpus reaches 1.0 from 12 up). 16 is the
+    * smallest swept value meeting the bar at every measured size, and
+    * costs only (16−10)·k extra exact dots per query. The derived depth
+    * still takes over on clone-heavy corpora; if serving corpora
+    * outgrow the measured band (n ≫ 10⁴ iid vectors per codebook), the
+    * next sizing step is a sample-calibrated floor (ADC rank of exact
+    * top-1 over the training sample), not a larger constant.
     */
-  val RefineFactor = 10
+  val RefineFactor = 16
 
   /** Session memo for [[derivedRefineFactor]] — same pattern as
     * [[KMeans.trainedModel]]'s registry: the factor is deterministic in

@@ -79,79 +79,120 @@ object MediaIngest {
       sink: Sink,
       timings: DocIngest.StageTimings = new DocIngest.StageTimings): MediaBatchMetrics = {
     val spark = batchDf.sparkSession
-    val examined = batchDf.filter(col("kind").isin("image", "video"))
+    import spark.implicits._
+    // ONE kind census drives branch skipping and the volume metrics —
+    // the r13 job diet: the first payload-gated probe run measured the
+    // decode win (34.2 s -> 3.6 s) fully eaten by per-batch FIXED job
+    // overhead (every count/isEmpty/checkpoint is a scheduled job at
+    // micro-batch cadence), so this method now budgets Spark jobs the
+    // way the text loop budgets shuffles.
+    val kinds = timings.time("kind_census")(
+      batchDf.groupBy("kind").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val nImg = kinds.getOrElse("image", 0L)
+    val nVid = kinds.getOrElse("video", 0L)
+    val nPass = kinds.valuesIterator.sum - nImg - nVid
     val passthrough = batchDf.filter(!col("kind").isin("image", "video"))
-    // 0. BYTE-LEVEL PRE-GATE (VERDICT r12 #1 — the measured hot spot:
-    // decode_hash was 34.2 s of 62.1 s while ~72% of crawl traffic is
-    // byte-identical re-crawls that got fully PNG-decoded before the
-    // signature join could reject them). md5 the RAW payload: same bytes
-    // ⇒ same pixels/frames ⇒ same signature ⇒ the decode path's
-    // exact_dup verdict, so byte-matches — within the batch (only the
-    // smallest media_id of each payload group decodes) and against the
-    // index's payload/ relation — skip the codec entirely, for images
-    // AND video. Pinned eagerly: the gate reads the payload index and
-    // the write-back below appends to it (the read-modify-write recache
-    // hazard).
-    val pay = timings.time("payload_hash")(
-      Multimodal.payloadHashes(examined).localCheckpoint(true))
-    try {
-      val payCanon = pay.groupBy("payload_hash").agg(min("media_id").as("canon"))
-      val payIntra = pay.join(payCanon, Seq("payload_hash"))
-        .filter(col("media_id") =!= col("canon"))
-        .select(col("media_id"), lit("exact_dup").as("status"),
-          col("canon").as("dup_of"))
-      val canonPay = pay.join(payIntra.select(col("media_id").as("xid")),
-        col("media_id") === col("xid"), "left_anti")
-      // self-match excluded (replay: own payload rows already appended)
-      val payIdxDup = canonPay
-        .join(Multimodal.payloadIndex(spark, indexPath), Seq("payload_hash"))
-        .filter(col("ix_id") =!= col("media_id"))
-        .groupBy("media_id").agg(min("ix_id").as("dup_of"))
-        .select(col("media_id"), lit("exact_dup").as("status"), col("dup_of"))
-      val preVerdicts = timings.time("payload_gate")(
-        payIntra.unionByName(payIdxDup).localCheckpoint(true))
-      // 1. only NOVEL payloads pay a codec; pinned eagerly: hashes feed
-      // the verdict joins, the routing joins and the index write-backs
+    if (nImg + nVid == 0) {
+      if (nPass > 0)
+        timings.time("passthrough_append")(
+          sink.append(passthrough, "accepted_media"))
+      return MediaBatchMetrics(batchId, nPass, 0, 0, nPass, 0, 0, 0, nPass)
+    }
+    val examined = batchDf.filter(col("kind").isin("image", "video"))
+    // BYTE-LEVEL PRE-GATE (VERDICT r12 #1 — decode_hash was 34.2 s of
+    // 62.1 s while ~72% of crawl traffic is byte-identical re-crawls
+    // that got fully decoded before a signature join could reject
+    // them). md5 the RAW payload: same bytes => same pixels/frames =>
+    // same signature => the decode path's exact_dup verdict, so
+    // byte-matches — within the batch (only the smallest media_id of
+    // each payload group decodes) and against the index's payload/
+    // relation — skip the codec entirely, for images AND video. The
+    // hash relation itself is NOT pinned (batchDf is pinned by the
+    // caller; recomputing md5 per consumer is one codegen'd pass over
+    // local blocks, cheaper than an eager checkpoint job per batch);
+    // the gate VERDICTS are pinned because they read the payload index
+    // the write-back below appends to (the recache hazard).
+    val pay = Multimodal.payloadHashes(examined)
+    val payCanon = pay.groupBy("payload_hash").agg(min("media_id").as("canon"))
+    val payIntra = pay.join(payCanon, Seq("payload_hash"))
+      .filter(col("media_id") =!= col("canon"))
+      .select(col("media_id"), lit("exact_dup").as("status"),
+        col("canon").as("dup_of"))
+    val canonPay = pay.join(payIntra.select(col("media_id").as("xid")),
+      col("media_id") === col("xid"), "left_anti")
+    // self-match excluded (replay: own payload rows already appended)
+    val payIdxDup = canonPay
+      .join(Multimodal.payloadIndex(spark, indexPath), Seq("payload_hash"))
+      .filter(col("ix_id") =!= col("media_id"))
+      .groupBy("media_id").agg(min("ix_id").as("dup_of"))
+      .select(col("media_id"), lit("exact_dup").as("status"), col("dup_of"))
+    // the gate verdicts are NOT pinned either: every consumer (the
+    // novel anti-join inside the decode checkpoints, and the verdict
+    // union inside the adj checkpoint) materializes BEFORE the first
+    // index append lands, so the recache hazard cannot bite — and a
+    // per-batch eager checkpoint is exactly the fixed job cost this
+    // method diets away. The two lazy evaluations ride other jobs'
+    // stages (the payload index is a tiny parquet scan).
+    val preVerdicts = payIntra.unionByName(payIdxDup)
+    locally {
+      // only NOVEL payloads pay a codec; pinned eagerly: hashes feed
+      // the verdict joins, the routing joins and the index write-backs.
+      // Absent kinds skip their whole branch — zero jobs, local empty
+      // relations instead.
       val novel = examined.join(
         preVerdicts.select("media_id"), Seq("media_id"), "left_anti")
-      val hashed = timings.time("decode_hash")(
-        Multimodal.hashImageBatch(novel.filter(col("kind") === "image"))
-          .localCheckpoint(true))
-      val vhashed = timings.time("decode_video")(
-        Multimodal.hashVideoBatch(novel.filter(col("kind") === "video"))
-          .localCheckpoint(true))
+      val hashed =
+        if (nImg > 0) timings.time("decode_hash")(
+          Multimodal.hashImageBatch(novel.filter(col("kind") === "image"))
+            .localCheckpoint(true))
+        else Seq.empty[(Long, Boolean, Long, Long)]
+          .toDF("media_id", "decoded", "dhash_hi", "dhash_lo")
+      val vhashed =
+        if (nVid > 0) timings.time("decode_video")(
+          Multimodal.hashVideoBatch(novel.filter(col("kind") === "video"))
+            .localCheckpoint(true))
+        else Seq.empty[(Long, Boolean, Int, Long, Long)]
+          .toDF("media_id", "decoded", "frame_idx", "dhash_hi", "dhash_lo")
       try {
-        // 2. within-batch resolution among the decoded novel payloads
-        // (the text loop's same-batch contract): images by banded
-        // Hamming, videos by frame-hash containment
-        val intra = timings.time("intra_batch")(
-          Multimodal.intraBatchImageDedup(hashed.filter(col("decoded"))))
-        val vintra = timings.time("intra_batch_video")(
-          Multimodal.intraBatchVideoDedup(vhashed.filter(col("decoded"))))
-        val canonHashes = hashed.filter(col("decoded")).join(
-          intra.filter(col("status") === "kept").select("media_id"), "media_id")
-        val canonVFrames = vhashed.filter(col("decoded")).join(
-          vintra.filter(col("status") === "kept").select("media_id"), "media_id")
-        // payload copies of an UNDECODABLE canonical inherit its verdict:
-        // byte-identical bytes fail the codec identically, so they route
-        // decode_error exactly as the pre-gate-less path decoded-and-
-        // failed each of them (dup_of cleared — there is no canonical)
-        val badIds = hashed.filter(!col("decoded")).select("media_id")
-          .unionByName(vhashed.filter(!col("decoded")).select("media_id"))
-          .distinct()
-          .select(col("media_id").as("bad_id"))
-        // 3. one verdict relation: index verdicts over the decoded
-        // canonicals (image signatures + video frame containment) ∪
-        // in-batch dups ∪ payload-gate dups, dup_of resolved to the
-        // ROOT canonical (ADVICE r12)
+        // undecodable payloads become verdict rows themselves (one
+        // relation carries every routing decision — no separate
+        // dead-letter count jobs), and payload copies of an undecodable
+        // canonical inherit decode_error below exactly as the
+        // pre-gate-less path decoded-and-failed each of them
+        val badVerdicts = hashed.filter(!col("decoded")).select("media_id")
+          .unionByName(
+            vhashed.filter(!col("decoded")).select("media_id").distinct())
+          .select(col("media_id"), lit("decode_error").as("status"),
+            lit(null).cast("long").as("dup_of"))
+        // image: fused within-batch + against-index verdicts (ONE pass —
+        // Multimodal.imageDedupVerdicts); video: intra containment, then
+        // canonicals face the frame-hash index
+        val imgVerdicts =
+          if (nImg > 0)
+            Multimodal.imageDedupVerdicts(hashed.filter(col("decoded")), indexPath)
+          else Seq.empty[(Long, String, Option[Long])]
+            .toDF("media_id", "status", "dup_of")
+        val (vidVerdicts, vintra) =
+          if (nVid > 0) {
+            val vi = timings.time("intra_batch_video")(
+              Multimodal.intraBatchVideoDedup(vhashed.filter(col("decoded"))))
+            val canonV = vhashed.filter(col("decoded")).join(
+              vi.filter(col("status") === "kept").select("media_id"), "media_id")
+            (Multimodal.incrementalVideoDedupAgainstIndex(canonV, indexPath)
+              .unionByName(vi.filter(col("status") =!= "kept")), Some(vi))
+          } else
+            (Seq.empty[(Long, String, Option[Long])]
+              .toDF("media_id", "status", "dup_of"), None)
+        // one verdict relation, dup_of resolved to the ROOT canonical
+        // (ADVICE r12): pin once, reclassify copies-of-undecodable, then
+        // the two-jump resolution round
         val verdicts = timings.time("verdicts") {
-          val raw = Multimodal
-            .incrementalImageDedupAgainstIndex(canonHashes, indexPath)
-            .unionByName(Multimodal
-              .incrementalVideoDedupAgainstIndex(canonVFrames, indexPath))
-            .unionByName(intra.filter(col("status") =!= "kept"))
-            .unionByName(vintra.filter(col("status") =!= "kept"))
+          val raw = imgVerdicts
+            .unionByName(vidVerdicts)
             .unionByName(preVerdicts)
+            .unionByName(badVerdicts)
+          val badIds = badVerdicts.select(col("media_id").as("bad_id"))
           val adj = raw.join(badIds, raw("dup_of") === col("bad_id"), "left")
             .select(raw("media_id"),
               when(col("bad_id").isNotNull, lit("decode_error"))
@@ -159,9 +200,7 @@ object MediaIngest {
               when(col("bad_id").isNotNull, lit(null).cast("long"))
                 .otherwise(raw("dup_of")).as("dup_of"))
             .localCheckpoint(true)
-          intra.unpersist()
-          vintra.unpersist()
-          preVerdicts.unpersist()
+          vintra.foreach(_.unpersist())
           graft.ops.NearDup.resolveDupRoots(
             adj, idCol = "media_id", freeInput = true)
         }
@@ -171,34 +210,39 @@ object MediaIngest {
           val nKept = counts.getOrElse("kept", 0L)
           val nExact = counts.getOrElse("exact_dup", 0L)
           val nNear = counts.getOrElse("near_dup", 0L)
-          val nDecodeErr =
-            hashed.filter(!col("decoded")).count() +
-            vhashed.filter(!col("decoded")).select("media_id").distinct().count() +
-            counts.getOrElse("decode_error", 0L)
-          val nPass = passthrough.count()
-          val nVideos = examined.filter(col("kind") === "video").count()
+          val nDecodeErr = counts.getOrElse("decode_error", 0L)
           val keptIds = verdicts.filter(col("status") === "kept")
             .select("media_id")
-          val keptHashes = hashed.join(keptIds, "media_id")
-          val keptVFrames = vhashed.join(keptIds, "media_id")
+          // kept-by-kind gates the per-kind index appends; single-kind
+          // batches need no extra job for it
+          val keptByKind: Map[String, Long] =
+            if (nKept == 0) Map.empty
+            else if (nVid == 0) Map("image" -> nKept)
+            else if (nImg == 0) Map("video" -> nKept)
+            else keptIds
+              .join(examined.select("media_id", "kind"), "media_id")
+              .groupBy("kind").count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           if (nKept > 0) {
             // write-back FIRST (idempotent for verdicts AND routing — the
             // self-match exclusions cover the replay window)
             timings.time("index_append") {
-              if (!keptHashes.isEmpty)
-                Multimodal.appendImageSigIndex(keptHashes, indexPath)
-              if (!keptVFrames.isEmpty)
-                Multimodal.appendVideoFrameIndex(keptVFrames, indexPath)
+              if (keptByKind.getOrElse("image", 0L) > 0)
+                Multimodal.appendImageSigIndex(
+                  hashed.join(keptIds, "media_id"), indexPath)
+              if (keptByKind.getOrElse("video", 0L) > 0)
+                Multimodal.appendVideoFrameIndex(
+                  vhashed.join(keptIds, "media_id"), indexPath)
               Multimodal.appendPayloadIndex(pay.join(keptIds, "media_id"),
                 indexPath)
             }
-            timings.time("accepted_append")(
-              sink.append(batchDf.join(keptIds, "media_id"),
-                "accepted_media"))
           }
-          if (nPass > 0)
-            timings.time("passthrough_append")(
-              sink.append(passthrough, "accepted_media"))
+          // kept + passthrough share the accepted sink — ONE write
+          if (nKept + nPass > 0)
+            timings.time("accepted_append")(
+              sink.append(
+                batchDf.join(keptIds, "media_id").unionByName(passthrough),
+                "accepted_media"))
           if (nExact + nNear > 0)
             timings.time("duplicate_append")(
               sink.append(verdicts.filter(
@@ -206,15 +250,11 @@ object MediaIngest {
                 "duplicate_media"))
           if (nDecodeErr > 0)
             timings.time("rejected_append")(
-              sink.append(hashed.filter(!col("decoded")).select(col("media_id"))
-                .unionByName(vhashed.filter(!col("decoded"))
-                  .select("media_id").distinct())
-                .unionByName(verdicts.filter(col("status") === "decode_error")
-                  .select(col("media_id")))
-                .select(col("media_id"), lit("decode_error").as("reject_reason")),
+              sink.append(verdicts.filter(col("status") === "decode_error")
+                .select(col("media_id"),
+                  lit("decode_error").as("reject_reason")),
                 "rejected_media"))
-          MediaBatchMetrics(batchId, nKept + nExact + nNear + nDecodeErr + nPass,
-            nKept + nExact + nNear + nDecodeErr - nVideos, nVideos,
+          MediaBatchMetrics(batchId, nImg + nVid + nPass, nImg, nVid,
             nPass, nDecodeErr, nExact, nNear, nKept + nPass)
         } finally {
           verdicts.unpersist()
@@ -225,9 +265,6 @@ object MediaIngest {
         vhashed.unpersist()
         ()
       }
-    } finally {
-      pay.unpersist()
-      ()
     }
   }
 

@@ -80,6 +80,29 @@ class BPESpec extends SparkSpec {
     assert(localFull == dist)
   }
 
+  test("merge-table prefix stability: training longer never rewrites " +
+    "earlier merges (the 32k-run's first K rows equal a K-merge run)") {
+    // richer corpus so deep merge steps exist and exercise the heap's
+    // stale-entry skipping across many count updates
+    val df = docs((1L, "the quick brown fox jumps over the lazy dog " +
+      "the quick brown cat sleeps under the lazy tree"),
+      (2L, "pack my box with five dozen liquor jugs pack my box again"),
+      (3L, "aaaa aaab aabb abbb bbbb aaaa aaab"))
+    val full = BPE.bpeMergesLocal(df, merges = 60, trainCap = 0)
+      .collect().map(_.toSeq).toSeq
+    val short = BPE.bpeMergesLocal(df, merges = 15, trainCap = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(full.take(15) == short)
+    // and the incremental trainer still equals the distributed one
+    // (the merge-for-merge contract; depth kept at 10 — the distributed
+    // trainer's per-merge cost grows superlinearly with the union-grown
+    // counts plan, and deeper equality is exactly what the incremental
+    // trainer exists to avoid re-measuring)
+    val dist = BPE.bpeMerges(df, merges = 10, trainCap = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(full.take(10) == dist)
+  }
+
   test("BPE ignores non-ASCII words and ties break lexicographically") {
     // "zz" and "yy" both count 2; (y,y) < (z,z) lexicographically → the
     // first merge must be (y,y). The unicode word must not contribute.
