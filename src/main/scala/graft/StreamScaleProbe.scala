@@ -61,8 +61,13 @@ object StreamScaleProbe {
     */
   final class CountingSink extends graft.sink.Sink {
     val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
-    override def append(df: DataFrame, table: String): Unit =
-      synchronized { counts(table) += df.count() }
+    // the count (a Spark job) runs OUTSIDE the lock — the loops submit
+    // routing appends as concurrent jobs (ParJobs), and a lock held
+    // across an action would serialize exactly what they parallelize
+    override def append(df: DataFrame, table: String): Unit = {
+      val n = df.count()
+      synchronized { counts(table) += n }
+    }
   }
 
   final case class StateOpStats(
@@ -245,8 +250,16 @@ object StreamScaleProbe {
 
     val results = scala.collection.mutable.ArrayBuffer[ProbeResult]()
 
+    // SPARK_GRAFT_PROBE_ONLY=media_ingest[,crawl_loop,...] runs a subset
+    // (iteration aid — the committed STREAMPROBE.json is always a full
+    // run; point SPARK_GRAFT_STREAMPROBE_OUT elsewhere when filtering)
+    val onlyProbes: Set[String] = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def want(name: String): Boolean = onlyProbes.isEmpty || onlyProbes(name)
+
     // ---- probe 1: stream-stream interval join ----------------------------
-    locally {
+    if (want("interval_join")) locally {
       @volatile var n = 0L
       // the self-join reads the source once per side → 2 × corpus
       results += runProbe("interval_join", () => n, expectedInput = 2 * nEvents) {
@@ -259,7 +272,7 @@ object StreamScaleProbe {
     }
 
     // ---- probe 2: watermarked content dedup ------------------------------
-    locally {
+    if (want("content_dedup")) locally {
       @volatile var n = 0L
       results += runProbe("content_dedup", () => n, expectedInput = nDocs) {
         graft.ops.Dedup.streamingContentDedup(docStream())
@@ -271,7 +284,7 @@ object StreamScaleProbe {
     }
 
     // ---- probe 3: per-source quota (transformWithState + TTL) ------------
-    locally {
+    if (want("source_quota")) locally {
       @volatile var n = 0L
       results += runProbe("source_quota", () => n, expectedInput = nDocs) {
         SourceQuota.sourceQuota(docStream(), quota = 100000L)
@@ -285,7 +298,7 @@ object StreamScaleProbe {
     }
 
     // ---- probe 4: full doc-ingest pipeline -------------------------------
-    locally {
+    if (want("doc_ingest")) locally {
       val sink = new CountingSink
       val timings = new DocIngest.StageTimings
       // per-stage breakdown lands in the artifact: the round-8 finding was
@@ -307,7 +320,7 @@ object StreamScaleProbe {
     // acceptedOnly drops the rejected append: a micro-batch is exactly ONE
     // cache scan (the observed accepted append) — the single-scan path for
     // callers who treat rejections as a counter, not a dataset.
-    locally {
+    if (want("doc_ingest_express")) locally {
       val sink = new CountingSink
       val timings = new DocIngest.StageTimings
       def stagesJson: Option[String] = Some(timings.snapshot.map {
@@ -329,7 +342,7 @@ object StreamScaleProbe {
     // seconds and the kept/dup split — the flatness claim as data. After
     // the drain, a fixed probe batch's verdicts are compared before and
     // after one more compaction (must be identical).
-    locally {
+    if (want("crawl_loop")) locally {
       val sink = new CountingSink
       val ixPath = s"$out/crawl-index"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ixPath))
@@ -380,7 +393,7 @@ object StreamScaleProbe {
     // write-back loop. Per-stage timings land in the artifact; per-batch
     // seconds must stay flat (each batch = one decode pass + batch-sized
     // joins against a streaming scan of the signature index).
-    locally {
+    if (want("media_ingest")) locally {
       import spark.implicits._
       val mediaPath = s"$out/media"
       val mediaMult = math.max(5, docMult / 5) // 40 at the default docMult
@@ -460,7 +473,7 @@ object StreamScaleProbe {
     // near_dup; a longer one has novel frames and is kept), plus audio
     // passthrough and dead-letter rows — per-stage timings in the
     // artifact beside the image row.
-    locally {
+    if (want("media_ingest_video")) locally {
       import spark.implicits._
       val vidPath = s"$out/media-video"
       val vidMult = math.max(5, docMult / 5)
@@ -543,7 +556,7 @@ object StreamScaleProbe {
     // recipe), so the final multiset must equal the uninterrupted run's:
     // duplicates whose first-seen row landed BEFORE the kill are still
     // dropped after it only if the dedup state actually survived restart.
-    locally {
+    if (want("dedup_restart")) locally {
       import scala.collection.concurrent.TrieMap
       // order-free multiset fingerprint: (rows, Σid, Σid²)
       def fingerprint(b: DataFrame): (Long, Long, Long) = {

@@ -1344,18 +1344,21 @@ object Multimodal {
   def appendImageSigIndex(
       keptHashes: DataFrame, path: String,
       bucketBudget: Int = graft.ops.NearDup.BucketBudget): Unit = {
+    // `keptHashes` must not read anything under `path` (every caller
+    // passes the batch's pinned hash checkpoint joined with the pinned
+    // verdict frame) — then the two appends can evaluate it
+    // independently and run as CONCURRENT jobs: no checkpoint job, no
+    // ordering between the sig and bands writes, and neither write can
+    // invalidate the other's input (the recache hazard needs a reader
+    // of the appended path; both plans read only pinned batch blocks).
     val base = keptHashes
       .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
-      .localCheckpoint(true)
-    try {
-      base.select(col("media_id").as("ix_id"), col("dhash_hi"), col("dhash_lo"))
-        .write.mode("append").parquet(s"$path/sig")
-      budgetedImageHubs(base, bucketBudget)
-        .write.mode("append").parquet(s"$path/bands")
-    } finally {
-      base.unpersist()
-      ()
-    }
+    graft.util.ParJobs.run(
+      () => base
+        .select(col("media_id").as("ix_id"), col("dhash_hi"), col("dhash_lo"))
+        .write.mode("append").parquet(s"$path/sig"),
+      () => budgetedImageHubs(base, bucketBudget)
+        .write.mode("append").parquet(s"$path/bands"))
   }
 
   /** COMBINED within-batch + against-index image verdicts in ONE pass

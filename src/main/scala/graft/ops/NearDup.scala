@@ -1627,7 +1627,8 @@ object NearDup {
     * remaining chain depth; each ROUND composes TWO jumps lazily before
     * one eager materialization (chains of depth ≤ 4 — every chain the
     * streaming loops produce — resolve in a single round of exactly two
-    * Spark jobs: the checkpoint and the residual-pending count). The
+    * Spark jobs: the checkpoint and one aggregation that doubles as the
+    * residual-pending check and the per-status counts). The
     * jump-first shape is deliberate: the callers' batches practically
     * always contain at least one chain, so a check-first loop pays the
     * same materialization PLUS an extra count per batch. In-batch
@@ -1640,7 +1641,29 @@ object NearDup {
     */
   def resolveDupRoots(
       verdicts: DataFrame, idCol: String = "doc_id",
-      freeInput: Boolean = false): DataFrame = {
+      freeInput: Boolean = false): DataFrame =
+    resolveDupRootsCounted(verdicts, idCol, freeInput)._1
+
+  /** [[resolveDupRoots]] plus per-`status` row counts, at ONE Spark job
+    * per round. The streaming loops need both outputs — counts gate the
+    * routing branches and fill the batch metrics — and at micro-batch
+    * cadence every extra scheduled job is pure fixed cost, so the
+    * round's checkpoint job carries the bookkeeping as an `Observation`
+    * on its own plan: per-status row counts over `statusDomain` (counts
+    * outside the domain fail loudly — a typo'd status must not silently
+    * vanish from the metrics) and the unresolved-chain count. The
+    * convergence test joins the jumped frame against the PRE-jump
+    * non-kept ids, which is equivalent to the post-jump test because
+    * `status` is jump-invariant (jumps re-point `dup_of` only), so the
+    * whole round — two composed jumps, the parent probe, the metrics —
+    * materializes in the single checkpoint action.
+    */
+  def resolveDupRootsCounted(
+      verdicts: DataFrame, idCol: String = "doc_id",
+      freeInput: Boolean = false,
+      statusDomain: Seq[String] =
+        Seq("kept", "exact_dup", "near_dup", "decode_error"))
+      : (DataFrame, Map[String, Long]) = {
     def jump(v: DataFrame): DataFrame = {
       val parents = v.filter(col("status") =!= "kept")
         .select(col(idCol).as("p_id"), col("dup_of").as("p_dup"))
@@ -1648,15 +1671,22 @@ object NearDup {
         .select(v(idCol), v("status"),
           coalesce(col("p_dup"), v("dup_of")).as("dup_of"))
     }
-    def pending(v: DataFrame): Long = v
-      .filter(col("dup_of").isNotNull)
-      .join(v.filter(col("status") =!= "kept").select(col(idCol).as("p_id")),
-        col("dup_of") === col("p_id"), "left_semi")
-      .count()
     var cur = verdicts
+    var counts = Map.empty[String, Long]
     var rounds = 0
     while ({
-      val next = jump(jump(cur)).localCheckpoint(true)
+      val obs = org.apache.spark.sql.Observation()
+      val parents = cur.filter(col("status") =!= "kept")
+        .select(col(idCol).as("p_id"))
+      val jumped = jump(jump(cur))
+      val next = jumped
+        .join(parents, jumped("dup_of") === col("p_id"), "left")
+        .observe(obs, count(lit(1)).as("n_total"),
+          (count(col("p_id")).as("n_unresolved") +:
+            statusDomain.map(s =>
+              count(when(col("status") === s, 1)).as(s"n_$s"))): _*)
+        .select(col(idCol), col("status"), col("dup_of"))
+        .localCheckpoint(true)
       // `freeInput` lets a streaming caller hand over its pinned verdict
       // frame wholesale: the superseded blocks are freed here instead of
       // leaking per micro-batch until the ContextCleaner gets to them
@@ -1666,9 +1696,16 @@ object NearDup {
       require(rounds <= 40,
         s"resolveDupRoots: chains unresolved after $rounds rounds — " +
           "a dup_of cycle would violate the strictly-decreasing intra order")
-      pending(cur) > 0
+      val m = obs.get
+      val total = m("n_total").asInstanceOf[Long]
+      counts = statusDomain.map(s =>
+        s -> m(s"n_$s").asInstanceOf[Long]).filter(_._2 > 0).toMap
+      require(counts.valuesIterator.sum == total,
+        s"resolveDupRootsCounted: ${total - counts.valuesIterator.sum} " +
+          s"rows carry a status outside ${statusDomain.mkString("/")}")
+      m("n_unresolved").asInstanceOf[Long] > 0
     }) ()
-    cur
+    (cur, counts)
   }
 
   def incrementalDedup(

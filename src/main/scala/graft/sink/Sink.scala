@@ -249,8 +249,13 @@ object DatasetWriter {
   */
 final class InMemorySink extends Sink {
   val tables: mutable.Map[String, mutable.Buffer[Row]] = mutable.Map.empty
-  override def append(df: DataFrame, table: String): Unit = synchronized {
-    tables.getOrElseUpdate(table, mutable.Buffer.empty) ++= df.collect()
+  override def append(df: DataFrame, table: String): Unit = {
+    // collect (a Spark job) outside the lock: the streaming loops submit
+    // independent sink appends concurrently (graft.util.ParJobs)
+    val rows = df.collect()
+    synchronized {
+      tables.getOrElseUpdate(table, mutable.Buffer.empty) ++= rows
+    }
   }
   def rowCount(table: String): Int = synchronized(tables.get(table).map(_.size).getOrElse(0))
 }

@@ -98,15 +98,15 @@ object CrawlDedup {
     // duplicate sink. Resolution re-points dup_of only — doc_id/status
     // partitions are unchanged, so counts and routing joins read the
     // same resolved frame.
-    val verdicts = timings.time("verdicts")(
-      NearDup.resolveDupRoots(
+    // the resolve loop's convergence aggregation doubles as the
+    // status-count job (resolveDupRootsCounted) — no separate count
+    val (verdicts, counts) = timings.time("verdicts")(
+      NearDup.resolveDupRootsCounted(
         NearDup.incrementalDedupAgainstIndex(canon, indexPath)
           .unionByName(intra.filter(col("status") =!= "kept"))
           .localCheckpoint(true),
         freeInput = true))
     try {
-      val counts = verdicts.groupBy("status").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val nKept = counts.getOrElse("kept", 0L)
       val nExact = counts.getOrElse("exact_dup", 0L)
       val nNear = counts.getOrElse("near_dup", 0L)
@@ -124,13 +124,19 @@ object CrawlDedup {
         // replay-routing test)
         timings.time("index_append")(
           NearDup.appendDedupIndex(kept.select("doc_id", "text"), indexPath))
-        timings.time("accepted_append")(
-          sink.append(kept, "accepted_documents"))
       }
-      if (nExact + nNear > 0)
-        timings.time("rejected_append")(
-          sink.append(verdicts.filter(col("status") =!= "kept"),
+      // routing: the two sinks are independent appends of pinned inputs
+      // (kept joins the pinned verdicts; both land AFTER the index
+      // write-back above) — one concurrent job group
+      timings.time("route_append") {
+        val jobs = Seq.newBuilder[() => Unit]
+        if (nKept > 0)
+          jobs += (() => sink.append(kept, "accepted_documents"))
+        if (nExact + nNear > 0)
+          jobs += (() => sink.append(verdicts.filter(col("status") =!= "kept"),
             "duplicate_documents"))
+        graft.util.ParJobs.run(jobs.result(): _*)
+      }
       val compact = compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)
       if (compact)
         timings.time("index_compact")(NearDup.compactDedupIndex(indexPath))

@@ -80,26 +80,22 @@ object MediaIngest {
       timings: DocIngest.StageTimings = new DocIngest.StageTimings): MediaBatchMetrics = {
     val spark = batchDf.sparkSession
     import spark.implicits._
-    // ONE kind census drives branch skipping and the volume metrics —
-    // the r13 job diet: the first payload-gated probe run measured the
+    // The r13 job diet: the first payload-gated probe run measured the
     // decode win (34.2 s -> 3.6 s) fully eaten by per-batch FIXED job
     // overhead (every count/isEmpty/checkpoint is a scheduled job at
-    // micro-batch cadence), so this method now budgets Spark jobs the
-    // way the text loop budgets shuffles.
-    val kinds = timings.time("kind_census")(
-      batchDf.groupBy("kind").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap)
-    val nImg = kinds.getOrElse("image", 0L)
-    val nVid = kinds.getOrElse("video", 0L)
-    val nPass = kinds.valuesIterator.sum - nImg - nVid
+    // micro-batch cadence), so this method budgets Spark jobs the way
+    // the text loop budgets shuffles. The batch's FIRST job does double
+    // duty: it pins the payload-hash relation (md5 over every examined
+    // payload — the byte-level pre-gate's probe side, consumed by the
+    // verdict joins, the novel anti-join and the index write-back) and
+    // carries the kind census as an Observation on the same scan, so
+    // branch gating and the volume metrics cost no job of their own.
+    val census = org.apache.spark.sql.Observation()
+    val observed = batchDf.observe(census,
+      count(when(col("kind") === "image", 1)).as("n_img"),
+      count(when(col("kind") === "video", 1)).as("n_vid"),
+      count(lit(1)).as("n_all"))
     val passthrough = batchDf.filter(!col("kind").isin("image", "video"))
-    if (nImg + nVid == 0) {
-      if (nPass > 0)
-        timings.time("passthrough_append")(
-          sink.append(passthrough, "accepted_media"))
-      return MediaBatchMetrics(batchId, nPass, 0, 0, nPass, 0, 0, 0, nPass)
-    }
-    val examined = batchDf.filter(col("kind").isin("image", "video"))
     // BYTE-LEVEL PRE-GATE (VERDICT r12 #1 — decode_hash was 34.2 s of
     // 62.1 s while ~72% of crawl traffic is byte-identical re-crawls
     // that got fully decoded before a signature join could reject
@@ -107,13 +103,23 @@ object MediaIngest {
     // same signature => the decode path's exact_dup verdict, so
     // byte-matches — within the batch (only the smallest media_id of
     // each payload group decodes) and against the index's payload/
-    // relation — skip the codec entirely, for images AND video. The
-    // hash relation itself is NOT pinned (batchDf is pinned by the
-    // caller; recomputing md5 per consumer is one codegen'd pass over
-    // local blocks, cheaper than an eager checkpoint job per batch);
-    // the gate VERDICTS are pinned because they read the payload index
-    // the write-back below appends to (the recache hazard).
-    val pay = Multimodal.payloadHashes(examined)
+    // relation — skip the codec entirely, for images AND video.
+    val pay = timings.time("prep_census")(
+      Multimodal.payloadHashes(
+        observed.filter(col("kind").isin("image", "video")))
+        .localCheckpoint(true))
+    val censusRow = census.get
+    val nImg = censusRow("n_img").asInstanceOf[Long]
+    val nVid = censusRow("n_vid").asInstanceOf[Long]
+    val nPass = censusRow("n_all").asInstanceOf[Long] - nImg - nVid
+    if (nImg + nVid == 0) {
+      pay.unpersist()
+      if (nPass > 0)
+        timings.time("passthrough_append")(
+          sink.append(passthrough, "accepted_media"))
+      return MediaBatchMetrics(batchId, nPass, 0, 0, nPass, 0, 0, 0, nPass)
+    }
+    val examined = batchDf.filter(col("kind").isin("image", "video"))
     val payCanon = pay.groupBy("payload_hash").agg(min("media_id").as("canon"))
     val payIntra = pay.join(payCanon, Seq("payload_hash"))
       .filter(col("media_id") =!= col("canon"))
@@ -127,13 +133,14 @@ object MediaIngest {
       .filter(col("ix_id") =!= col("media_id"))
       .groupBy("media_id").agg(min("ix_id").as("dup_of"))
       .select(col("media_id"), lit("exact_dup").as("status"), col("dup_of"))
-    // the gate verdicts are NOT pinned either: every consumer (the
-    // novel anti-join inside the decode checkpoints, and the verdict
-    // union inside the adj checkpoint) materializes BEFORE the first
+    // the gate verdicts themselves stay LAZY (their expensive leaf —
+    // the payload hashes — is pinned above): every consumer (the novel
+    // anti-join inside the decode checkpoints, the verdict union inside
+    // the resolve round's checkpoint) materializes BEFORE the first
     // index append lands, so the recache hazard cannot bite — and a
     // per-batch eager checkpoint is exactly the fixed job cost this
-    // method diets away. The two lazy evaluations ride other jobs'
-    // stages (the payload index is a tiny parquet scan).
+    // method diets away. The re-evaluations ride other jobs' stages
+    // (joins over pinned blocks plus the tiny payload-index scan).
     val preVerdicts = payIntra.unionByName(payIdxDup)
     locally {
       // only NOVEL payloads pay a codec; pinned eagerly: hashes feed
@@ -186,8 +193,12 @@ object MediaIngest {
               .toDF("media_id", "status", "dup_of"), None)
         // one verdict relation, dup_of resolved to the ROOT canonical
         // (ADVICE r12): pin once, reclassify copies-of-undecodable, then
-        // the two-jump resolution round
-        val verdicts = timings.time("verdicts") {
+        // the resolution round — ONE job per round, with the status
+        // counts and the convergence test riding the round checkpoint as
+        // an Observation (resolveDupRootsCounted), so the loop never
+        // schedules a separate count. Everything materializes before the
+        // first index append lands (the recache discipline).
+        val (verdicts, counts) = timings.time("verdicts") {
           val raw = imgVerdicts
             .unionByName(vidVerdicts)
             .unionByName(preVerdicts)
@@ -201,12 +212,10 @@ object MediaIngest {
                 .otherwise(raw("dup_of")).as("dup_of"))
             .localCheckpoint(true)
           vintra.foreach(_.unpersist())
-          graft.ops.NearDup.resolveDupRoots(
+          graft.ops.NearDup.resolveDupRootsCounted(
             adj, idCol = "media_id", freeInput = true)
         }
         try {
-          val counts = verdicts.groupBy("status").count()
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           val nKept = counts.getOrElse("kept", 0L)
           val nExact = counts.getOrElse("exact_dup", 0L)
           val nNear = counts.getOrElse("near_dup", 0L)
@@ -225,35 +234,44 @@ object MediaIngest {
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           if (nKept > 0) {
             // write-back FIRST (idempotent for verdicts AND routing — the
-            // self-match exclusions cover the replay window)
+            // self-match exclusions cover the replay window). The three
+            // index relations are independent appends of pinned inputs:
+            // submitted as concurrent jobs, awaited as a group before
+            // any routing append starts.
             timings.time("index_append") {
+              val jobs = Seq.newBuilder[() => Unit]
               if (keptByKind.getOrElse("image", 0L) > 0)
-                Multimodal.appendImageSigIndex(
-                  hashed.join(keptIds, "media_id"), indexPath)
+                jobs += (() => Multimodal.appendImageSigIndex(
+                  hashed.join(keptIds, "media_id"), indexPath))
               if (keptByKind.getOrElse("video", 0L) > 0)
-                Multimodal.appendVideoFrameIndex(
-                  vhashed.join(keptIds, "media_id"), indexPath)
-              Multimodal.appendPayloadIndex(pay.join(keptIds, "media_id"),
-                indexPath)
+                jobs += (() => Multimodal.appendVideoFrameIndex(
+                  vhashed.join(keptIds, "media_id"), indexPath))
+              jobs += (() => Multimodal.appendPayloadIndex(
+                pay.join(keptIds, "media_id"), indexPath))
+              graft.util.ParJobs.run(jobs.result(): _*)
             }
           }
-          // kept + passthrough share the accepted sink — ONE write
-          if (nKept + nPass > 0)
-            timings.time("accepted_append")(
-              sink.append(
+          // routing: three independent sinks over the pinned verdict
+          // frame (kept + passthrough share the accepted sink — ONE
+          // write), again one concurrent job group
+          timings.time("route_append") {
+            val jobs = Seq.newBuilder[() => Unit]
+            if (nKept + nPass > 0)
+              jobs += (() => sink.append(
                 batchDf.join(keptIds, "media_id").unionByName(passthrough),
                 "accepted_media"))
-          if (nExact + nNear > 0)
-            timings.time("duplicate_append")(
-              sink.append(verdicts.filter(
+            if (nExact + nNear > 0)
+              jobs += (() => sink.append(verdicts.filter(
                 col("status").isin("exact_dup", "near_dup")),
                 "duplicate_media"))
-          if (nDecodeErr > 0)
-            timings.time("rejected_append")(
-              sink.append(verdicts.filter(col("status") === "decode_error")
-                .select(col("media_id"),
-                  lit("decode_error").as("reject_reason")),
+            if (nDecodeErr > 0)
+              jobs += (() => sink.append(
+                verdicts.filter(col("status") === "decode_error")
+                  .select(col("media_id"),
+                    lit("decode_error").as("reject_reason")),
                 "rejected_media"))
+            graft.util.ParJobs.run(jobs.result(): _*)
+          }
           MediaBatchMetrics(batchId, nImg + nVid + nPass, nImg, nVid,
             nPass, nDecodeErr, nExact, nNear, nKept + nPass)
         } finally {
@@ -263,6 +281,7 @@ object MediaIngest {
       } finally {
         hashed.unpersist()
         vhashed.unpersist()
+        pay.unpersist()
         ()
       }
     }
@@ -285,11 +304,16 @@ object MediaIngest {
     val writer = media.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // one source scan per batch (see CrawlDedup.start's pin note)
+        // one source scan per batch (see CrawlDedup.start's pin note; it
+        // also keeps the engine's numInputRows honest — an unpinned
+        // batch is scanned once per consumer and each scan is counted).
+        // No separate isEmpty probe (r13 job diet): empty final ticks
+        // (AvailableNow) ride the census job and surface as all-zero
+        // metrics, dropped here.
         val pinned = batch.localCheckpoint(true)
         try {
-          if (!pinned.isEmpty)
-            metricsOut(processBatch(pinned, id, indexPath, sink, timings))
+          val m = processBatch(pinned, id, indexPath, sink, timings)
+          if (m.nIn > 0) metricsOut(m)
         } finally { pinned.unpersist(); () }
       }
     trigger.fold(writer)(writer.trigger).start()
