@@ -465,6 +465,90 @@ object StreamScaleProbe {
       }
     }
 
+    // ---- probe 4a': media ingest at PRODUCTION image weight, pre-gate A/B
+    // The standard media probe's 24x16 PNGs decode in ~tens of µs, so
+    // the byte-level pre-gate's decode savings vanish under micro-batch
+    // fixed job costs there (and r12's committed "decode-bound" split
+    // proved contention-skewed: the same code + input re-measured 4x
+    // faster idle). This probe sizes images like crawl reality (1600x1200
+    // ≈ 2 Mpx, tens of ms of codec per image) and runs the SAME
+    // duplicate-wave stream twice on the same code — payloadGate on vs
+    // off — so the committed artifact carries the pre-gate's causal
+    // effect instead of a cross-round host-noise ratio.
+    if (want("media_ingest_heavy")) locally {
+      import spark.implicits._
+      val mediaPath = s"$out/media-heavy"
+      val multH = 30 // 150k rows over 5k docs, waves of 5
+      if (!new java.io.File(s"$mediaPath/_SUCCESS").exists()) {
+        graft.sources.Tables.documents(spark, base).select(col("doc_id"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(multH - 1))).as("k"))
+          .select((col("doc_id") * multH + col("k")).as("media_id"),
+            (col("doc_id") * multH + col("k") - pmod(col("k"), lit(5)))
+              .as("variant"),
+            pmod(col("doc_id") * multH + col("k"), lit(41)).as("cls"))
+          .repartitionByRange(Files, col("media_id"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, v, cls) =>
+              if (cls == 40L) (id, "image", "not a png".getBytes)
+              else if (cls >= 37L) (id, "audio", Array[Byte](1, 2, 3))
+              else (id, "image", graft.ops.Multimodal.MediaCodec.encodePng(
+                1600, 1200,
+                (x, y) => ((x + (v % 97).toInt) * (73 + ((v / 97) % 89).toInt)
+                  + y * 17) % 251))
+            }
+          }
+          .toDF("media_id", "kind", "content")
+          .write.mode("overwrite").parquet(mediaPath)
+        val fs = new java.io.File(mediaPath).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val t0 = System.currentTimeMillis() - fs.length * 2000L
+        fs.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+      }
+      val mediaSchema = spark.read.parquet(mediaPath).schema
+      val nMedia = spark.read.parquet(mediaPath).count()
+      for (gate <- Seq(true, false)) {
+        val ixPath = s"$out/media-heavy-index"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ixPath))
+        graft.streaming.MediaIngest.initIndex(spark, ixPath)
+        val sink = new CountingSink
+        val timings = new DocIngest.StageTimings
+        val perBatchH = scala.collection.mutable.ArrayBuffer[
+          graft.streaming.MediaIngest.MediaBatchMetrics]()
+        graft.ops.Multimodal.MediaCodec.decodeCalls.set(0)
+        def infoH: Option[String] = {
+          val stages = timings.snapshot.map {
+            case (stage, c, s) => f""""$stage": {"batches": $c, "sec": $s%.2f}"""
+          }.mkString("{", ", ", "}")
+          val batches = perBatchH.map { m =>
+            s"""{"batch": ${m.batchId}, "n_in": ${m.nIn}, """ +
+              s""""kept": ${m.nAccepted - m.nPassthrough}, """ +
+              s""""exact_dup": ${m.nExactDup}, "near_dup": ${m.nNearDup}, """ +
+              s""""decode_err": ${m.nDecodeErr}}"""
+          }.mkString("[", ", ", "]")
+          val ixRows = spark.read.parquet(s"$ixPath/sig").count()
+          val decodes = graft.ops.Multimodal.MediaCodec.decodeCalls.get()
+          Some(s"""{"payload_gate": $gate, "stages": $stages, """ +
+            s""""batches": $batches, """ +
+            s""""index_rows": $ixRows, "decode_calls": $decodes}""")
+        }
+        results += runProbe(
+          if (gate) "media_ingest_heavy" else "media_ingest_heavy_nogate",
+          () => sink.counts("accepted_media") + sink.counts("duplicate_media") +
+            sink.counts("rejected_media"),
+          expectedInput = nMedia, info = () => infoH) {
+          graft.streaming.MediaIngest.start(spark,
+            spark.readStream.schema(mediaSchema)
+              .option("maxFilesPerTrigger", Files / 5).parquet(mediaPath),
+            ckpt(s"media-heavy-$gate"), ixPath, sink,
+            trigger = Some(Trigger.AvailableNow()), timings = timings,
+            metricsOut = { m => perBatchH += m; () },
+            payloadGate = gate)
+        }
+      }
+    }
+
     // ---- probe 4b: streaming VIDEO ingest (frame-hash containment) -------
     // The r13 video branch at probe volume: waves of 5 byte-identical
     // clips (the payload pre-gate path), cross-wave shared-content

@@ -71,42 +71,55 @@ object MediaIngest {
 
   /** Process one micro-batch (directly unit-testable): kind gate →
     * decode/hash → index verdicts → route → signature write-back.
+    *
+    * `payloadGate = false` disables the byte-level pre-gate: every
+    * examined row pays the codec and all duplicate detection rides the
+    * decoded signatures (the pre-r13 behavior). The right setting when
+    * payload bytes are NOT stable across crawls (same pixels,
+    * re-compressed container — the md5 never matches and the gate is
+    * pure overhead), and the control arm of the probe's pre-gate A/B.
     */
   def processBatch(
       batchDf: DataFrame,
       batchId: Long,
       indexPath: String,
       sink: Sink,
-      timings: DocIngest.StageTimings = new DocIngest.StageTimings): MediaBatchMetrics = {
+      timings: DocIngest.StageTimings = new DocIngest.StageTimings,
+      payloadGate: Boolean = true): MediaBatchMetrics = {
     val spark = batchDf.sparkSession
     import spark.implicits._
     // The r13 job diet: the first payload-gated probe run measured the
-    // decode win (34.2 s -> 3.6 s) fully eaten by per-batch FIXED job
-    // overhead (every count/isEmpty/checkpoint is a scheduled job at
-    // micro-batch cadence), so this method budgets Spark jobs the way
-    // the text loop budgets shuffles. The batch's FIRST job does double
-    // duty: it pins the payload-hash relation (md5 over every examined
-    // payload — the byte-level pre-gate's probe side, consumed by the
-    // verdict joins, the novel anti-join and the index write-back) and
-    // carries the kind census as an Observation on the same scan, so
-    // branch gating and the volume metrics cost no job of their own.
+    // decode win fully eaten by per-batch FIXED job overhead (every
+    // count/isEmpty/checkpoint is a scheduled job at micro-batch
+    // cadence), so this method budgets Spark jobs the way the text loop
+    // budgets shuffles. The batch's FIRST job does double duty: it pins
+    // the payload-hash relation (md5 over every examined payload — the
+    // byte-level pre-gate's probe side, consumed by the verdict joins,
+    // the novel anti-join and the index write-back) and carries the
+    // kind census as an Observation on the same scan, so branch gating
+    // and the volume metrics cost no job of their own. (Gate off: the
+    // same job pins only (media_id) — the census still rides it.)
     val census = org.apache.spark.sql.Observation()
     val observed = batchDf.observe(census,
       count(when(col("kind") === "image", 1)).as("n_img"),
       count(when(col("kind") === "video", 1)).as("n_vid"),
       count(lit(1)).as("n_all"))
     val passthrough = batchDf.filter(!col("kind").isin("image", "video"))
-    // BYTE-LEVEL PRE-GATE (VERDICT r12 #1 — decode_hash was 34.2 s of
-    // 62.1 s while ~72% of crawl traffic is byte-identical re-crawls
-    // that got fully decoded before a signature join could reject
-    // them). md5 the RAW payload: same bytes => same pixels/frames =>
-    // same signature => the decode path's exact_dup verdict, so
-    // byte-matches — within the batch (only the smallest media_id of
-    // each payload group decodes) and against the index's payload/
-    // relation — skip the codec entirely, for images AND video.
+    // BYTE-LEVEL PRE-GATE (VERDICT r12 #1 — re-crawl traffic is
+    // dominated by byte-identical copies that got fully decoded before
+    // a signature join could reject them). md5 the RAW payload: same
+    // bytes => same pixels/frames => same signature => the decode
+    // path's exact_dup verdict, so byte-matches — within the batch
+    // (only the smallest media_id of each payload group decodes) and
+    // against the index's payload/ relation — skip the codec entirely,
+    // for images AND video.
     val pay = timings.time("prep_census")(
-      Multimodal.payloadHashes(
-        observed.filter(col("kind").isin("image", "video")))
+      (if (payloadGate)
+        Multimodal.payloadHashes(
+          observed.filter(col("kind").isin("image", "video")))
+      else
+        observed.filter(col("kind").isin("image", "video"))
+          .select(col("media_id")))
         .localCheckpoint(true))
     val censusRow = census.get
     val nImg = censusRow("n_img").asInstanceOf[Long]
@@ -120,19 +133,6 @@ object MediaIngest {
       return MediaBatchMetrics(batchId, nPass, 0, 0, nPass, 0, 0, 0, nPass)
     }
     val examined = batchDf.filter(col("kind").isin("image", "video"))
-    val payCanon = pay.groupBy("payload_hash").agg(min("media_id").as("canon"))
-    val payIntra = pay.join(payCanon, Seq("payload_hash"))
-      .filter(col("media_id") =!= col("canon"))
-      .select(col("media_id"), lit("exact_dup").as("status"),
-        col("canon").as("dup_of"))
-    val canonPay = pay.join(payIntra.select(col("media_id").as("xid")),
-      col("media_id") === col("xid"), "left_anti")
-    // self-match excluded (replay: own payload rows already appended)
-    val payIdxDup = canonPay
-      .join(Multimodal.payloadIndex(spark, indexPath), Seq("payload_hash"))
-      .filter(col("ix_id") =!= col("media_id"))
-      .groupBy("media_id").agg(min("ix_id").as("dup_of"))
-      .select(col("media_id"), lit("exact_dup").as("status"), col("dup_of"))
     // the gate verdicts themselves stay LAZY (their expensive leaf —
     // the payload hashes — is pinned above): every consumer (the novel
     // anti-join inside the decode checkpoints, the verdict union inside
@@ -141,14 +141,37 @@ object MediaIngest {
     // per-batch eager checkpoint is exactly the fixed job cost this
     // method diets away. The re-evaluations ride other jobs' stages
     // (joins over pinned blocks plus the tiny payload-index scan).
-    val preVerdicts = payIntra.unionByName(payIdxDup)
+    val preVerdicts =
+      if (!payloadGate)
+        Seq.empty[(Long, String, Option[Long])]
+          .toDF("media_id", "status", "dup_of")
+      else {
+        val payCanon =
+          pay.groupBy("payload_hash").agg(min("media_id").as("canon"))
+        val payIntra = pay.join(payCanon, Seq("payload_hash"))
+          .filter(col("media_id") =!= col("canon"))
+          .select(col("media_id"), lit("exact_dup").as("status"),
+            col("canon").as("dup_of"))
+        val canonPay = pay.join(payIntra.select(col("media_id").as("xid")),
+          col("media_id") === col("xid"), "left_anti")
+        // self-match excluded (replay: own payload rows already appended)
+        val payIdxDup = canonPay
+          .join(Multimodal.payloadIndex(spark, indexPath), Seq("payload_hash"))
+          .filter(col("ix_id") =!= col("media_id"))
+          .groupBy("media_id").agg(min("ix_id").as("dup_of"))
+          .select(col("media_id"), lit("exact_dup").as("status"),
+            col("dup_of"))
+        payIntra.unionByName(payIdxDup)
+      }
     locally {
       // only NOVEL payloads pay a codec; pinned eagerly: hashes feed
       // the verdict joins, the routing joins and the index write-backs.
       // Absent kinds skip their whole branch — zero jobs, local empty
       // relations instead.
-      val novel = examined.join(
-        preVerdicts.select("media_id"), Seq("media_id"), "left_anti")
+      val novel =
+        if (payloadGate) examined.join(
+          preVerdicts.select("media_id"), Seq("media_id"), "left_anti")
+        else examined
       val hashed =
         if (nImg > 0) timings.time("decode_hash")(
           Multimodal.hashImageBatch(novel.filter(col("kind") === "image"))
@@ -246,8 +269,9 @@ object MediaIngest {
               if (keptByKind.getOrElse("video", 0L) > 0)
                 jobs += (() => Multimodal.appendVideoFrameIndex(
                   vhashed.join(keptIds, "media_id"), indexPath))
-              jobs += (() => Multimodal.appendPayloadIndex(
-                pay.join(keptIds, "media_id"), indexPath))
+              if (payloadGate)
+                jobs += (() => Multimodal.appendPayloadIndex(
+                  pay.join(keptIds, "media_id"), indexPath))
               graft.util.ParJobs.run(jobs.result(): _*)
             }
           }
@@ -300,7 +324,8 @@ object MediaIngest {
       sink: Sink,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
       timings: DocIngest.StageTimings = new DocIngest.StageTimings,
-      metricsOut: MediaBatchMetrics => Unit = _ => ()): StreamingQuery = {
+      metricsOut: MediaBatchMetrics => Unit = _ => (),
+      payloadGate: Boolean = true): StreamingQuery = {
     val writer = media.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -312,7 +337,7 @@ object MediaIngest {
         // metrics, dropped here.
         val pinned = batch.localCheckpoint(true)
         try {
-          val m = processBatch(pinned, id, indexPath, sink, timings)
+          val m = processBatch(pinned, id, indexPath, sink, timings, payloadGate)
           if (m.nIn > 0) metricsOut(m)
         } finally { pinned.unpersist(); () }
       }

@@ -135,6 +135,40 @@ class MediaIngestSpec extends SparkSpec {
     assert(payIx == Set(1L, 4L), payIx)
   }
 
+  test("payloadGate=false is the decode-everything control arm: routing " +
+    "identical to the gated path, every examined row pays the codec, " +
+    "no payload rows written") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediang").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    val basePng = png(baseF)
+    val otherPng = png(otherF)
+    MediaCodec.decodeCalls.set(0)
+    val m0 = MediaIngest.processBatch(
+      mediaDf((1L, "image", basePng), (2L, "image", basePng),
+        (3L, "image", basePng), (4L, "image", otherPng)),
+      0L, dir, sink, payloadGate = false)
+    assert(m0.nAccepted == 2 && m0.nExactDup == 2 && m0.nDecodeErr == 0, m0)
+    assert(MediaCodec.decodeCalls.get() == 4,
+      s"gate off must decode all four: ${MediaCodec.decodeCalls.get()} calls")
+    MediaCodec.decodeCalls.set(0)
+    val m1 = MediaIngest.processBatch(
+      mediaDf((10L, "image", basePng), (11L, "image", otherPng)),
+      1L, dir, sink, payloadGate = false)
+    assert(m1.nExactDup == 2 && m1.nAccepted == 0, m1)
+    assert(MediaCodec.decodeCalls.get() == 2,
+      s"gate off re-crawl must decode both: ${MediaCodec.decodeCalls.get()}")
+    // routing equals the gated run's (the pre-gate test above): the
+    // byte-copies resolve to the same canonicals via decoded signatures
+    val dup = sink.tables("duplicate_media")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(dup(2L) == (("exact_dup", 1L)) && dup(3L) == (("exact_dup", 1L)), dup)
+    assert(dup(10L) == (("exact_dup", 1L)) && dup(11L) == (("exact_dup", 4L)), dup)
+    // gate off maintains no byte-identity relation
+    val payIx = spark.read.parquet(s"$dir/payload").count()
+    assert(payIx == 0L, s"payload rows written with gate off: $payIx")
+  }
+
   test("byte-identical copies of an UNDECODABLE payload inherit " +
     "decode_error (the pre-gate-less routing), never exact_dup of a " +
     "rejected canonical") {
