@@ -398,10 +398,20 @@ object ScaleProbe {
           graft.ops.Multimodal.imageNearDups(docs).count())
         time(s"$label video_neardup_containment")(
           graft.ops.Multimodal.videoNearDups(docs).count())
+        // r13: the audio decade beside them — the pair relation is the
+        // exact banded output (bounded row count at ≤10× like the other
+        // pair stages; sf1 measured 12.7M pairs), the keep-list is the
+        // star-rounds closure whose per-round cost is a bucketed
+        // equi-join over the pair relation
+        time(s"$label audio_neardup_pairs")(
+          graft.ops.Multimodal.audioNearDups(docs).count())
       }
-      if (mult <= 50)
+      if (mult <= 50) {
         time(s"$label image_dedup_keeplist")(
           graft.ops.Multimodal.imageDedupKeepList(docs).count())
+        time(s"$label audio_dedup_keeplist")(
+          graft.ops.Multimodal.audioDedupKeepList(docs).count())
+      }
       // r10 VERDICT #3 — the continuous-crawl contract at probe scale:
       // persist the snapshot index ONCE (hub budget baked into bands/ at
       // write time), then run successive 1%-sized batches against the

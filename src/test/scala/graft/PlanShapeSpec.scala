@@ -368,6 +368,18 @@ class PlanShapeSpec extends SparkSpec {
       hubs.queryExecution.executedPlan.toString)
   }
 
+  test("audio near-dup pairs (q118) build candidates through equi-joins " +
+    "only, and the audio keep-list (q119) ships as the anti-join against " +
+    "the component labels — the image family's pins, audio edition") {
+    val pp = plan("q118_audio_near_dups")
+    assert(!pp.contains("BroadcastNestedLoopJoin") && !pp.contains("CartesianProduct"),
+      pp)
+    val pk = plan("q119_audio_dedup_keeplist")
+    assert(pk.contains("LeftAnti"), pk)
+    assert(!pk.contains("BroadcastNestedLoopJoin") && !pk.contains("CartesianProduct"),
+      pk)
+  }
+
   test("media ingest index verdicts (image incremental) carry NO window " +
     "and no index-sized sort in the per-batch plan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-imixplan").toString
