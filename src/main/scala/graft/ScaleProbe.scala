@@ -442,7 +442,17 @@ object ScaleProbe {
       // number on that trade at every probed decade (and pq_recall on the
       // lossy codebook), instead of asserting the shape and hoping
       timeInfo(s"$label ann_recall_adaptive")({
+        val np = graft.ops.Similarity.derivedNprobe(emb)
         val rows = graft.ops.Similarity.annRecall(emb).collect()
+        val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
+        (rows.length.toLong,
+          f"""{"mean_recall": $mean%.3f, "derived_nprobe": $np}""")
+      })
+      // OUT-OF-SAMPLE check of the derived default (r14): the knob is
+      // tuned on queries 0..9, so the row above is in-sample by
+      // construction — this one scores a disjoint query window
+      timeInfo(s"$label ann_recall_adaptive_holdout")({
+        val rows = graft.ops.Similarity.annRecallHoldout(emb).collect()
         val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
         (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
       })

@@ -128,8 +128,10 @@ object SparkEntry {
       graft.streaming.WindowedAggs.slidingActivity(ev(s, dir))
         .orderBy("window_start")),
     // similarity search: IVF coarse-quantizer ANN (centroid routing,
-    // nprobe=1) — cells composite-split so their COUNT scales with the
-    // corpus (per-cell work flat; the r6-measured superlinearity fix)
+    // nprobe DERIVED from measured tune-sample recall, r14 — the r13
+    // hard-coded nprobe=1 graded mean recall 0.3 at the iid regime) —
+    // cells composite-split so their COUNT scales with the corpus
+    // (per-cell work flat; the r6-measured superlinearity fix)
     "q36_ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir))),
     // the curation endpoint: near-dup connected components → keep-list
     "q37_dedup_keeplist" -> ((s, dir) => NearDup.dedupKeepList(Tables.documents(s, dir))),
@@ -178,9 +180,11 @@ object SparkEntry {
       Analytics.localSupplierRevenue(s, dir)),
     // fine-grained composite IVF cells — the same adaptive split as q36 at
     // a 32× tighter cell budget (2 extra planes at any volume; at the
-    // verification corpus this is exactly label × 2^2 sub-buckets)
+    // verification corpus this is exactly label × 2^2 sub-buckets).
+    // nprobe pinned EXPLICITLY: this row checks the composite-cell
+    // mechanics; the derived default at this budget is q121
     "q46_ann_ivf_subbucket" -> ((s, dir) =>
-      Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir), budget = 125L)),
+      Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir), nprobe = 1, budget = 125L)),
     // incremental corpus dedup: deterministic Bloom gate — history builds a
     // fixed-size broadcastable bitmap, the new batch probes it (no
     // re-shuffle of history per batch); collision behavior oracle-exact
@@ -526,6 +530,21 @@ object SparkEntry {
     // the multimodal dedup matrix
     "q119_audio_dedup_keeplist" -> ((s, dir) =>
       Multimodal.audioDedupKeepList(Tables.documents(s, dir))),
+    // the adaptive-IVF derivation grid (r14): per swept nprobe, the
+    // tune sample's exact-truth hits and which knob the default chose —
+    // the recall curve q36's serving default was MEASURED from, as a
+    // relation (the q102-style observability contract: derived knobs are
+    // data users can read, and the DERIVATION ITSELF is hash-checked
+    // cross-engine, not just the search it configures)
+    "q120_ann_nprobe_grid" -> ((s, dir) =>
+      Similarity.nprobeTuneGrid(Tables.embeddings(s, dir))),
+    // the derived default at the 32×-tighter budget (p=2 sub-bucketed
+    // cells at the verification corpus): sub-buckets scatter iid
+    // neighbors, so the derivation measures whether ANY nprobe meets the
+    // recall bar here and, if not, degrades to exact probe-all-cells in
+    // the same plan shape — this row pins that decision cross-engine
+    "q121_ann_ivf_derived_subbucket" -> ((s, dir) =>
+      Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir), budget = 125L)),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -775,7 +794,7 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, nation_name""".stripMargin,
-    "q46_ann_ivf_subbucket" -> Similarity.ivfTopKAdaptiveSql(budget = 125L),
+    "q46_ann_ivf_subbucket" -> Similarity.ivfTopKAdaptiveSql(nprobe = 1, budget = 125L),
     "q47_bloom_new_docs" -> Bloom.bloomNewDocsSql,
     "q48_gap_sessions" -> Sessionize.gapSessionsSql,
     "q49_view_attribution" -> Sessionize.viewAttributionSql,
@@ -852,5 +871,7 @@ object SparkEntry {
     "q117_audio_fingerprint" -> Multimodal.audioFingerprintsSql,
     "q118_audio_near_dups" -> Multimodal.audioNearDupsSql(),
     "q119_audio_dedup_keeplist" -> Multimodal.audioDedupKeepListSql(),
+    "q120_ann_nprobe_grid" -> Similarity.nprobeTuneGridSql(),
+    "q121_ann_ivf_derived_subbucket" -> Similarity.ivfTopKAdaptiveSql(budget = 125L),
   )
 }

@@ -65,15 +65,12 @@ object BPE {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
         .otherwise(concat(acc, array(x))))
 
-  /** Release a localCheckpoint'ed relation's blocks: the checkpoint is a
-    * lineage-truncated [[org.apache.spark.sql.execution.LogicalRDD]], so
-    * once no live DataFrame reads it, unpersisting the RDD frees the
-    * blocks immediately instead of waiting for the ContextCleaner.
+  /** Release a localCheckpoint'ed relation's blocks — shared
+    * warning-suppressed implementation in [[graft.util.Checkpoints]]
+    * (r13 hygiene item).
     */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+    graft.util.Checkpoints.free(df)
 
   /** `exists i: syms[i] = p1 ∧ syms[i+1] = p2` — the words whose symbol
     * sequence [[applyMerge]] would change. Guarded on size ≥ 2 because

@@ -774,7 +774,7 @@ object Multimodal {
   def audioDedupKeepListSql(
       maxHamming: Int = MaxHamming,
       bucketBudget: Int = graft.ops.NearDup.BucketBudget): String =
-    s"""WITH RECURSIVE ${afpCtesSql(true)},
+    s"""WITH ${afpCtesSql(true)},
        |$afpBandsSql,
        |hubs AS (
        |  SELECT * FROM bands
@@ -792,18 +792,10 @@ object Multimodal {
        |  JOIN afp fb ON fb.media_id = c.media_b
        |  WHERE bit_count(xor(fa.fp_hi, fb.fp_hi)) +
        |        bit_count(xor(fa.fp_lo, fb.fp_lo)) <= $maxHamming),
-       |edges AS (SELECT media_a AS a, media_b AS b FROM pairs
-       |          UNION SELECT media_b, media_a FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |label AS (
-       |  SELECT src AS media_id, least(src, min(dst)) AS label
-       |  FROM reach GROUP BY src)
+       |${graft.ops.NearDup.starLabelCtesSql("pairs", "media_a", "media_b")}
        |SELECT v.vid AS media_id, CAST(v.n AS BIGINT) AS n_samples
-       |FROM avar v LEFT JOIN label l ON v.vid = l.media_id
-       |WHERE l.media_id IS NULL OR l.label = l.media_id
+       |FROM avar v LEFT JOIN label l ON v.vid = l.doc_id
+       |WHERE l.doc_id IS NULL OR l.label = l.doc_id
        |ORDER BY media_id""".stripMargin
 
   /** Deterministic video-corpus shape shared by the Spark encode side and
@@ -1198,7 +1190,7 @@ object Multimodal {
   def imageDedupKeepListSql(
       maxHamming: Int = MaxHamming,
       bucketBudget: Int = graft.ops.NearDup.BucketBudget): String =
-    s"""WITH RECURSIVE $dHashCtesSql,
+    s"""WITH $dHashCtesSql,
        |bands AS (
        |  SELECT media_id, b.g AS band_idx,
        |    (CASE WHEN b.g < 4 THEN dhash_lo ELSE dhash_hi END
@@ -1220,18 +1212,10 @@ object Multimodal {
        |  JOIN dh db ON db.media_id = c.media_b
        |  WHERE bit_count(xor(da.dhash_hi, db.dhash_hi)) +
        |        bit_count(xor(da.dhash_lo, db.dhash_lo)) <= $maxHamming),
-       |edges AS (SELECT media_a AS a, media_b AS b FROM pairs
-       |          UNION SELECT media_b, media_a FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |label AS (
-       |  SELECT src AS media_id, least(src, min(dst)) AS label
-       |  FROM reach GROUP BY src)
+       |${graft.ops.NearDup.starLabelCtesSql("pairs", "media_a", "media_b")}
        |SELECT i.media_id, i.width, i.height
-       |FROM imgs i LEFT JOIN label l ON i.media_id = l.media_id
-       |WHERE l.media_id IS NULL OR l.label = l.media_id
+       |FROM imgs i LEFT JOIN label l ON i.media_id = l.doc_id
+       |WHERE l.doc_id IS NULL OR l.label = l.doc_id
        |ORDER BY i.media_id""".stripMargin
 
   // ------------------------------------------------------------------

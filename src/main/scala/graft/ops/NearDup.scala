@@ -667,17 +667,13 @@ object NearDup {
     (labels, rounds)
   }
 
-  /** Frees the block storage behind a `localCheckpoint()`ed DataFrame.
-    * The checkpointed RDD lives inside the Dataset's `LogicalRDD` plan node;
-    * anything else (already freed, not a checkpoint) is left to the
-    * ContextCleaner.
+  /** Frees the block storage behind a `localCheckpoint()`ed DataFrame —
+    * shared warning-suppressed implementation in
+    * [[graft.util.Checkpoints]] (r13 hygiene item: the deliberate frees
+    * flooded the logs with the benign cannot-be-recomputed warning).
     */
   private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.util.Checkpoints.free(df)
 
   /** The deduplicated corpus: per near-dup component only the lowest doc_id
     * survives; documents in no component pass through. This is the actual
@@ -693,20 +689,73 @@ object NearDup {
       .orderBy("doc_id")
   }
 
+  /** Unrolled star-round budget for the closure ORACLES: the alternating
+    * rounds converge in ~⌈log₂ max-component-diameter⌉ (spec-pinned on a
+    * planted 1000-link chain at ~10), so 20 covers path components of
+    * ≥250k nodes — far past any verification volume — and rounds past the
+    * fixed point are IDENTITY over the (tiny, one-edge-per-non-root) star
+    * set, so over-provisioning costs only cheap no-op rounds. If a corpus
+    * ever needed more, the oracle's labels would differ from the engine's
+    * converged loop and the compare would fail visibly — the budget can
+    * only produce false MISMATCHES, never false passes.
+    */
+  val StarRoundsOracleK = 20
+
+  /** The per-component-minimum closure as K unrolled large-star /
+    * small-star rounds in PLAIN CTEs — the SQL twin of
+    * [[componentsWithRounds]], round for round (r14; VERDICT r13 #2).
+    * Replaces the recursive-CTE transitive reach the closure oracles used
+    * through r13: `reach` materializes O(Σ component²) (src, dst) rows —
+    * measured >60 min / >33 GB on q119's 12.7 M-edge sf1 audio graph —
+    * where K star rounds are K linear passes over the edge set, the same
+    * asymptotics as the engine. Emits CTEs `e0..e$rounds` and `label`
+    * (member doc_id → component min); callers prepend their pair CTE and
+    * consume `label` exactly as before.
+    */
+  def starLabelCtesSql(
+      pairsCte: String, aCol: String, bCol: String,
+      rounds: Int = StarRoundsOracleK): String = {
+    // AS MATERIALIZED is load-bearing, not an optimization hint to taste:
+    // every round's edge set is referenced twice (symmetrize) and feeds
+    // the next round, so an INLINING planner expands the chain ~4^K ways
+    // — measured: the un-hinted 20-round chain never finished planning on
+    // a 1,752-edge graph, the hinted one runs it in 0.95 s and a
+    // 100k-node chain in 5.7 s (DuckDB evaluates each CTE once either
+    // way under tools/compare.py's opt-in rewrite, but the ORACLE must
+    // not depend on a runner flag to terminate).
+    val e0 =
+      s"""e0 AS MATERIALIZED (
+         |  SELECT DISTINCT greatest($aCol, $bCol) AS u, least($aCol, $bCol) AS v
+         |  FROM $pairsCte WHERE $aCol <> $bCol)""".stripMargin
+    val steps = (0 until rounds).map { i =>
+      s"""g$i AS MATERIALIZED (SELECT u, v FROM e$i UNION ALL SELECT v, u FROM e$i),
+         |gm$i AS MATERIALIZED (SELECT u AS c, least(u, min(v)) AS m FROM g$i GROUP BY u),
+         |ls$i AS MATERIALIZED (
+         |  SELECT DISTINCT g.v AS u, gm.m AS v
+         |  FROM g$i g JOIN gm$i gm ON g.u = gm.c WHERE g.v > g.u),
+         |sm$i AS MATERIALIZED (SELECT u, min(v) AS m FROM ls$i GROUP BY u),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT ls.v AS u, sm.m AS v FROM ls$i ls JOIN sm$i sm ON ls.u = sm.u
+         |    WHERE ls.v <> sm.m
+         |    UNION ALL SELECT u, m AS v FROM sm$i))""".stripMargin
+    }
+    val label =
+      s"""label AS (
+         |  SELECT DISTINCT doc_id, label FROM (
+         |    SELECT u AS doc_id, v AS label FROM e$rounds
+         |    UNION ALL SELECT v AS doc_id, v AS label FROM e$rounds))""".stripMargin
+    (e0 +: steps :+ label).mkString(",\n")
+  }
+
   def dedupKeepListSql: String = {
-    // the pair pipeline as a CTE, then transitive min-label closure via a
-    // recursive CTE (UNION dedups → terminates), then anti-join the losers
+    // the pair pipeline as a CTE, then the per-component-min closure via
+    // K unrolled star rounds (the engine's own algorithm), then anti-join
+    // the losers
     val pairsSql = minhashNearDupsSql
       .replace("ORDER BY doc_a, doc_b", "")
-    s"""WITH RECURSIVE pairs AS ($pairsSql),
-       |edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT doc_a, doc_b FROM edges
-       |  UNION
-       |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a),
-       |label AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS label
-       |  FROM reach GROUP BY src)
+    s"""WITH pairs AS ($pairsSql),
+       |${starLabelCtesSql("pairs", "doc_a", "doc_b")}
        |SELECT d.doc_id, d.lang, d.source, d.n_chars
        |FROM documents d
        |LEFT JOIN label l ON d.doc_id = l.doc_id
@@ -753,15 +802,8 @@ object NearDup {
   def dedupKeepListByQualitySql: String = {
     val pairsSql = minhashNearDupsSql.replace("ORDER BY doc_a, doc_b", "")
     val qualitySql = TextAnalysis.qualityScoreSql.replace("ORDER BY doc_id", "")
-    s"""WITH RECURSIVE pairs AS ($pairsSql),
-       |edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT doc_a, doc_b FROM edges
-       |  UNION
-       |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a),
-       |label AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS label
-       |  FROM reach GROUP BY src),
+    s"""WITH pairs AS ($pairsSql),
+       |${starLabelCtesSql("pairs", "doc_a", "doc_b")},
        |q AS ($qualitySql),
        |losers AS (
        |  SELECT doc_id FROM (
@@ -800,15 +842,8 @@ object NearDup {
 
   def dupClusterHistogramSql: String = {
     val pairsSql = minhashNearDupsSql.replace("ORDER BY doc_a, doc_b", "")
-    s"""WITH RECURSIVE pairs AS ($pairsSql),
-       |edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(src, dst) AS (
-       |  SELECT doc_a, doc_b FROM edges
-       |  UNION
-       |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a),
-       |label AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS label
-       |  FROM reach GROUP BY src),
+    s"""WITH pairs AS ($pairsSql),
+       |${starLabelCtesSql("pairs", "doc_a", "doc_b")},
        |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM label GROUP BY label),
        |hist AS (SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size),
        |singles AS (

@@ -20,11 +20,17 @@ object ParJobs {
   def run(tasks: (() => Unit)*): Unit =
     if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
     else {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      // blocking{}: these task bodies BLOCK on Spark job completion, and
+      // the global EC is sized to CPU count — several concurrently
+      // draining streams each submitting append groups would otherwise
+      // saturate the pool and serialize (or starve unrelated users of
+      // the global EC). blocking tells the fork-join pool to grow past
+      // its parallelism for the duration (ADVICE r13).
       Await.result(
-        Future.sequence(tasks.map(t => Future(t())).toVector),
+        Future.sequence(tasks.map(t => Future(blocking(t()))).toVector),
         Duration.Inf)
       ()
     }

@@ -60,9 +60,47 @@ class SimilaritySpec extends SparkSpec {
       (10L, Seq(0.0f, 1.0f), 1),
       (11L, Seq(0.2f, 0.9f), 1),
       (12L, Seq(0.8f, 0.6f), 1))
-    val r2 = Similarity.annRecall(split, nQueries = 1, k = 2)
+    // nprobe pinned to 1: this test checks MISS COUNTING; the derived
+    // default would degrade to exact on a corpus this small (the tune
+    // sample cannot reach the hit bar) and hide the miss
+    val r2 = Similarity.annRecall(split, nQueries = 1, k = 2, nprobe = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(r2.toSeq == Seq((0L, 1L, 0.5)), r2.toSeq)
+  }
+
+  test("derived nprobe: clone-structured corpus tunes to 1, tiny or " +
+    "structure-free corpora degrade to exact probe-all-cells") {
+    // ten clone families, 6 clones each, one label per family, pairwise
+    // ORTHOGONAL one-hot directions (dims 0..9) with the clone jitter on
+    // a dim no family occupies: every query's true top-5 IS its 5
+    // siblings, all in the query's own label cell, so the tune sample
+    // hits 50/50 already at nprobe=1
+    val cloneRows = for (f <- 0 until 10; c <- 0 until 6) yield {
+      val base = Seq.tabulate(12)(d => if (d == f) 1.0f else 0.0f)
+      (f * 6L + c, base.updated(11, 0.001f * c), f)
+    }
+    val clones = emb(cloneRows: _*)
+    assert(Similarity.derivedNprobe(clones) == 1)
+    val grid = Similarity.nprobeTuneGrid(clones).collect()
+    assert(grid.length == Similarity.MaxDerivedNprobe)
+    assert(grid.count(_.getBoolean(2)) == 1 && grid.head.getBoolean(2))
+    assert(grid.forall(_.getLong(1) >= Similarity.TuneHitBar))
+    // a corpus too small for the sample to ever reach the bar must report
+    // degrade (-1), choose no grid row, and the degraded default must
+    // EQUAL exact brute-force for every query
+    val tiny = emb(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 1),
+      (2L, Seq(0.8f, 0.2f), 0), (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(0.1f, 0.9f), 0))
+    assert(Similarity.derivedNprobe(tiny) == -1)
+    assert(Similarity.nprobeTuneGrid(tiny).collect().forall(!_.getBoolean(2)))
+    val got = Similarity.ivfTopKAdaptive(tiny, k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.bruteForceTopK(tiny, nQueries = 5, k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"degraded default must be exact: $got vs $want")
   }
 
   test("lsh buckets are deterministic and bucketed top-k only pairs within a bucket") {

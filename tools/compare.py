@@ -82,9 +82,23 @@ def materialize_ctes(sql):
                     break
                 j += 1
             out.append(sql[i:j + 1]); i = j + 1; continue
+        if c == '"':  # double-quoted identifier; "" escapes (ADVICE r13)
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1]); i = j + 1; continue
         if c == '-' and i + 1 < n and sql[i + 1] == '-':  # line comment
             j = sql.find('\n', i)
             j = n if j < 0 else j
+            out.append(sql[i:j]); i = j; continue
+        if c == '/' and i + 1 < n and sql[i + 1] == '*':  # block comment
+            j = sql.find('*/', i + 2)  # ADVICE r13; unterminated → verbatim
+            j = n if j < 0 else j + 2
             out.append(sql[i:j]); i = j; continue
         if c == '(':
             depth += 1; out.append(c); i += 1; continue
