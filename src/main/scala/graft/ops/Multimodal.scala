@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) columns for a training-data pipeline:
@@ -610,35 +610,80 @@ object Multimodal {
       }
   }
 
-  /** The 8×8-bit band split of a fingerprint relation — [[dhashBands]]
-    * under the audio column names.
+  /** Audio multi-index band layout: NINE bands over the 64-bit
+    * fingerprint (widths 7,7,7,7,8,7,7,7,7), with candidates required to
+    * agree on a band PAIR rather than a single band (r14; VERDICT r13
+    * #3). Exactness is the same pigeonhole, one level up (Norouzi &
+    * Fleet, multi-index hashing): hamming ≤ [[MaxHamming]] = 7 damages at
+    * most 7 of the 9 bands, so ≥ 2 bands survive intact and the pair
+    * meets on at least one of its C(9,2) = 36 band-pair keys. What it
+    * buys: audio fingerprints are near-uniform pseudo-random bits, so
+    * single-band candidates collide at ~8·n²/2⁸ even on dup-free corpora
+    * (the old scale note; the audio keep-list was the slowest 50× probe
+    * stage at 120 s vs the images' 39 s on the same volume), while
+    * band-pair keys collide at ~36·n²/2¹⁴ — a 14× smaller quadratic
+    * constant for 4.5× more (tiny) key rows per clip.
     */
-  private def afpBands(fp: DataFrame): DataFrame =
-    dhashBands(fp.select(col("media_id"), col("fp_hi").as("dhash_hi"),
-      col("fp_lo").as("dhash_lo")))
+  private val AudioBandLens = Array(7, 7, 7, 7, 8, 7, 7, 7, 7)
+  private val AudioBandOffs = AudioBandLens.scanLeft(0)(_ + _).init
+  private val AudioBands = AudioBandLens.length
+
+  /** Band `b`'s value from the two unsigned-32 fingerprint halves. Band 4
+    * (bits 28..35) straddles the halves: low 4 bits from the top of
+    * `fp_lo`, high 4 from the bottom of `fp_hi`. Plain shift/mod integer
+    * arithmetic, mirrored digit-for-digit by [[afpBandValSql]].
+    */
+  private def afpBandVal(b: Int, hi: Column, lo: Column): Column = {
+    val off = AudioBandOffs(b); val len = AudioBandLens(b)
+    if (off + len <= 32) shiftright(lo, off) % (1 << len)
+    else if (off >= 32) shiftright(hi, off - 32) % (1 << len)
+    else shiftright(lo, off) + (hi % (1 << (off + len - 32))) * (1L << (32 - off))
+  }
+
+  private def afpBandValSql(b: Int): String = {
+    val off = AudioBandOffs(b); val len = AudioBandLens(b)
+    if (off + len <= 32)
+      s"(fp_lo // ${1L << off}) % ${1 << len}"
+    else if (off >= 32)
+      s"(fp_hi // ${1L << (off - 32)}) % ${1 << len}"
+    else
+      s"(fp_lo // ${1L << off}) + (fp_hi % ${1 << (off + len - 32)}) * ${1L << (32 - off)}"
+  }
+
+  /** One packed BIGINT key per (i < j) band pair:
+    * `(i·9 + j)·2¹⁶ + val_i·2⁸ + val_j` (band values < 2⁸) — 36 rows per
+    * clip, a single-column equi-join key.
+    */
+  private def afpBandPairKeys(fp: DataFrame): DataFrame = {
+    val hi = col("fp_hi"); val lo = col("fp_lo")
+    val keys = for (i <- 0 until AudioBands; j <- i + 1 until AudioBands)
+      yield (lit((i * AudioBands + j).toLong * 65536L) +
+        afpBandVal(i, hi, lo) * 256L + afpBandVal(j, hi, lo))
+    fp.select(col("media_id"), explode(array(keys: _*)).as("bpk"))
+  }
 
   /** Near-duplicate audio pairs over the corpus + planted variants:
-    * every (a < b) within fingerprint Hamming ≤ `maxHamming`, via the
-    * same banded exact Hamming join as [[imageNearDups]] (8 bands × 8
-    * bits ⇒ recall EXACT for hamming ≤ 7 by pigeonhole). Re-encodes land
-    * at hamming 0; amplitude-halves land within a few bits (each bit
-    * flips only when floor-rounding crosses an amplitude near-tie).
-    * Scale shape: candidates keyed on (band, value); pseudo-random
-    * fingerprints collide at ~n²/2^8 per band, so the PAIR relation's
-    * candidate volume is inherently corpus-quadratic over 256 buckets —
-    * the keep-list twin ([[audioDedupKeepList]]) is the scale path,
-    * exactly as q113 vs q114 for images.
+    * every (a < b) within fingerprint Hamming ≤ `maxHamming`, candidates
+    * from the 2-of-9 band-pair multi-index ([[afpBandPairKeys]] — recall
+    * EXACT for hamming ≤ 7: ≤ 7 damaged bands of 9 leave an intact pair),
+    * verified by exact bit_count. Re-encodes land at hamming 0;
+    * amplitude-halves land within a few bits (each bit flips only when
+    * floor-rounding crosses an amplitude near-tie). Scale shape:
+    * candidates collide at ~36·n²/2¹⁴ on pseudo-random fingerprints
+    * (single 8-bit bands collided at ~8·n²/2⁸ — 14× more; the r13 audio
+    * stages were the slowest probe stages for exactly that constant) —
+    * the PAIR relation is still inherently corpus-quadratic in the
+    * clone-heavy regime, so the keep-list twin ([[audioDedupKeepList]])
+    * is the scale path, exactly as q113 vs q114 for images.
     */
   def audioNearDups(
       documents: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
     val fp = audioFingerprintsOf(audioVariantCorpus(documents))
       .select(col("media_id"), col("fp_hi"), col("fp_lo")).cache()
-    val bands = afpBands(fp)
-    val cand = bands.toDF("media_a", "band_idx", "band_val")
-      .join(bands.toDF("media_b", "band_idx_b", "band_val_b"),
-        col("band_idx") === col("band_idx_b") &&
-          col("band_val") === col("band_val_b") &&
-          col("media_a") < col("media_b"))
+    val bp = afpBandPairKeys(fp)
+    val cand = bp.toDF("media_a", "bpk")
+      .join(bp.toDF("media_b", "bpk_b"),
+        col("bpk") === col("bpk_b") && col("media_a") < col("media_b"))
       .select("media_a", "media_b").distinct()
     cand
       .join(fp.toDF("media_a", "hi_a", "lo_a"), Seq("media_a"))
@@ -662,15 +707,15 @@ object Multimodal {
       bucketBudget: Int = graft.ops.NearDup.BucketBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fp = audioFingerprintsOf(audioVariantCorpus(documents)).cache()
-    val bands = afpBands(
+    val bp = afpBandPairKeys(
       fp.select(col("media_id"), col("fp_hi"), col("fp_lo")))
-    val w = Window.partitionBy("band_idx", "band_val").orderBy("media_id")
-    val hubs = bands
+    val w = Window.partitionBy("bpk").orderBy("media_id")
+    val hubs = bp
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= bucketBudget)
-      .select(col("media_id").as("media_a"), col("band_idx"), col("band_val"))
-    val cand = bands.toDF("media_b", "band_idx", "band_val")
-      .join(hubs, Seq("band_idx", "band_val"))
+      .select(col("media_id").as("media_a"), col("bpk"))
+    val cand = bp.toDF("media_b", "bpk")
+      .join(hubs, Seq("bpk"))
       .filter(col("media_a") < col("media_b"))
       .select("media_a", "media_b").distinct()
     val pairs = cand
@@ -744,23 +789,28 @@ object Multimodal {
        |FROM adoc d JOIN afp f USING (media_id)
        |ORDER BY media_id""".stripMargin
 
-  private def afpBandsSql: String =
-    s"""bands AS (
-       |  SELECT media_id, b.g AS band_idx,
-       |    (CASE WHEN b.g < 4 THEN fp_lo ELSE fp_hi END
-       |      // (CAST(1 AS BIGINT) << ((b.g % 4) * 8))) % 256 AS band_val
-       |  FROM afp,
-       |    LATERAL (SELECT unnest(generate_series(0, ${DHashBands - 1})) AS g) b)"""
-      .stripMargin
+  /** SQL twin of [[afpBandPairKeys]]: the 36 packed band-pair keys per
+    * clip, from the same per-band shift/mod arithmetic
+    * ([[afpBandValSql]]) and the same `(i·9+j)·2¹⁶ + vᵢ·2⁸ + vⱼ` packing.
+    */
+  private def afpBandsSql: String = {
+    val keys = (for (i <- 0 until AudioBands; j <- i + 1 until AudioBands)
+      yield s"${(i * AudioBands + j).toLong * 65536L} + " +
+        s"(${afpBandValSql(i)}) * 256 + (${afpBandValSql(j)})")
+      .mkString(",\n      ")
+    s"""bp AS (
+       |  SELECT media_id, unnest([
+       |      $keys]) AS bpk
+       |  FROM afp)""".stripMargin
+  }
 
   def audioNearDupsSql(maxHamming: Int = MaxHamming): String =
     s"""WITH ${afpCtesSql(true)},
        |$afpBandsSql,
        |cand AS (
        |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       |   AND a.media_id < b.media_id)
+       |  FROM bp a JOIN bp b
+       |    ON a.bpk = b.bpk AND a.media_id < b.media_id)
        |SELECT media_a, media_b,
        |  CAST(bit_count(xor(fa.fp_hi, fb.fp_hi)) +
        |       bit_count(xor(fa.fp_lo, fb.fp_lo)) AS INT) AS hamming
@@ -777,14 +827,13 @@ object Multimodal {
     s"""WITH ${afpCtesSql(true)},
        |$afpBandsSql,
        |hubs AS (
-       |  SELECT * FROM bands
-       |  QUALIFY row_number() OVER (PARTITION BY band_idx, band_val
+       |  SELECT * FROM bp
+       |  QUALIFY row_number() OVER (PARTITION BY bpk
        |    ORDER BY media_id) <= $bucketBudget),
        |cand AS (
        |  SELECT DISTINCT h.media_id AS media_a, b.media_id AS media_b
-       |  FROM hubs h JOIN bands b
-       |    ON h.band_idx = b.band_idx AND h.band_val = b.band_val
-       |   AND h.media_id < b.media_id),
+       |  FROM hubs h JOIN bp b
+       |    ON h.bpk = b.bpk AND h.media_id < b.media_id),
        |pairs AS (
        |  SELECT media_a, media_b
        |  FROM cand c
