@@ -508,7 +508,15 @@ object StreamScaleProbe {
       }
       val mediaSchema = spark.read.parquet(mediaPath).schema
       val nMedia = spark.read.parquet(mediaPath).count()
-      for (gate <- Seq(true, false)) {
+      // arm order alternates with the repetition index (ADVICE r13): a
+      // fixed gate-first order let monotone host-contention drift bias
+      // one arm systematically across a multi-run median (the committed
+      // r13 control arm's 264.7 s outlier). The A/B driver sets
+      // SPARK_GRAFT_AB_REP=0,1,2,... per run; odd reps run the control
+      // arm first so per-run drift cancels in the medians.
+      val abRep = sys.env.getOrElse("SPARK_GRAFT_AB_REP", "0").toInt
+      val armOrder = if (abRep % 2 == 0) Seq(true, false) else Seq(false, true)
+      for (gate <- armOrder) {
         val ixPath = s"$out/media-heavy-index"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ixPath))
         graft.streaming.MediaIngest.initIndex(spark, ixPath)

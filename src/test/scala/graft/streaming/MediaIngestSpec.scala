@@ -169,6 +169,41 @@ class MediaIngestSpec extends SparkSpec {
     assert(payIx == 0L, s"payload rows written with gate off: $payIx")
   }
 
+  test("payload-gate A/B arms yield bit-identical verdicts and sig/bands " +
+    "index contents on the same stream (r14: the match side is signature-" +
+    "canonicalized, so the control arm's decoded byte-copies add no " +
+    "band rows the gated arm lacks)") {
+    def runArm(gate: Boolean): (Set[Long], Set[(Long, String, Long)],
+        Set[(Long, Long, Long)], Set[(Long, Int, Long)]) = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft-mediaab-$gate").toString
+      MediaIngest.initIndex(spark, dir)
+      val sink = new InMemorySink
+      // batch 0: canonical + two byte-copies + a near-dup + an unrelated
+      MediaIngest.processBatch(
+        mediaDf((1L, "image", png(baseF)), (2L, "image", png(baseF)),
+          (3L, "image", png(baseF)), (4L, "image", png(nearF)),
+          (5L, "image", png(otherF))),
+        0L, dir, sink, payloadGate = gate)
+      // batch 1: re-crawled copies of both kept canonicals + novel
+      MediaIngest.processBatch(
+        mediaDf((10L, "image", png(baseF)), (11L, "image", png(otherF)),
+          (12L, "image", png(thirdF)), (13L, "image", png(thirdF))),
+        1L, dir, sink, payloadGate = gate)
+      val acc = sink.tables("accepted_media").map(_.getLong(0)).toSet
+      val dup = sink.tables("duplicate_media")
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val sig = spark.read.parquet(s"$dir/sig")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val bands = spark.read.parquet(s"$dir/bands")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      (acc, dup, sig, bands)
+    }
+    val on = runArm(true)
+    val off = runArm(false)
+    assert(on == off, s"arms diverged:\n gated=$on\n control=$off")
+  }
+
   test("byte-identical copies of an UNDECODABLE payload inherit " +
     "decode_error (the pre-gate-less routing), never exact_dup of a " +
     "rejected canonical") {
