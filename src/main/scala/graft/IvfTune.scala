@@ -24,6 +24,37 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.IvfTune [sfDir | iidN]
   */
 object IvfTune {
+  /** Deterministic synthetic iid corpus under /tmp (idempotent):
+    * component d of vector i = (md5("iid|i|d") first-4-bytes as signed
+    * int) / 2^31, then L2-normalized — iid geometry with no clone
+    * structure at all, reproducible bit-for-bit on any engine. Shared
+    * with [[PQTune]] (the r14 floor-calibration evidence runs on the
+    * same regime).
+    */
+  def iidCorpus(spark: SparkSession, n: Int): String = {
+    val out = s"/tmp/graft-ivftune-iid-$n"
+    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(n).select(col("id").as("vec_id"))
+        .repartition(32)
+        .as[Long]
+        .map { i =>
+          val raw = (0 until graft.ops.Similarity.Dim).map { d =>
+            val dig = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"iid|$i|$d".getBytes("UTF-8"))
+            val v = ((dig(0) & 0xff) << 24) | ((dig(1) & 0xff) << 16) |
+              ((dig(2) & 0xff) << 8) | (dig(3) & 0xff)
+            v.toDouble / Int.MaxValue
+          }
+          val norm = math.sqrt(raw.map(x => x * x).sum)
+          (i, raw.map(x => (x / norm).toFloat).toArray, (i % 10).toInt)
+        }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val spec = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -34,33 +65,8 @@ object IvfTune {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir =
-      if (spec.matches("iid\\d+")) {
-        val n = spec.drop(3).toInt
-        val out = s"/tmp/graft-ivftune-iid-$n"
-        if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
-          // deterministic pseudo-random unit vectors: component d of vector
-          // i = (md5("iid|i|d") first-4-bytes as signed int) / 2^31, then
-          // L2-normalized — iid geometry with no clone structure at all
-          import spark.implicits._
-          spark.range(n).select(col("id").as("vec_id"))
-            .repartition(32)
-            .as[Long]
-            .map { i =>
-              val raw = (0 until graft.ops.Similarity.Dim).map { d =>
-                val dig = java.security.MessageDigest.getInstance("MD5")
-                  .digest(s"iid|$i|$d".getBytes("UTF-8"))
-                val v = ((dig(0) & 0xff) << 24) | ((dig(1) & 0xff) << 16) |
-                  ((dig(2) & 0xff) << 8) | (dig(3) & 0xff)
-                v.toDouble / Int.MaxValue
-              }
-              val norm = math.sqrt(raw.map(x => x * x).sum)
-              (i, raw.map(x => (x / norm).toFloat).toArray, (i % 10).toInt)
-            }
-            .toDF("vec_id", "embedding", "label")
-            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-        }
-        out
-      } else spec
+      if (spec.matches("iid\\d+")) iidCorpus(spark, spec.drop(3).toInt)
+      else spec
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val n = emb.count()
     val budget = args.find(_.startsWith("budget=")).map(_.drop(7).toLong)

@@ -28,7 +28,8 @@ object PQTune {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir =
-      if (spec.matches("\\d+x")) {
+      if (spec.matches("iid\\d+")) IvfTune.iidCorpus(spark, spec.drop(3).toInt)
+      else if (spec.matches("\\d+x")) {
         val mult = spec.dropRight(1).toInt
         val out = s"/tmp/graft-pqtune-$mult"
         if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
@@ -53,6 +54,54 @@ object PQTune {
     // default PQ8x256 config — the 1x iid corpus sits at recall 0.86
     // through the derived default (floor regime), and the floor must be
     // sized from this measurement, not asserted
+    // `cal` mode (r14, VERDICT r13 #8): the sample-calibrated floor's
+    // derivation and its evidence — the calibrated floor itself, the
+    // in-sample recall through the full derived default (biased: the
+    // calibration saw these queries), and the recall on the DISJOINT
+    // holdout window [TuneQueries, 2*TuneQueries) served with the
+    // calibrated floor as an explicit refine factor (the out-of-sample
+    // number the committed artifact claims).
+    if (args.contains("cal")) {
+      import graft.ops.Similarity.{TuneQueries, TuneK}
+      val t0 = System.nanoTime()
+      val cal = graft.ops.PQ.calibratedRefineFloor(emb)
+      println(f"[pqtune] calibratedRefineFloor=$cal (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      graft.ops.PQ.pqFloorCalibration(emb).collect().foreach { r =>
+        println(s"[pqtune] cal q=${r.getLong(0)} n=${r.getLong(1)} " +
+          s"adc_rank=${r.getLong(2)} needed_r=${r.getLong(3)}")
+      }
+      val derived = graft.ops.PQ.derivedRefineFactor(emb)
+      println(s"[pqtune] derivedRefineFactor=$derived (max of calibrated floor, clone depth)")
+      val t1 = System.nanoTime()
+      val insample = graft.ops.PQ.pqRefineRecall(emb)
+        .agg(avg("recall")).head().getDouble(0)
+      val t2 = System.nanoTime()
+      // holdout truth: brute-force top-k for the disjoint query window
+      val inWindow = (c: org.apache.spark.sql.Column) =>
+        c >= TuneQueries && c < 2 * TuneQueries
+      val queries = emb.filter(inWindow(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      val scored = emb.repartition(col("vec_id"))
+        .join(org.apache.spark.sql.functions.broadcast(queries),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.ops.Similarity.dot(col("query_emb"), col("embedding")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val truth = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TuneK)
+      val approx = graft.ops.PQ.pqAdcRefineTopK(
+        emb, nQueries = 2 * TuneQueries, topK = TuneK,
+        refineFactor = cal, queryFrom = TuneQueries)
+      val holdout = graft.ops.Similarity.recallVsTruth(truth, approx, TuneK)
+        .agg(avg("recall")).head().getDouble(0)
+      val t3 = System.nanoTime()
+      println(f"[pqtune] derived-default refine_recall@5 in-sample=$insample%.3f " +
+        f"(${(t2 - t1) / 1e9}%.1fs) holdout(floor=$cal)=$holdout%.3f (${(t3 - t2) / 1e9}%.1fs)")
+      spark.stop()
+      return
+    }
     if (args.contains("rfloor")) {
       val derived = graft.ops.PQ.derivedRefineFactor(emb)
       println(s"[pqtune] derivedRefineFactor=$derived")

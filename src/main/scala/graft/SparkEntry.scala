@@ -545,6 +545,26 @@ object SparkEntry {
     // the same plan shape — this row pins that decision cross-engine
     "q121_ann_ivf_derived_subbucket" -> ((s, dir) =>
       Similarity.ivfTopKAdaptive(Tables.embeddings(s, dir), budget = 125L)),
+    // the PQ refine-floor calibration (r14): every tune-sample true
+    // neighbor's tie-inclusive ADC rank, the refine factor that would
+    // have shortlisted it, and the bar-quantile floor the serving
+    // default derived — q120's observability contract for the PQ family
+    // (VERDICT r13 #8: the constant floor was swept at n <= 2,000 and
+    // could not speak for larger iid corpora; now the floor is measured
+    // per corpus and the derivation itself is hash-checked cross-engine)
+    "q122_pq_floor_calibration" -> ((s, dir) =>
+      PQ.pqFloorCalibration(Tables.embeddings(s, dir))),
+    // BPE at production depth, oracle-checked (r14): 256 merges — the
+    // deepest unrolled chain DuckDB's default expression-depth limit
+    // binds (measured: 320 trips the limit; see BPE.DeepMerges) — over a
+    // rich derived hex vocabulary (testdata's 31-word vocab exhausts at
+    // ~130 merges — the corpus derivation is part of the query and runs
+    // identically on both engines). The incremental trainer's first 256
+    // decisions — counts, winners, tie-breaks, greedy application —
+    // hash-checked cross-engine; before r14 everything past 6 merges was
+    // probe-only. The deep-prefix spec extends coverage past the oracle
+    "q123_bpe_deep_merges" -> ((s, dir) =>
+      graft.ops.BPE.bpeDeepMerges(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -873,5 +893,7 @@ object SparkEntry {
     "q119_audio_dedup_keeplist" -> Multimodal.audioDedupKeepListSql(),
     "q120_ann_nprobe_grid" -> Similarity.nprobeTuneGridSql(),
     "q121_ann_ivf_derived_subbucket" -> Similarity.ivfTopKAdaptiveSql(budget = 125L),
+    "q122_pq_floor_calibration" -> PQ.pqFloorCalibrationSql(),
+    "q123_bpe_deep_merges" -> graft.ops.BPE.bpeDeepMergesSql(),
   )
 }

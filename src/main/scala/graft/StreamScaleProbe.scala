@@ -536,10 +536,21 @@ object StreamScaleProbe {
               s""""decode_err": ${m.nDecodeErr}}"""
           }.mkString("[", ", ", "]")
           val ixRows = spark.read.parquet(s"$ixPath/sig").count()
+          // order-independent content digest per index relation: XOR of
+          // xxhash64 over whole rows. Equal digests across the A/B arms =
+          // bit-identical index contents (the r14 gate-independence
+          // claim), checkable from the committed artifact alone.
+          val digests = Seq("sig", "bands", "payload", "vframes").map { rel =>
+            val d = spark.read.parquet(s"$ixPath/$rel")
+              .select(xxhash64(struct(col("*"))).as("h"))
+              .agg(expr("bit_xor(h)")).head()
+            s""""$rel": ${if (d.isNullAt(0)) 0L else d.getLong(0)}"""
+          }.mkString("{", ", ", "}")
           val decodes = graft.ops.Multimodal.MediaCodec.decodeCalls.get()
           Some(s"""{"payload_gate": $gate, "stages": $stages, """ +
             s""""batches": $batches, """ +
-            s""""index_rows": $ixRows, "decode_calls": $decodes}""")
+            s""""index_rows": $ixRows, "index_digests": $digests, """ +
+            s""""decode_calls": $decodes}""")
         }
         results += runProbe(
           if (gate) "media_ingest_heavy" else "media_ingest_heavy_nogate",

@@ -214,6 +214,17 @@ object BPE {
     // same winner order, same greedy leftmost application) — pinned by
     // the merge-for-merge spec against the distributed trainer and the
     // prefix-stability spec.
+    spark.createDataFrame(localTrainCore(seed, merges))
+      .toDF("step", "p1", "p2", "pair_count")
+      .orderBy("step")
+  }
+
+  /** The driver-local incremental trainer core ([[bpeMergesLocal]]'s
+    * merge loop, shared with [[bpeDeepMerges]]): seed = (word, freq)
+    * rows; returns the learned merge table.
+    */
+  private def localTrainCore(
+      seed: Array[(String, Long)], merges: Int): Seq[(Int, String, String, Long)] = {
     val words: Array[Array[String]] =
       seed.map { case (w, _) => w.map(_.toString).toArray }
     val freqs: Array[Long] = seed.map(_._2)
@@ -311,7 +322,61 @@ object BPE {
       }
       step += 1
     }
-    spark.createDataFrame(learned.toSeq)
+    learned.toSeq
+  }
+
+  /** PRODUCTION-DEPTH oracle point (r14, VERDICT r13 #6): q93/q97 verify
+    * a 6-merge table, and the 32k-merge capability was probe-only on a
+    * synthetic corpus outside the oracle's reach — because the testdata
+    * vocabulary is 31 words and exhausts at ~130 merges. This query
+    * derives a RICH vocabulary from the same documents table ON BOTH
+    * ENGINES (word' = md5(word ':' doc_id mod 50) — hex words over a
+    * 16-symbol alphabet, deterministic and engine-identical since both
+    * md5()s emit lowercase hex), caps it to the `cap` most frequent
+    * types (freq DESC, word — the bpeMergesLocal trainCap rule), and
+    * trains [[DeepMerges]] merges with the incremental trainer. The
+    * oracle unrolls the same merges as MATERIALIZED CTE steps (the
+    * starLabelCtesSql lesson: without materialization the inlining
+    * planner re-expands the chain), with the step union CHUNKED 64 ways
+    * so the flat UNION ALL stays inside DuckDB's expression-depth limit.
+    *
+    * WHY 256 AND NOT 512 (the DuckDB limit, measured): the unrolled
+    * chain costs the binder ~3 depth units per merge step (p/b/w CTE
+    * hops), so DuckDB 1.0.0's default `max_expression_depth` of 1000
+    * trips between 256 (binds + runs: 112 s at sf0.01/cap 1024) and 320
+    * ("Max expression depth limit of 1000 exceeded", after a 150 s
+    * bind — the bind cost itself is superlinear in chain length).
+    * Raising the limit needs a `SET` statement the single-statement
+    * cross-engine compare contract cannot assume, so 256 is the deepest
+    * power-of-two oracle point DuckDB's defaults admit — a 42×
+    * deepening over the previous 6-merge point. Coverage BEYOND the
+    * oracle's reach is the deep-prefix spec (BPESpec): the trainer's
+    * 512-merge table equals this 256-merge table on its prefix
+    * (incremental BPE never revises a committed merge), so the
+    * oracle-checked 256 pins the same code path deeper runs execute.
+    */
+  val DeepMerges = 256
+  val DeepVocabCap = 1024
+
+  /** The derived hex vocabulary both engines build identically. */
+  private def deepVocab(documents: DataFrame, cap: Int): DataFrame =
+    documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(filter(
+        graft.functions.TextFunctions.tokens(col("text")),
+        t => t.rlike("^[a-z0-9]+$"))).as("word"))
+      .select(md5(concat_ws(":", col("word"),
+        (col("doc_id") % 50).cast("string"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(cap)
+
+  def bpeDeepMerges(
+      documents: DataFrame, merges: Int = DeepMerges,
+      cap: Int = DeepVocabCap): DataFrame = {
+    val spark = documents.sparkSession
+    val seed: Array[(String, Long)] = deepVocab(documents, cap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    spark.createDataFrame(localTrainCore(seed, merges))
       .toDF("step", "p1", "p2", "pair_count")
       .orderBy("step")
   }
@@ -321,19 +386,21 @@ object BPE {
     * counts p`i` and winners b`i` — both the merge-table query and the
     * tokenize query compose over this chain.
     */
+  private def applySql(b: String) =
+    s"""list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+       |  CASE WHEN len(acc) > 0 AND acc[-1] = $b.p1 AND x[1] = $b.p2
+       |       THEN list_concat(acc[1:len(acc)-1], [$b.p1 || $b.p2])
+       |       ELSE list_concat(acc, x) END)""".stripMargin
+
+  private def pairsSql(v: String) =
+    s"""SELECT p.pp[1] AS p1, p.pp[2] AS p2,
+       |  CAST(SUM(freq) AS BIGINT) AS pair_count
+       |FROM $v, LATERAL (
+       |  SELECT unnest(list_transform(generate_series(1, len(syms)-1),
+       |    i -> [syms[i], syms[i+1]])) AS pp) p
+       |WHERE len(syms) >= 2 GROUP BY 1, 2""".stripMargin
+
   def bpeCtesSql(merges: Int = Merges): String = {
-    def applySql(b: String) =
-      s"""list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
-         |  CASE WHEN len(acc) > 0 AND acc[-1] = $b.p1 AND x[1] = $b.p2
-         |       THEN list_concat(acc[1:len(acc)-1], [$b.p1 || $b.p2])
-         |       ELSE list_concat(acc, x) END)""".stripMargin
-    def pairsSql(v: String) =
-      s"""SELECT p.pp[1] AS p1, p.pp[2] AS p2,
-         |  CAST(SUM(freq) AS BIGINT) AS pair_count
-         |FROM $v, LATERAL (
-         |  SELECT unnest(list_transform(generate_series(1, len(syms)-1),
-         |    i -> [syms[i], syms[i+1]])) AS pp) p
-         |WHERE len(syms) >= 2 GROUP BY 1, 2""".stripMargin
     val iters = (1 to merges).map { i =>
       val prev = s"w${i - 1}"
       // LEFT JOIN keeps the vocabulary alive when no pairs remain (the
@@ -425,4 +492,46 @@ object BPE {
        |    / GREATEST(COALESCE(pd.n_words, 0), 1) AS bpe_fertility
        |FROM (SELECT doc_id FROM documents) doc
        |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[bpeDeepMerges]]: the derived hex vocabulary, `merges`
+    * unrolled merge steps — each step MATERIALIZED (p`i`/b`i`/w`i`
+    * reference their predecessors more than once, and DuckDB's inlining
+    * planner would otherwise re-expand the chain exponentially, the
+    * same lesson as NearDup.starLabelCtesSql) — and the merge-table
+    * union CHUNKED 64 ways so the parse tree stays inside DuckDB's
+    * expression-depth limit (a flat 512-way UNION ALL exceeds it).
+    */
+  def bpeDeepMergesSql(
+      merges: Int = DeepMerges, cap: Int = DeepVocabCap): String = {
+    val iters = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (${pairsSql(prev)}),
+         |b$i AS MATERIALIZED (SELECT p1, p2, pair_count FROM p$i
+         |        ORDER BY pair_count DESC, p1, p2 LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word, freq, ${applySql(s"b$i")} AS syms
+         |        FROM $prev LEFT JOIN b$i ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    list_transform(generate_series(1, len(word)), i -> word[i:i]) AS syms
+         |  FROM (
+         |    SELECT word, COUNT(*) AS freq FROM (
+         |      SELECT md5(w.w || ':' || CAST(t.doc_id % 50 AS VARCHAR)) AS word
+         |      FROM (SELECT doc_id,
+         |              list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+         |                t -> regexp_matches(t, '^[a-z0-9]+$$')) AS toks
+         |            FROM documents) t,
+         |      LATERAL (SELECT unnest(toks) AS w) w)
+         |    GROUP BY word ORDER BY freq DESC, word LIMIT $cap))""".stripMargin
+    val chunks = (1 to merges).grouped(64).map { g =>
+      val u = g.map(i => s"SELECT $i AS step, p1, p2, pair_count FROM b$i")
+        .mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$u)"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $w0,
+       |$iters
+       |SELECT CAST(step AS INTEGER) AS step, p1, p2, pair_count
+       |FROM ($chunks) ORDER BY step""".stripMargin
+  }
 }

@@ -255,7 +255,7 @@ object PQ {
     */
   private def lutDf(
       embeddings: DataFrame, nQueries: Int, m: Int, codes: Int,
-      iters: Int): DataFrame = {
+      iters: Int, queryFrom: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     val subDim = KMeans.Dim / m
     val cbRows = for {
@@ -265,7 +265,8 @@ object PQ {
     val codebook = spark.createDataFrame(cbRows)
       .toDF("s", "code", "cq", "cc")
     val queries = embeddings
-      .filter(col("vec_id") < nQueries && col("embedding").isNotNull &&
+      .filter(col("vec_id") >= queryFrom && col("vec_id") < nQueries &&
+        col("embedding").isNotNull &&
         size(col("embedding")) === KMeans.Dim)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val qSubs = (0 until m).map { s =>
@@ -309,8 +310,8 @@ object PQ {
     */
   private def adcDists(
       embeddings: DataFrame, nQueries: Int, m: Int, codes: Int,
-      iters: Int): DataFrame = {
-    val lut = lutDf(embeddings, nQueries, m, codes, iters)
+      iters: Int, queryFrom: Int = 0): DataFrame = {
+    val lut = lutDf(embeddings, nQueries, m, codes, iters, queryFrom)
     val enc = encLong(embeddings, m, codes, iters)
     enc.join(broadcast(lut), Seq("s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -440,10 +441,13 @@ object PQ {
     * ordered by adc_dist alone — the oracle twin of the refine
     * shortlist's boundary-class semantics (see [[RefineFactor]]).
     */
-  def pqAdcTopKSql(
-      nQueries: Int = 10, topK: Int = 5, m: Int = M, codes: Int = Codes,
-      iters: Int = Iters, tieRank: Boolean = false,
-      derivedCutoff: Boolean = false, floor: Int = RefineFactor): String = {
+  /** The shared codebooks → enc → LUTs → `adc` CTE chain (no WITH): every
+    * ADC-scanning oracle ([[pqAdcTopKSql]], [[pqFloorCalibrationSql]])
+    * prefixes this, so the adc relation the calibration ranks is
+    * textually THE relation serving scans.
+    */
+  private def adcChainSql(
+      nQueries: Int, m: Int, codes: Int, iters: Int): String = {
     val subDim = KMeans.Dim / m
     val chains = (0 until m).map { s =>
       KMeans.kmeansCtesSql(codes, iters, subDim, s"_s$s",
@@ -469,25 +473,34 @@ object PQ {
       s"JOIN lut$s l$s ON e.code$s = l$s.cluster AND l$s.query_id = l0.query_id")
       .mkString("\n  ")
     val distSum = (0 until m).map(s => s"l$s.ld").mkString(" + ")
-    // derived-cutoff mode ([[derivedRefineFactor]]'s oracle twin): the
-    // shortlist keeps topK·R rows where R comes from the rfac CTE over
-    // the same enc relation both engines hash-agree on
-    val rfacCtes =
-      if (derivedCutoff) derivedCutoffCtesSql(m, floor) + ",\n" else ""
-    val cutoff =
-      if (derivedCutoff) s"$topK * (SELECT r FROM rfac)" else s"$topK"
-    s"""WITH $chains,
+    s"""$chains,
        |enc AS (
        |  SELECT a0.vec_id, $encCols
        |  FROM afinal_s0 a0 $encJoins),
-       |$rfacCtes$luts,
+       |$luts,
        |adc AS (
        |  SELECT l0.query_id, e.vec_id AS neighbor_id,
        |    CAST($distSum AS BIGINT) AS adc_dist
        |  FROM enc e
        |  JOIN lut0 l0 ON e.code0 = l0.cluster
        |  $lutJoins
-       |  WHERE e.vec_id <> l0.query_id)
+       |  WHERE e.vec_id <> l0.query_id)""".stripMargin
+  }
+
+  def pqAdcTopKSql(
+      nQueries: Int = 10, topK: Int = 5, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters, tieRank: Boolean = false,
+      derivedCutoff: Boolean = false, floor: Int = RefineFactor): String = {
+    // derived-cutoff mode ([[derivedRefineFactor]]'s oracle twin): the
+    // shortlist keeps topK·R rows where R comes from the rfac CTE — the
+    // max of the sample-calibrated floor (measured over the same adc
+    // relation) and the clone-depth estimate over enc, both of which the
+    // engines hash-agree on. Emitted AFTER adc: the calibration ranks it.
+    val rfacCtes =
+      if (derivedCutoff) ",\n" + derivedCutoffCtesSql(m, floor) else ""
+    val cutoff =
+      if (derivedCutoff) s"$topK * (SELECT r FROM rfac)" else s"$topK"
+    s"""WITH ${adcChainSql(nQueries, m, codes, iters)}$rfacCtes
        |SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
        |FROM (SELECT *, ${
         if (tieRank) "rank() OVER (PARTITION BY query_id ORDER BY adc_dist)"
@@ -496,6 +509,17 @@ object PQ {
        |      FROM adc)
        |WHERE rn <= $cutoff ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Oracle for [[pqFloorCalibration]] (q122): the adc chain, the
+    * calibration CTEs, and the derived floor repeated per row.
+    */
+  def pqFloorCalibrationSql(
+      m: Int = M, codes: Int = Codes, iters: Int = Iters): String =
+    s"""WITH ${adcChainSql(Similarity.TuneQueries, m, codes, iters)},
+       |${calibrationCtesSql(RefineFactor)}
+       |SELECT query_id, neighbor_id, adc_rank, needed_r,
+       |  CAST((SELECT r FROM cfl) AS BIGINT) AS floor_r
+       |FROM cneed ORDER BY query_id, neighbor_id""".stripMargin
 
   /** Default refine shortlist factor: the ADC stage keeps
     * `RefineFactor · topK` candidates per query and the exact re-rank
@@ -533,17 +557,19 @@ object PQ {
     * part of the cutoff truncates mid-family however the ties are
     * handled. Pass an explicit `refineFactor > 0` to override.
     *
-    * The floor itself is MEASUREMENT-SIZED (r13, VERDICT r12 #7 —
+    * The constant itself is MEASUREMENT-SIZED (r13, VERDICT r12 #7 —
     * `graft.PQTune <sfDir> rfloor` sweeps it; PQTUNE_r13.json): on the
     * iid 1× corpus (n=2000) floor 10 serves recall 0.86 — below the
     * 0.9 bar the clone decades meet — while 16 measures 0.94 (12→0.88,
     * 24→0.96; the sf0.01 corpus reaches 1.0 from 12 up). 16 is the
-    * smallest swept value meeting the bar at every measured size, and
-    * costs only (16−10)·k extra exact dots per query. The derived depth
-    * still takes over on clone-heavy corpora; if serving corpora
-    * outgrow the measured band (n ≫ 10⁴ iid vectors per codebook), the
-    * next sizing step is a sample-calibrated floor (ADC rank of exact
-    * top-1 over the training sample), not a larger constant.
+    * smallest swept value meeting the bar at every measured size.
+    *
+    * Since r14 this constant is only the STATIC MINIMUM: the serving
+    * floor is SAMPLE-CALIBRATED per corpus ([[calibratedRefineFloor]] —
+    * the "next sizing step" the r13 note named, now implemented), because
+    * a constant swept at n ≤ 2,000 cannot speak for larger iid corpora
+    * where the ADC rank of true neighbors keeps growing (VERDICT r13 #8:
+    * the r13 sweep showed recall still climbing at 24/32 on n = 2,000).
     */
   val RefineFactor = 16
 
@@ -569,6 +595,16 @@ object PQ {
     */
   private val refineCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int, Int),
+      Int](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             Int, Int, Int, Int), Int]): Boolean = size() > 32
+    })
+
+  private val calFloorCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
       Int](16, 0.75f, true) {
       override def removeEldestEntry(
@@ -576,6 +612,80 @@ object PQ {
             (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              Int, Int, Int), Int]): Boolean = size() > 32
     })
+
+  /** SAMPLE-CALIBRATED refine floor (r14, VERDICT r13 #8): instead of
+    * asserting a constant swept at n ≤ 2,000, MEASURE — on the fixed tune
+    * sample ([[Similarity.TuneQueries]] queries × [[Similarity.TuneK]]
+    * exact neighbors, the window the IVF nprobe derivation already uses) —
+    * the tie-inclusive ADC rank of every true neighbor, convert each to
+    * the smallest refine factor that would have shortlisted it
+    * (`needed_r = ⌈srank / k⌉`), and take the [[Similarity.TuneHitBar]]-th
+    * smallest needed_r: the smallest R whose shortlist covers ≥ bar of the
+    * sample's true neighbors (48/50 = 0.96 in-sample — the same
+    * margin-over-0.9-target bar the nprobe derivation measured its
+    * sampling noise for, IVFTUNE_r14 `bar_margin_measurement`).
+    * [[RefineFactor]] stays as the static minimum, so corpora the r13
+    * sweep already covered keep their measured defaults; larger iid
+    * corpora, where true neighbors sit deeper in ADC order, RAISE the
+    * floor from evidence instead of silently losing recall.
+    *
+    * Cost: exact truth for the sample is one broadcast-queries corpus
+    * scan (the price [[pqRefineRecall]] already pays per evaluation), the
+    * ranks come from the same ADC relation serving computes, and the
+    * result is one driver integer, memoized per (corpus plan, m, codes,
+    * iters). Mirrored integer-for-integer in the oracle
+    * ([[derivedCutoffCtesSql]]'s ctruth/cneed/cfl CTEs), so q107/q110
+    * stay hash-checked THROUGH the calibrated floor, and exposed as a
+    * relation by q122 (the q120-style observability contract).
+    */
+  def calibratedRefineFloor(
+      embeddings: DataFrame, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters): Int = {
+    val key = (embeddings.queryExecution.analyzed.canonicalized, m, codes, iters)
+    calFloorCache.computeIfAbsent(key, _ => {
+      val needed = neededRanksDf(embeddings, m, codes, iters)
+        .select(col("needed_r"))
+        .collect().map(_.getLong(0)).sorted
+      if (needed.isEmpty) RefineFactor
+      else {
+        val pos = math.min(Similarity.TuneHitBar, needed.length)
+        math.max(RefineFactor.toLong,
+          math.min(needed(pos - 1), Int.MaxValue.toLong)).toInt
+      }
+    })
+  }
+
+  /** The calibration relation behind [[calibratedRefineFloor]]: one row
+    * per (tune query, true neighbor) with the neighbor's tie-inclusive
+    * ADC rank and the refine factor that would have shortlisted it.
+    */
+  private def neededRanksDf(
+      embeddings: DataFrame, m: Int, codes: Int, iters: Int): DataFrame = {
+    val truth = Similarity
+      .bruteForceTopK(embeddings, Similarity.TuneQueries, Similarity.TuneK)
+      .select(col("query_id"), col("neighbor_id"))
+    val sw = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"))
+    adcDists(embeddings, Similarity.TuneQueries, m, codes, iters)
+      .withColumn("srank", rank().over(sw))
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("srank").cast("long").as("adc_rank"),
+        ceil(col("srank").cast("double") / Similarity.TuneK).as("needed_r"))
+  }
+
+  /** The calibration as a registered relation (q122): every tune-sample
+    * true neighbor's ADC rank, the per-pair needed refine factor, and the
+    * floor the corpus derived — the derivation users' serving default
+    * came from, hash-checked cross-engine like the search it configures.
+    */
+  def pqFloorCalibration(
+      embeddings: DataFrame, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters): DataFrame = {
+    val f = calibratedRefineFloor(embeddings, m, codes, iters)
+    neededRanksDf(embeddings, m, codes, iters)
+      .withColumn("floor_r", lit(f.toLong))
+      .orderBy("query_id", "neighbor_id")
+  }
 
   /** CORPUS-DERIVED refine factor — the `derivedDfCap`/`tuneBandsRows`
     * pattern applied to PQ serving (VERDICT r11 #2): estimate the deepest
@@ -606,8 +716,15 @@ object PQ {
     */
   def derivedRefineFactor(
       embeddings: DataFrame, m: Int = M, codes: Int = Codes,
-      iters: Int = Iters, floor: Int = RefineFactor): Int = {
-    val key = (embeddings.queryExecution.analyzed.canonicalized, m, codes, iters)
+      iters: Int = Iters, floor: Int = 0): Int = {
+    // floor 0 (the default since r14) = SAMPLE-CALIBRATE the floor from
+    // measured ADC ranks of the tune sample's true neighbors
+    // ([[calibratedRefineFloor]]); a positive value is the explicit
+    // constant override (the pre-r14 behavior at floor = RefineFactor)
+    val f =
+      if (floor > 0) floor
+      else calibratedRefineFloor(embeddings, m, codes, iters)
+    val key = (embeddings.queryExecution.analyzed.canonicalized, m, codes, iters, f)
     refineCache.computeIfAbsent(key, _ => {
       val enc = pqEncode(embeddings, m, codes, iters)
       val codeCols = (0 until m).map(s => col(s"code_$s"))
@@ -625,13 +742,48 @@ object PQ {
         .groupBy("tk").agg(max("cnt").as("cnt"), sum("g").as("gs"))
       val row = fam.agg(max(col("gs") - lit(m - 1) * col("cnt"))).head()
       val depth = if (row.isNullAt(0)) 0L else row.getLong(0)
-      math.max(floor.toLong, math.min(depth, Int.MaxValue.toLong)).toInt
+      math.max(f.toLong, math.min(depth, Int.MaxValue.toLong)).toInt
     })
   }
 
+  /** The tune-sample calibration ([[calibratedRefineFloor]]) as oracle
+    * CTEs: exact truth for the fixed sample, each true neighbor's
+    * tie-inclusive ADC rank (over the SAME `adc` relation serving scans,
+    * so these CTEs must be emitted AFTER it), the per-pair needed refine
+    * factor, and `cfl` — the bar-quantile floor with `floorMin` as static
+    * minimum. Contract: the serving query window must COVER the tune
+    * window (`nQueries ≥ TuneQueries`), which every registered derived-
+    * cutoff query satisfies at the shared default of 10 — the Scala side
+    * always calibrates on `vec_id < TuneQueries` regardless of nQueries.
+    */
+  private def calibrationCtesSql(floorMin: Int): String =
+    s"""ctruth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${Similarity.dotSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id < ${Similarity.TuneQueries})
+       |  WHERE rank <= ${Similarity.TuneK}),
+       |cneed AS (
+       |  SELECT r.query_id, r.neighbor_id, CAST(r.srank AS BIGINT) AS adc_rank,
+       |    CAST(ceil(CAST(r.srank AS DOUBLE) / ${Similarity.TuneK}) AS BIGINT) AS needed_r
+       |  FROM (SELECT query_id, neighbor_id,
+       |          rank() OVER (PARTITION BY query_id ORDER BY adc_dist) AS srank
+       |        FROM adc WHERE query_id < ${Similarity.TuneQueries}) r
+       |  JOIN ctruth t ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id),
+       |cfl AS (
+       |  SELECT GREATEST($floorMin,
+       |    COALESCE(MAX(CASE WHEN rn = LEAST(${Similarity.TuneHitBar}, cnt)
+       |                      THEN needed_r END), $floorMin)) AS r
+       |  FROM (SELECT needed_r, row_number() OVER (ORDER BY needed_r) AS rn,
+       |          COUNT(*) OVER () AS cnt FROM cneed))""".stripMargin
+
   /** The [[derivedRefineFactor]] estimator as oracle CTEs over the `enc`
-    * relation: `rfac` holds the single derived R the shortlist cutoff
-    * multiplies by.
+    * and `adc` relations: the clone-depth histogram (tup/expl/wc/fam),
+    * the sample calibration ([[calibrationCtesSql]]), and `rfac` — the
+    * single derived R (max of calibrated floor and clone depth) the
+    * shortlist cutoff multiplies by. Emit AFTER the `adc` CTE.
     */
   private def derivedCutoffCtesSql(m: Int, floor: Int): String = {
     val codeList = (0 until m).map(s => s"code$s").mkString(", ")
@@ -649,9 +801,10 @@ object PQ {
        |  SELECT e.tk, MAX(e.cnt) AS cnt, CAST(SUM(w.g) AS BIGINT) AS gs
        |  FROM expl e JOIN wc w ON e.s = w.s AND e.pk = w.pk
        |  GROUP BY e.tk),
+       |${calibrationCtesSql(floor)},
        |rfac AS (
-       |  SELECT GREATEST($floor,
-       |    COALESCE(MAX(gs - ${m - 1} * cnt), $floor)) AS r
+       |  SELECT GREATEST((SELECT r FROM cfl),
+       |    COALESCE(MAX(gs - ${m - 1} * cnt), (SELECT r FROM cfl))) AS r
        |  FROM fam)""".stripMargin
   }
 
@@ -676,11 +829,13 @@ object PQ {
   def pqAdcRefineTopK(
       embeddings: DataFrame, nQueries: Int = 10, topK: Int = 5,
       refineFactor: Int = 0, m: Int = M, codes: Int = Codes,
-      iters: Int = Iters): DataFrame = {
+      iters: Int = Iters, queryFrom: Int = 0): DataFrame = {
     // refineFactor 0 (the default) = DERIVE R from the code-frequency
     // histogram so the shortlist covers the corpus's deepest near-tie
     // family ([[derivedRefineFactor]]); a positive value is the explicit
-    // constant override
+    // constant override. queryFrom > 0 serves the window
+    // [queryFrom, nQueries) — the out-of-sample evaluation hook (PQTune's
+    // holdout arm; the registered queries all serve from 0).
     val r =
       if (refineFactor > 0) refineFactor
       else derivedRefineFactor(embeddings, m, codes, iters)
@@ -689,12 +844,13 @@ object PQ {
     // the RefineFactor note for why a strict row_number cutoff caps
     // recall on clone-heavy corpora
     val sw = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"))
-    val short = adcDists(embeddings, nQueries, m, codes, iters)
+    val short = adcDists(embeddings, nQueries, m, codes, iters, queryFrom)
       .withColumn("srank", rank().over(sw))
       .filter(col("srank") <= lit(topK.toLong * r)) // long: R can be corpus-deep
       .select(col("query_id"), col("neighbor_id"))
     val queries = embeddings
-      .filter(col("vec_id") < nQueries && col("embedding").isNotNull &&
+      .filter(col("vec_id") >= queryFrom && col("vec_id") < nQueries &&
+        col("embedding").isNotNull &&
         size(col("embedding")) === KMeans.Dim)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))

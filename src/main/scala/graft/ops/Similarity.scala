@@ -387,7 +387,7 @@ object Similarity {
     * apart): per truth query, how many of its (query_id, neighbor_id)
     * rows the approx relation also produced.
     */
-  private[ops] def recallVsTruth(
+  private[graft] def recallVsTruth(
       truth: DataFrame, approx: DataFrame, k: Int): DataFrame =
     truth.select(col("query_id"), col("neighbor_id"))
       .join(
@@ -745,7 +745,11 @@ object Similarity {
        |      (CAST(list_sum(list_transform(list_zip(q.qv, c.cs), x -> x[1]*x[2])) AS DOUBLE) / c.n) DESC,
        |      c.clabel) AS rn
        |  FROM q, cen c),
-       |truth AS (
+       |ttruth AS (
+       |  -- named ttruth, not truth: q106 nests this chain under
+       |  -- recallSqlFrom's outer `truth` CTE, and DuckDB 1.0.0 accepts
+       |  -- the shadowing plain but rejects it as "Duplicate alias" once
+       |  -- both carry AS MATERIALIZED (the compare's execution hint)
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY a.vec_id
@@ -773,7 +777,7 @@ object Similarity {
        |  SELECT t.np, COUNT(tr.neighbor_id) AS sample_hits
        |  FROM generate_series(1, $MaxDerivedNprobe) t(np)
        |  LEFT JOIN gtop g ON g.np = t.np
-       |  LEFT JOIN truth tr ON tr.query_id = g.query_id AND tr.neighbor_id = g.neighbor_id
+       |  LEFT JOIN ttruth tr ON tr.query_id = g.query_id AND tr.neighbor_id = g.neighbor_id
        |  GROUP BY t.np),
        |dnp AS (
        |  SELECT COALESCE(MIN(CASE WHEN sample_hits >= $TuneHitBar THEN np END), -1) AS np

@@ -103,6 +103,26 @@ class BPESpec extends SparkSpec {
     assert(full.take(10) == dist)
   }
 
+  test("deep-merge prefix: a 512-merge run over the derived hex vocab " +
+    "equals the 256-merge oracle point (q123) on its prefix") {
+    // the covering evidence for training depths past DuckDB's binder
+    // limit (BPE.DeepMerges note): incremental BPE never revises a
+    // committed merge, so the oracle-checked 256-merge table pins the
+    // exact prefix of any deeper run on the same code path. The corpus
+    // mirrors q123's derivation (md5 word-forms over the documents
+    // table) on a synthetic docs df rich enough to survive 512 merges.
+    val df = docs((1L to 40L).map(i => (i,
+      s"alpha bravo charlie delta echo${i % 7} foxtrot golf hotel " +
+        s"india juliet kilo${i % 5} lima mike november oscar papa")): _*)
+    val deep = BPE.bpeDeepMerges(df, merges = 512, cap = 1024)
+      .collect().map(_.toSeq).toSeq
+    val oraclePoint = BPE.bpeDeepMerges(df, merges = 256, cap = 1024)
+      .collect().map(_.toSeq).toSeq
+    assert(oraclePoint.size == 256) // vocab rich enough: no early stop
+    assert(deep.take(256) == oraclePoint)
+    assert(deep.size > 256) // the deep run really went past the oracle
+  }
+
   test("BPE ignores non-ASCII words and ties break lexicographically") {
     // "zz" and "yy" both count 2; (y,y) < (z,z) lexicographically → the
     // first merge must be (y,y). The unicode word must not contribute.
