@@ -1342,7 +1342,8 @@ object Multimodal {
     * One codegen'd md5 per row vs a full PNG inflate+raster pass.
     */
   def payloadHashes(batch: DataFrame): DataFrame =
-    batch.select(col("media_id"), md5(col("content")).as("payload_hash"))
+    batch.select(col("media_id"), col("kind"),
+      md5(col("content")).as("payload_hash"))
 
   /** The index's `payload/` relation — (ix_id, payload_hash) of every
     * kept image, the byte-identity side of the pre-gate. Reads empty

@@ -16,8 +16,13 @@ import graft.sink.Sink
   *      sink unexamined;
   *   2. the byte-level payload pre-gate (md5 of the raw bytes vs the
   *      index's `payload/` relation + within-batch payload groups) —
-  *      byte-identical re-crawls of EITHER kind verdict `exact_dup`
-  *      without touching a codec;
+  *      byte-identical re-crawls of EITHER kind skip the codec and
+  *      INHERIT their signature (copies from their within-batch
+  *      canonical, cross-batch matches from the sig/vframes index:
+  *      same bytes ⇒ same signature), then take the ordinary verdict
+  *      path — the gate changes WHO pays the codec, never a verdict
+  *      (r14; the verdict stage's input relation is bit-identical with
+  *      the gate on or off);
   *   3. decode → signature for novel payloads only
   *      ([[Multimodal.hashImageBatch]] dHash / [[Multimodal.hashVideoBatch]]
   *      per-keyframe dHash — one partition-local pass, payloads never
@@ -141,27 +146,55 @@ object MediaIngest {
     // per-batch eager checkpoint is exactly the fixed job cost this
     // method diets away. The re-evaluations ride other jobs' stages
     // (joins over pinned blocks plus the tiny payload-index scan).
-    val preVerdicts =
+    // The pre-gate SKIPS THE CODEC, it never pre-judges (r14, VERDICT r13
+    // #4): a payload match means the row's SIGNATURE IS KNOWN without
+    // decoding — byte-identical bytes ⇒ identical pixels/frames ⇒
+    // identical dHash/frame hashes — so payload-matched rows INHERIT
+    // their signatures (within-batch copies from their canonical,
+    // cross-batch matches from the sig/vframes index) and flow through
+    // the SAME verdict relation the decode path feeds. The verdict stage
+    // then sees a bit-identical input whether the gate is on or off —
+    // the r13 A/B's 0.16% survivor divergence came from pre-judged
+    // exact_dup verdicts hiding the copies' (known) signatures from the
+    // batch match side, while the gate-off arm's decoded copies
+    // resurrected index pairs the band hub budget had dropped.
+    // Canonicalization is per (payload_hash, KIND): identical bytes
+    // under different declared kinds decode separately, exactly as the
+    // gate-off arm does.
+    val (payCopies, knownImg, knownVid) =
       if (!payloadGate)
-        Seq.empty[(Long, String, Option[Long])]
-          .toDF("media_id", "status", "dup_of")
+        (Seq.empty[(Long, Long, String)].toDF("media_id", "canon", "kind"),
+          Seq.empty[(Long, Boolean, Long, Long)]
+            .toDF("media_id", "decoded", "dhash_hi", "dhash_lo"),
+          Seq.empty[(Long, Boolean, Int, Long, Long)]
+            .toDF("media_id", "decoded", "frame_idx", "dhash_hi", "dhash_lo"))
       else {
-        val payCanon =
-          pay.groupBy("payload_hash").agg(min("media_id").as("canon"))
-        val payIntra = pay.join(payCanon, Seq("payload_hash"))
+        val payCanon = pay.groupBy("payload_hash", "kind")
+          .agg(min("media_id").as("canon"))
+        val copies = pay.join(payCanon, Seq("payload_hash", "kind"))
           .filter(col("media_id") =!= col("canon"))
-          .select(col("media_id"), lit("exact_dup").as("status"),
-            col("canon").as("dup_of"))
-        val canonPay = pay.join(payIntra.select(col("media_id").as("xid")),
+          .select(col("media_id"), col("canon"), col("kind"))
+        val canonRows = pay.join(copies.select(col("media_id").as("xid")),
           col("media_id") === col("xid"), "left_anti")
-        // self-match excluded (replay: own payload rows already appended)
-        val payIdxDup = canonPay
-          .join(Multimodal.payloadIndex(spark, indexPath), Seq("payload_hash"))
+        // self-match excluded (replay: own payload rows already appended);
+        // all index rows sharing the payload are byte-identical, so their
+        // signatures coincide and the distinct collapses to one row per
+        // media — no min-src tiebreak needed
+        val payIx = Multimodal.payloadIndex(spark, indexPath)
+        val kImg = canonRows.filter(col("kind") === "image")
+          .join(payIx, Seq("payload_hash"))
           .filter(col("ix_id") =!= col("media_id"))
-          .groupBy("media_id").agg(min("ix_id").as("dup_of"))
-          .select(col("media_id"), lit("exact_dup").as("status"),
-            col("dup_of"))
-        payIntra.unionByName(payIdxDup)
+          .join(spark.read.parquet(s"$indexPath/sig"), Seq("ix_id"))
+          .select(col("media_id"), lit(true).as("decoded"),
+            col("dhash_hi"), col("dhash_lo")).distinct()
+        val kVid = canonRows.filter(col("kind") === "video")
+          .join(payIx, Seq("payload_hash"))
+          .filter(col("ix_id") =!= col("media_id"))
+          .join(spark.read.parquet(s"$indexPath/vframes"), Seq("ix_id"))
+          .select(col("media_id"), lit(true).as("decoded"),
+            lit(-1).as("frame_idx"), col("dhash_hi"), col("dhash_lo"))
+          .distinct()
+        (copies, kImg, kVid)
       }
     locally {
       // only NOVEL payloads pay a codec; pinned eagerly: hashes feed
@@ -170,7 +203,10 @@ object MediaIngest {
       // relations instead.
       val novel =
         if (payloadGate) examined.join(
-          preVerdicts.select("media_id"), Seq("media_id"), "left_anti")
+          payCopies.select("media_id")
+            .unionByName(knownImg.select("media_id"))
+            .unionByName(knownVid.select("media_id")),
+          Seq("media_id"), "left_anti")
         else examined
       val hashed =
         if (nImg > 0) timings.time("decode_hash")(
@@ -188,26 +224,48 @@ object MediaIngest {
         // undecodable payloads become verdict rows themselves (one
         // relation carries every routing decision — no separate
         // dead-letter count jobs), and payload copies of an undecodable
-        // canonical inherit decode_error below exactly as the
-        // pre-gate-less path decoded-and-failed each of them
-        val badVerdicts = hashed.filter(!col("decoded")).select("media_id")
+        // canonical inherit decode_error exactly as the pre-gate-less
+        // path decoded-and-failed each of them
+        val badCanon = hashed.filter(!col("decoded")).select("media_id")
           .unionByName(
             vhashed.filter(!col("decoded")).select("media_id").distinct())
+        val badVerdicts = badCanon
+          .unionByName(payCopies
+            .join(badCanon.select(col("media_id").as("bc")),
+              col("canon") === col("bc"))
+            .select("media_id"))
           .select(col("media_id"), lit("decode_error").as("status"),
             lit(null).cast("long").as("dup_of"))
+        // the verdict stage's input: decoded canonicals ∪ index-known
+        // canonicals ∪ copies inheriting their canonical's signature —
+        // the SAME relation the gate-off arm decodes row by row
+        val imgAll = hashed.filter(col("decoded")).unionByName(knownImg)
+        val imgWithCopies = imgAll.unionByName(
+          payCopies.join(
+            imgAll.select(col("media_id").as("canon"),
+              col("dhash_hi"), col("dhash_lo")), Seq("canon"))
+            .select(col("media_id"), lit(true).as("decoded"),
+              col("dhash_hi"), col("dhash_lo")))
+        val vidAll = vhashed.filter(col("decoded")).unionByName(knownVid)
+        val vidWithCopies = vidAll.unionByName(
+          payCopies.join(
+            vidAll.select(col("media_id").as("canon"),
+              col("dhash_hi"), col("dhash_lo")), Seq("canon"))
+            .select(col("media_id"), lit(true).as("decoded"),
+              lit(-1).as("frame_idx"), col("dhash_hi"), col("dhash_lo")))
         // image: fused within-batch + against-index verdicts (ONE pass —
         // Multimodal.imageDedupVerdicts); video: intra containment, then
         // canonicals face the frame-hash index
         val imgVerdicts =
           if (nImg > 0)
-            Multimodal.imageDedupVerdicts(hashed.filter(col("decoded")), indexPath)
+            Multimodal.imageDedupVerdicts(imgWithCopies, indexPath)
           else Seq.empty[(Long, String, Option[Long])]
             .toDF("media_id", "status", "dup_of")
         val (vidVerdicts, vintra) =
           if (nVid > 0) {
             val vi = timings.time("intra_batch_video")(
-              Multimodal.intraBatchVideoDedup(vhashed.filter(col("decoded"))))
-            val canonV = vhashed.filter(col("decoded")).join(
+              Multimodal.intraBatchVideoDedup(vidWithCopies))
+            val canonV = vidWithCopies.join(
               vi.filter(col("status") === "kept").select("media_id"), "media_id")
             (Multimodal.incrementalVideoDedupAgainstIndex(canonV, indexPath)
               .unionByName(vi.filter(col("status") =!= "kept")), Some(vi))
@@ -224,7 +282,6 @@ object MediaIngest {
         val (verdicts, counts) = timings.time("verdicts") {
           val raw = imgVerdicts
             .unionByName(vidVerdicts)
-            .unionByName(preVerdicts)
             .unionByName(badVerdicts)
           val badIds = badVerdicts.select(col("media_id").as("bad_id"))
           val adj = raw.join(badIds, raw("dup_of") === col("bad_id"), "left")

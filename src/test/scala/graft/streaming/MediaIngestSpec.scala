@@ -241,20 +241,26 @@ class MediaIngestSpec extends SparkSpec {
     // batch 1: a truncation (first half), a frame-REVERSED re-encode
     // (same frame set, different bytes — must go through containment,
     // not the payload gate), and a byte-identical re-crawl (payload
-    // gate, no decode)
+    // gate: no decode, frames INHERITED from the index — r14)
     val m1 = MediaIngest.processBatch(
       mediaDf((10L, "video", y4m(3, px)),
         (11L, "video", y4m(6, f => px(5 - f))),
         (12L, "video", y4m(6, px))),
       1L, dir, sink)
-    assert(m1.nExactDup == 1 && m1.nNearDup == 2 && m1.nAccepted == 0, m1)
+    // all three verdict near_dup: the video taxonomy is containment-
+    // based, and the decode path (= the gate-off arm) has no byte-exact
+    // class — since r14 the pre-gate only skips the codec, it never
+    // pre-judges, so the byte-identical re-crawl takes the SAME verdict
+    // the gate-off arm would give it (pre-r14 it was pre-judged
+    // exact_dup, one of the two sources of A/B arm divergence)
+    assert(m1.nExactDup == 0 && m1.nNearDup == 3 && m1.nAccepted == 0, m1)
     val dup = sink.tables("duplicate_media")
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     // 10 ⊆ 11 in-batch (11 has more distinct frames), 11 == clip 1's
     // frame set against the index — roots resolve the whole chain to 1
     assert(dup(10L) == (("near_dup", 1L)), dup)
     assert(dup(11L) == (("near_dup", 1L)), dup)
-    assert(dup(12L) == (("exact_dup", 1L)), dup)
+    assert(dup(12L) == (("near_dup", 1L)), dup)
     // batch 2: a 9-frame supercut extending the original (6/9 shared <
     // 0.9 ⇒ kept, DIRECTED) and its own in-batch truncation
     val m2 = MediaIngest.processBatch(
