@@ -74,10 +74,27 @@ object MediaAbDebug {
       val Seq((_, ixOn, sinkOn), (_, ixOff, sinkOff)) = arms
       val (sOn, sOff) = (sigSet(ixOn), sigSet(ixOff))
       val (bOn, bOff) = (bandSet(ixOn), bandSet(ixOff))
+      // routing equivalence too: every (media, status, ROOT dup_of) the
+      // arms appended so far — the full verdict contract, not just the
+      // index contents
+      def routed(s: MapSink): Set[(Long, String, Long)] =
+        s.rows.getOrElse("duplicate_media",
+            scala.collection.mutable.ArrayBuffer.empty).toSet ++
+          s.rows.getOrElse("rejected_media",
+            scala.collection.mutable.ArrayBuffer.empty).toSet
+      val (rOn, rOff) = (routed(sinkOn), routed(sinkOff))
       println(s"[abdebug] batch $bi: sig on=${sOn.size} off=${sOff.size} " +
         s"sigDiff=${(sOn diff sOff).size}/${(sOff diff sOn).size} " +
         s"bands on=${bOn.size} off=${bOff.size} " +
-        s"bandDiff=${(bOn diff bOff).size}/${(bOff diff bOn).size}")
+        s"bandDiff=${(bOn diff bOff).size}/${(bOff diff bOn).size} " +
+        s"verdictDiff=${(rOn diff rOff).size}/${(rOff diff rOn).size}")
+      if ((rOn diff rOff).nonEmpty || (rOff diff rOn).nonEmpty) {
+        println(s"[abdebug]   only-gated verdicts: " +
+          (rOn diff rOff).toSeq.sortBy(_._1).take(10))
+        println(s"[abdebug]   only-nogate verdicts: " +
+          (rOff diff rOn).toSeq.sortBy(_._1).take(10))
+        spark.stop(); sys.exit(1)
+      }
       val dOn = (sOn diff sOff).toSeq.sortBy(_._1).take(10)
       val dOff = (sOff diff sOn).toSeq.sortBy(_._1).take(10)
       if (dOn.nonEmpty || dOff.nonEmpty) {

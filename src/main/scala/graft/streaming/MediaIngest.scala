@@ -236,36 +236,43 @@ object MediaIngest {
             .select("media_id"))
           .select(col("media_id"), lit("decode_error").as("status"),
             lit(null).cast("long").as("dup_of"))
-        // the verdict stage's input: decoded canonicals ∪ index-known
-        // canonicals ∪ copies inheriting their canonical's signature —
-        // the SAME relation the gate-off arm decodes row by row
+        // the verdict stage's PROBE relation: decoded canonicals ∪
+        // index-known canonicals — dhash-for-dhash the same relation the
+        // gate-off arm's decodes produce, because payload COPIES carry
+        // no information a canonical lacks (same bytes ⇒ same signature,
+        // larger media_id ⇒ never a match winner). Copies therefore
+        // don't probe: each one verdicts straight to its canonical —
+        // exact_dup for images (dhash equality is the decode path's
+        // exact class), near_dup for video (containment has no exact
+        // class) — and root resolution rewrites it to the canonical's
+        // own root, which is provably the dup_of the gate-off arm's
+        // probed copy resolves to (the canonical is each copy's best
+        // admissible match or shares its target). Keeping the ~K copies
+        // per batch out of the band-candidate joins is what preserves
+        // the gate arm's wall-time win beyond the codec itself.
         val imgAll = hashed.filter(col("decoded")).unionByName(knownImg)
-        val imgWithCopies = imgAll.unionByName(
-          payCopies.join(
-            imgAll.select(col("media_id").as("canon"),
-              col("dhash_hi"), col("dhash_lo")), Seq("canon"))
-            .select(col("media_id"), lit(true).as("decoded"),
-              col("dhash_hi"), col("dhash_lo")))
         val vidAll = vhashed.filter(col("decoded")).unionByName(knownVid)
-        val vidWithCopies = vidAll.unionByName(
-          payCopies.join(
-            vidAll.select(col("media_id").as("canon"),
-              col("dhash_hi"), col("dhash_lo")), Seq("canon"))
-            .select(col("media_id"), lit(true).as("decoded"),
-              lit(-1).as("frame_idx"), col("dhash_hi"), col("dhash_lo")))
+        val copyVerdicts = payCopies
+          .join(imgAll.select(col("media_id").as("canon"))
+            .unionByName(vidAll.select(col("media_id").as("canon")).distinct()),
+            Seq("canon"))
+          .select(col("media_id"),
+            when(col("kind") === "image", lit("exact_dup"))
+              .otherwise(lit("near_dup")).as("status"),
+            col("canon").as("dup_of"))
         // image: fused within-batch + against-index verdicts (ONE pass —
         // Multimodal.imageDedupVerdicts); video: intra containment, then
         // canonicals face the frame-hash index
         val imgVerdicts =
           if (nImg > 0)
-            Multimodal.imageDedupVerdicts(imgWithCopies, indexPath)
+            Multimodal.imageDedupVerdicts(imgAll, indexPath)
           else Seq.empty[(Long, String, Option[Long])]
             .toDF("media_id", "status", "dup_of")
         val (vidVerdicts, vintra) =
           if (nVid > 0) {
             val vi = timings.time("intra_batch_video")(
-              Multimodal.intraBatchVideoDedup(vidWithCopies))
-            val canonV = vidWithCopies.join(
+              Multimodal.intraBatchVideoDedup(vidAll))
+            val canonV = vidAll.join(
               vi.filter(col("status") === "kept").select("media_id"), "media_id")
             (Multimodal.incrementalVideoDedupAgainstIndex(canonV, indexPath)
               .unionByName(vi.filter(col("status") =!= "kept")), Some(vi))
@@ -282,6 +289,7 @@ object MediaIngest {
         val (verdicts, counts) = timings.time("verdicts") {
           val raw = imgVerdicts
             .unionByName(vidVerdicts)
+            .unionByName(copyVerdicts)
             .unionByName(badVerdicts)
           val badIds = badVerdicts.select(col("media_id").as("bad_id"))
           val adj = raw.join(badIds, raw("dup_of") === col("bad_id"), "left")
