@@ -1451,7 +1451,19 @@ object Multimodal {
     val exact = batch.join(sideSig, Seq("dhash_hi", "dhash_lo"))
       .filter(admissible)
       .groupBy("media_id").agg(min("ix_id").as("exact_of"))
-    val batchBands = dhashBands(batch)
+    // Band-candidate PROBE side: only rows with NO admissible exact match.
+    // The verdict combiner below discards near_of whenever exact_of exists
+    // (exact wins both status and dup_of), so probing exact-matched rows
+    // through the banded join buys nothing — and on re-crawl-dominated
+    // media streams (the production shape: most of every batch is
+    // byte- or pixel-identical to the index) those rows ARE the batch,
+    // turning the near join from the verdict stage's dominant cost into
+    // one over genuinely novel rows. The match SIDE below still carries
+    // every batch canonical, so other rows' candidates are unchanged —
+    // output is bit-identical. The `exact` subplan appears twice in the
+    // DAG; its shuffle is exchange-reused, not recomputed.
+    val batchBands = dhashBands(
+      batch.join(exact.select("media_id"), Seq("media_id"), "left_anti"))
     val sideBands = spark.read.parquet(s"$path/bands")
       .join(broadcast(batchIds), col("ix_id") === col("bid"), "left_anti")
       .select(col("ix_id"), col("band_idx"), col("band_val"))
