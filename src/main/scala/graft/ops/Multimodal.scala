@@ -610,32 +610,35 @@ object Multimodal {
       }
   }
 
-  /** Audio multi-index band layout: TEN bands over the 64-bit
-    * fingerprint (widths 6,6,6,6,6,6,7,7,7,7), with candidates required
-    * to agree on a band TRIPLE (r14; VERDICT r13 #3). Exactness is the
-    * pigeonhole argument of multi-index hashing (Norouzi & Fleet), two
-    * levels up: hamming ≤ [[MaxHamming]] = 7 damages at most 7 of the 10
-    * bands, so ≥ 3 bands survive intact and the pair meets on at least
-    * one of its C(10,3) = 120 band-triple keys. What it buys: audio
-    * fingerprints are near-uniform pseudo-random bits, so single-band
-    * candidates collide at ~8·n²/2⁸ even on dup-free corpora (the r13
-    * layout; its keep-list was the slowest 50× probe stage at 120 s vs
-    * the images' 39 s on the same volume), and the first r14 cut — C(9,2)
-    * band PAIRS over 9 bands, ~36·n²/2¹⁴ — measured 148 s at 50×: at
-    * n = 250 k clips its ~14-bit keys still admit ~130 M random-collision
-    * candidates. Triple keys carry 19–21 bits, so the same corpus's
-    * random collisions drop ~25× (most triple buckets are singletons) for
-    * 120 (tiny) key rows per clip. The hub budget ([[audioDedupKeepList]])
-    * moves to the triple buckets; since those are far below the budget on
-    * real volumes, the keep-list's candidate recall is effectively the
-    * unbudgeted join's.
+  /** Audio multi-index band layout: NINE bands over the 64-bit
+    * fingerprint (widths 7,7,7,7,8,7,7,7,7), with candidates required to
+    * agree on a band PAIR rather than a single band (r14; VERDICT r13
+    * #3). Exactness is the same pigeonhole, one level up (Norouzi &
+    * Fleet, multi-index hashing): hamming ≤ [[MaxHamming]] = 7 damages at
+    * most 7 of the 9 bands, so ≥ 2 bands survive intact and the pair
+    * meets on at least one of its C(9,2) = 36 band-pair keys.
+    *
+    * Why pairs and not single bands or triples — MEASURED, r14, 50×
+    * decade (250 k clips): single 8-bit bands (r13) ran the keep-list in
+    * 120 s but only because 977-member buckets were silently truncated
+    * to the 64-hub budget (survivors 1,103 where the full candidate set
+    * yields 25 — a recall loss, not a win); band pairs run it in 148 s
+    * with the budget effectively not binding (full candidate recall);
+    * 3-of-10 band TRIPLES (C(10,3) = 120 keys of 19–21 bits) measured
+    * 312 s on the same stage — audio fingerprints cluster by clip-length
+    * class (the window-size pattern, a function of n alone, drives most
+    * sign bits), so same-class clips share MANY keys and each extra key
+    * per clip multiplies the in-cluster candidate rows faster than the
+    * wider key space cuts random collisions. Pairs are the measured
+    * sweet spot: one pigeonhole level of safety margin, 36 keys per
+    * clip, and the in-cluster multiplier stays ~4× below triples.
     */
-  private val AudioBandLens = Array(6, 6, 6, 6, 6, 6, 7, 7, 7, 7)
+  private val AudioBandLens = Array(7, 7, 7, 7, 8, 7, 7, 7, 7)
   private val AudioBandOffs = AudioBandLens.scanLeft(0)(_ + _).init
   private val AudioBands = AudioBandLens.length
 
-  /** Band `b`'s value from the two unsigned-32 fingerprint halves. Band 5
-    * (bits 30..35) straddles the halves: low 2 bits from the top of
+  /** Band `b`'s value from the two unsigned-32 fingerprint halves. Band 4
+    * (bits 28..35) straddles the halves: low 4 bits from the top of
     * `fp_lo`, high 4 from the bottom of `fp_hi`. Plain shift/mod integer
     * arithmetic, mirrored digit-for-digit by [[afpBandValSql]].
     */
@@ -656,36 +659,29 @@ object Multimodal {
       s"(fp_lo // ${1L << off}) + (fp_hi % ${1 << (off + len - 32)}) * ${1L << (32 - off)}"
   }
 
-  /** One packed BIGINT key per (i < j < k) band triple:
-    * `(i·100 + j·10 + k)·2²¹ + val_i·2¹⁴ + val_j·2⁷ + val_k` (band values
-    * < 2⁷; triple index digits < 10) — 120 rows per clip, a single-column
-    * equi-join key.
+  /** One packed BIGINT key per (i < j) band pair:
+    * `(i·9 + j)·2¹⁶ + val_i·2⁸ + val_j` (band values < 2⁸) — 36 rows per
+    * clip, a single-column equi-join key.
     */
   private[ops] def afpBandPairKeys(fp: DataFrame): DataFrame = {
     val hi = col("fp_hi"); val lo = col("fp_lo")
-    val keys = for (i <- 0 until AudioBands; j <- i + 1 until AudioBands;
-                    k <- j + 1 until AudioBands)
-      yield (lit((i * 100 + j * 10 + k).toLong * 2097152L) +
-        afpBandVal(i, hi, lo) * 16384L + afpBandVal(j, hi, lo) * 128L +
-        afpBandVal(k, hi, lo))
+    val keys = for (i <- 0 until AudioBands; j <- i + 1 until AudioBands)
+      yield (lit((i * AudioBands + j).toLong * 65536L) +
+        afpBandVal(i, hi, lo) * 256L + afpBandVal(j, hi, lo))
     fp.select(col("media_id"), explode(array(keys: _*)).as("bpk"))
   }
 
   /** Near-duplicate audio pairs over the corpus + planted variants:
     * every (a < b) within fingerprint Hamming ≤ `maxHamming`, candidates
-    * from the 3-of-10 band-triple multi-index ([[afpBandPairKeys]] —
-    * recall EXACT for hamming ≤ 7: ≤ 7 damaged bands of 10 leave an
-    * intact triple), verified by exact bit_count. Re-encodes land at
-    * hamming 0; amplitude-halves land within a few bits (each bit flips
-    * only when floor-rounding crosses an amplitude near-tie). Scale
-    * shape: triple keys carry 19–21 bits, so random-collision candidates
-    * on pseudo-random fingerprints are ~25× below the r14 band-pair
-    * layout's ~36·n²/2¹⁴ (and ~300× below the r13 single 8-bit bands'
-    * ~8·n²/2⁸ — the constant that made the audio stages the slowest r13
-    * probes) — the PAIR relation is still inherently corpus-quadratic in
-    * the clone-heavy regime, so the keep-list twin
-    * ([[audioDedupKeepList]]) is the scale path, exactly as q113 vs q114
-    * for images.
+    * from the 2-of-9 band-pair multi-index ([[afpBandPairKeys]] — recall
+    * EXACT for hamming ≤ 7: ≤ 7 damaged bands of 9 leave an intact pair;
+    * the measured layout choice is documented at [[AudioBandLens]]),
+    * verified by exact bit_count. Re-encodes land at hamming 0;
+    * amplitude-halves land within a few bits (each bit flips only when
+    * floor-rounding crosses an amplitude near-tie). Scale shape: the
+    * PAIR relation is inherently corpus-quadratic in the clone-heavy
+    * regime, so the keep-list twin ([[audioDedupKeepList]]) is the scale
+    * path, exactly as q113 vs q114 for images.
     */
   def audioNearDups(
       documents: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
@@ -709,14 +705,14 @@ object Multimodal {
   /** The deduplicated AUDIO corpus — q118's pairs closed into survivors
     * via the shared star-rounds components, with the same HUB-BUDGETED
     * candidate generation (and the same honest recall-budget caveat) as
-    * [[imageDedupKeepList]], applied per band-TRIPLE bucket. Triple
-    * buckets on real volumes sit far below [[NearDup.BucketBudget]]
-    * (19–21-bit keys: most buckets are singletons even at the 50×
-    * decade), so the budget rarely binds and the keep-list's candidate
+    * [[imageDedupKeepList]], applied per band-PAIR bucket. Pair buckets
+    * (16-bit packed keys) sit far below [[NearDup.BucketBudget]] on real
+    * volumes, so the budget rarely binds and the keep-list's candidate
     * recall is effectively the unbudgeted join's — unlike the r13
-    * 8-bit-band layout, whose 977-member buckets at 50× were silently
-    * truncated to 64 hubs (survivors 1,103 where the fuller candidate
-    * set yields ~25).
+    * 8-bit-band layout, whose 977-member buckets at the 50× decade were
+    * silently truncated to 64 hubs (survivors 1,103 where the fuller
+    * candidate set yields 25). The measured layout comparison (single
+    * band vs pair vs triple) is documented at [[AudioBandLens]].
     */
   def audioDedupKeepList(
       documents: DataFrame, maxHamming: Int = MaxHamming,
@@ -805,16 +801,14 @@ object Multimodal {
        |FROM adoc d JOIN afp f USING (media_id)
        |ORDER BY media_id""".stripMargin
 
-  /** SQL twin of [[afpBandPairKeys]]: the 120 packed band-triple keys per
-    * clip, from the same per-band shift/mod arithmetic ([[afpBandValSql]])
-    * and the same `(i·100+j·10+k)·2²¹ + vᵢ·2¹⁴ + vⱼ·2⁷ + vₖ` packing.
+  /** SQL twin of [[afpBandPairKeys]]: the 36 packed band-pair keys per
+    * clip, from the same per-band shift/mod arithmetic
+    * ([[afpBandValSql]]) and the same `(i·9+j)·2¹⁶ + vᵢ·2⁸ + vⱼ` packing.
     */
   private def afpBandsSql: String = {
-    val keys = (for (i <- 0 until AudioBands; j <- i + 1 until AudioBands;
-                     k <- j + 1 until AudioBands)
-      yield s"${(i * 100 + j * 10 + k).toLong * 2097152L} + " +
-        s"(${afpBandValSql(i)}) * 16384 + (${afpBandValSql(j)}) * 128 + " +
-        s"(${afpBandValSql(k)})")
+    val keys = (for (i <- 0 until AudioBands; j <- i + 1 until AudioBands)
+      yield s"${(i * AudioBands + j).toLong * 65536L} + " +
+        s"(${afpBandValSql(i)}) * 256 + (${afpBandValSql(j)})")
       .mkString(",\n      ")
     s"""bp AS (
        |  SELECT media_id, unnest([

@@ -287,11 +287,12 @@ class MultimodalSpec extends SparkSpec {
     assert(dOther > Multimodal.MaxHamming, s"unrelated hamming $dOther")
   }
 
-  test("band-triple pigeonhole: hamming <= 7 always shares a triple key " +
+  test("band-pair pigeonhole: hamming <= 7 always shares a pair key " +
     "(exact radius contract); 8 flips spread over 8 distinct bands share " +
     "none (the contract is tight)") {
-    // the 10-band layout: widths 6,6,6,6,6,6,7,7,7,7 -> offsets
-    val offs = Array(0, 6, 12, 18, 24, 30, 36, 43, 50, 57)
+    // the 9-band layout: widths 7,7,7,7,8,7,7,7,7 -> offsets
+    val offs = Array(0, 7, 14, 21, 28, 36, 43, 50, 57)
+    val lens = Array(7, 7, 7, 7, 8, 7, 7, 7, 7)
     def fpDf(id: Long, fp: Long) =
       Seq((id, fp >>> 32, fp & 0xffffffffL)).toDF("media_id", "fp_hi", "fp_lo")
     def keys(id: Long, fp: Long): Set[Long] =
@@ -301,16 +302,16 @@ class MultimodalSpec extends SparkSpec {
     for (trial <- 0 until 8) {
       val base = rnd.nextLong()
       // worst case: 7 flips in 7 DISTINCT bands (damaging the most bands
-      // possible), including the straddling band 5 and the wide bands
-      val bands = rnd.shuffle((0 until 10).toList).take(7)
+      // possible), including the straddling band 4 when drawn
+      val bands = rnd.shuffle((0 until 9).toList).take(7)
       val damaged = bands.foldLeft(base)((f, b) =>
-        f ^ (1L << (offs(b) + rnd.nextInt(if (b < 6) 6 else 7))))
+        f ^ (1L << (offs(b) + rnd.nextInt(lens(b)))))
       assert(java.lang.Long.bitCount(base ^ damaged) == 7)
       assert(keys(0L, base).intersect(keys(1L, damaged)).nonEmpty,
-        s"trial $trial: hamming-7 pair shares no band-triple key")
+        s"trial $trial: hamming-7 pair shares no band-pair key")
     }
-    // tightness: 8 flips in 8 distinct bands leave only 2 intact bands -
-    // every triple includes a damaged band, so NO key can match
+    // tightness: 8 flips in 8 distinct bands leave only 1 intact band -
+    // every pair includes a damaged band, so NO key can match
     val base = rnd.nextLong()
     val eight = (0 until 8).foldLeft(base)((f, b) => f ^ (1L << offs(b)))
     assert(java.lang.Long.bitCount(base ^ eight) == 8)
