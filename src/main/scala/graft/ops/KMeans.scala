@@ -149,8 +149,19 @@ object KMeans {
     * registry, the same reuse a production train→index→serve loop has.
     * Values are tiny (k·Dim longs) and deterministic in the input, so
     * memoization cannot change any result, only skip repeated training.
+    *
+    * Bounded LRU (r14 VERDICT #5), same pattern and rationale as
+    * [[graft.ops.PQ]] `refineCache` / [[Similarity]] `tuneCache`: the key
+    * retains the full canonicalized logical plan (and, through
+    * `LogicalRelation`, file-index state), so a long-lived session
+    * training against many distinct corpora would otherwise accumulate
+    * analyzed plans forever. 32 entries covers any realistic number of
+    * concurrently-served models while keeping retention O(1). Same
+    * same-plan-same-data assumption: files under a memoized plan are
+    * immutable for the session; new corpus snapshot = new path = new plan
+    * = fresh training.
     */
-  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+  private val modelCache = graft.util.BoundedLru[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
     Array[(Int, Array[Long])]]()
 

@@ -622,7 +622,10 @@ object Multimodal {
     * decade (250 k clips): single 8-bit bands (r13) ran the keep-list in
     * 120 s but only because 977-member buckets were silently truncated
     * to the 64-hub budget (survivors 1,103 where the full candidate set
-    * yields 25 — a recall loss, not a win); band pairs run it in 148–154 s (two committed runs)
+    * yields 25 — a recall loss, not a win); band pairs run it in 154 s
+    * (SCALEPROBE_r14_50x.json — an earlier probe of the same code
+    * measured 148 s but was overwritten by later refreshes, so only the
+    * 154 s run is committed evidence)
     * with the budget effectively not binding (full candidate recall);
     * 3-of-10 band TRIPLES (C(10,3) = 120 keys of 19–21 bits) measured
     * 312 s on the same stage — audio fingerprints cluster by clip-length

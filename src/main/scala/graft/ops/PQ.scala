@@ -593,25 +593,13 @@ object PQ {
     * Corpus snapshots here are immutable paths; new snapshot = new path =
     * new plan = fresh derivation.
     */
-  private val refineCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int, Int),
-      Int](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[
-            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             Int, Int, Int, Int), Int]): Boolean = size() > 32
-    })
+  private val refineCache = graft.util.BoundedLru[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int, Int),
+    Int]()
 
-  private val calFloorCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
-      Int](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[
-            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             Int, Int, Int), Int]): Boolean = size() > 32
-    })
+  private val calFloorCache = graft.util.BoundedLru[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
+    Int]()
 
   /** SAMPLE-CALIBRATED refine floor (r14, VERDICT r13 #8): instead of
     * asserting a constant swept at n ≤ 2,000, MEASURE — on the fixed tune

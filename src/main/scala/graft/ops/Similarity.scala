@@ -614,15 +614,9 @@ object Similarity {
     * the analyzed plan); same same-plan-same-data assumption — corpus
     * snapshots are immutable paths, new snapshot = new plan = fresh tune.
     */
-  private val tuneCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
-      Seq[(Int, Long)]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[
-            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
-            Seq[(Int, Long)]]): Boolean = size() > 32
-    })
+  private val tuneCache = graft.util.BoundedLru[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
+    Seq[(Int, Long)]]()
 
   /** The derivation measurement behind [[derivedNprobe]]: per candidate
     * nprobe 1..[[MaxDerivedNprobe]], how many of the tune sample's exact

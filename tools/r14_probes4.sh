@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-14 artifact refresh on the final audio band-triple code: the 10x
+# Round-14 artifact refresh on the final audio band-pair code (triples measured 312s and were rejected): the 10x
 # full suite + 50x headline decade (the two whose audio stages changed),
 # then the media A/B x5 + full STREAMPROBE (post band-probe-skip code),
 # then the bench (q117-q119 changed). Serial.
