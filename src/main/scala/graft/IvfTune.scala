@@ -97,11 +97,19 @@ object IvfTune {
     val insample = graft.ops.Similarity.annRecall(emb)
       .agg(avg("recall")).head().getDouble(0)
     val t2 = System.nanoTime()
-    val holdout = graft.ops.Similarity.annRecallHoldout(emb)
-      .agg(avg("recall")).head().getDouble(0)
+    // 50-query disjoint window (r15, VERDICT r14 #6 — the 10-query
+    // window's σ ≈ 0.04 left the point estimate with a wide interval)
+    val hRows = graft.ops.Similarity.annRecallHoldout(
+        emb, until = graft.ops.Similarity.TuneQueries + 50)
+      .collect().map(_.getDouble(2))
+    val holdout = hRows.sum / math.max(1, hRows.length)
+    val hCi = if (hRows.length < 2) 0.0 else 1.96 * math.sqrt(
+      hRows.map(r => (r - holdout) * (r - holdout)).sum /
+        (hRows.length.toDouble * (hRows.length - 1)))
     val t3 = System.nanoTime()
     println(f"[ivftune] derived-default recall@5 in-sample=$insample%.3f " +
-      f"(${(t2 - t1) / 1e9}%.1fs) holdout=$holdout%.3f (${(t3 - t2) / 1e9}%.1fs)")
+      f"(${(t2 - t1) / 1e9}%.1fs) holdout=$holdout%.3f ci95=±$hCi%.3f " +
+      f"n=${hRows.length} (${(t3 - t2) / 1e9}%.1fs)")
     spark.stop()
   }
 }

@@ -76,29 +76,20 @@ object PQTune {
       val insample = graft.ops.PQ.pqRefineRecall(emb)
         .agg(avg("recall")).head().getDouble(0)
       val t2 = System.nanoTime()
-      // holdout truth: brute-force top-k for the disjoint query window
-      val inWindow = (c: org.apache.spark.sql.Column) =>
-        c >= TuneQueries && c < 2 * TuneQueries
-      val queries = emb.filter(inWindow(col("vec_id")))
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
-      val scored = emb.repartition(col("vec_id"))
-        .join(org.apache.spark.sql.functions.broadcast(queries),
-          col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          graft.ops.Similarity.dot(col("query_emb"), col("embedding")).as("cosine"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      val truth = scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TuneK)
-      val approx = graft.ops.PQ.pqAdcRefineTopK(
-        emb, nQueries = 2 * TuneQueries, topK = TuneK,
-        refineFactor = cal, queryFrom = TuneQueries)
-      val holdout = graft.ops.Similarity.recallVsTruth(truth, approx, TuneK)
-        .agg(avg("recall")).head().getDouble(0)
+      // 50-query disjoint window through the shared holdout machine
+      // (r15, VERDICT r14 #6 — interval stated; refine factor = the
+      // calibrated floor, the serving arm the committed claim is about)
+      val hRows = graft.ops.PQ.pqRefineRecallHoldout(
+          emb, until = TuneQueries + 50, refineFactor = cal)
+        .collect().map(_.getDouble(2))
+      val holdout = hRows.sum / math.max(1, hRows.length)
+      val hCi = if (hRows.length < 2) 0.0 else 1.96 * math.sqrt(
+        hRows.map(r => (r - holdout) * (r - holdout)).sum /
+          (hRows.length.toDouble * (hRows.length - 1)))
       val t3 = System.nanoTime()
       println(f"[pqtune] derived-default refine_recall@5 in-sample=$insample%.3f " +
-        f"(${(t2 - t1) / 1e9}%.1fs) holdout(floor=$cal)=$holdout%.3f (${(t3 - t2) / 1e9}%.1fs)")
+        f"(${(t2 - t1) / 1e9}%.1fs) holdout(floor=$cal)=$holdout%.3f " +
+        f"ci95=±$hCi%.3f n=${hRows.length} (${(t3 - t2) / 1e9}%.1fs)")
       spark.stop()
       return
     }

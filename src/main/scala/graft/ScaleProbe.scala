@@ -196,6 +196,15 @@ object ScaleProbe {
       measurements += ((name, n, dt, Some(info)))
       println(f"[scale] $name: $n rows in $dt%.1fs  $info")
     }
+    // ±1.96·SE over per-query recalls (the stated interval of the
+    // widened holdout rows, VERDICT r14 #6)
+    def holdoutCi95(rec: Array[Double]): Double = {
+      val n = rec.length
+      if (n < 2) return 0.0
+      val mean = rec.sum / n
+      1.96 * math.sqrt(
+        rec.map(r => (r - mean) * (r - mean)).sum / (n.toDouble * (n - 1)))
+    }
     // one row → {"n_shingles": …, …, "derived_cap": …}
     def capStatsJson(docs: org.apache.spark.sql.DataFrame): (Long, String) = {
       val r = graft.ops.NearDup.dfCapStats(docs).head()
@@ -448,13 +457,33 @@ object ScaleProbe {
         (rows.length.toLong,
           f"""{"mean_recall": $mean%.3f, "derived_nprobe": $np}""")
       })
-      // OUT-OF-SAMPLE check of the derived default (r14): the knob is
-      // tuned on queries 0..9, so the row above is in-sample by
-      // construction — this one scores a disjoint query window
+      // OUT-OF-SAMPLE check of the derived default (r14; widened in r15,
+      // VERDICT r14 #6): the knob is tuned on queries 0..9, so the row
+      // above is in-sample by construction — this one scores a DISJOINT
+      // 50-query window (the r14 10-query window's σ ≈ 0.04 at n=50 hits
+      // left the committed 0.92 with a wide interval; 50 queries × k=5 =
+      // 250 hit trials tightens ±1.96·SE ~√5×), interval stated in the row
       timeInfo(s"$label ann_recall_adaptive_holdout")({
-        val rows = graft.ops.Similarity.annRecallHoldout(emb).collect()
-        val mean = rows.map(_.getDouble(2)).sum / math.max(1, rows.length)
-        (rows.length.toLong, f"""{"mean_recall": $mean%.3f}""")
+        val rows = graft.ops.Similarity.annRecallHoldout(
+          emb, until = graft.ops.Similarity.TuneQueries + 50).collect()
+        val rec = rows.map(_.getDouble(2))
+        val mean = rec.sum / math.max(1, rec.length)
+        val ci = holdoutCi95(rec)
+        (rows.length.toLong,
+          f"""{"mean_recall": $mean%.3f, "n_queries": ${rec.length}, "ci95": $ci%.3f}""")
+      })
+      // the same out-of-sample contract for the PQ refine-floor family
+      // (VERDICT r14 #6): the calibrated floor is derived on queries
+      // 0..9; this row serves the DISJOINT 50-query window through the
+      // full derived default and states the interval
+      timeInfo(s"$label pq_refine_recall_holdout")({
+        val rows = graft.ops.PQ.pqRefineRecallHoldout(
+          emb, until = graft.ops.Similarity.TuneQueries + 50).collect()
+        val rec = rows.map(_.getDouble(2))
+        val mean = rec.sum / math.max(1, rec.length)
+        val ci = holdoutCi95(rec)
+        (rows.length.toLong,
+          f"""{"mean_recall": $mean%.3f, "n_queries": ${rec.length}, "ci95": $ci%.3f}""")
       })
       timeInfo(s"$label pq_recall")({
         val rows = graft.ops.PQ.pqRecall(emb).collect()

@@ -175,7 +175,8 @@ object StreamScaleProbe {
     val eventMult = args.headOption.map(_.toInt).getOrElse(10)
     val docMult = args.drop(1).headOption.map(_.toInt).getOrElse(200)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

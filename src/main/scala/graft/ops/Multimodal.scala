@@ -671,7 +671,16 @@ object Multimodal {
     val keys = for (i <- 0 until AudioBands; j <- i + 1 until AudioBands)
       yield (lit((i * AudioBands + j).toLong * 65536L) +
         afpBandVal(i, hi, lo) * 256L + afpBandVal(j, hi, lo))
-    fp.select(col("media_id"), explode(array(keys: _*)).as("bpk"))
+    // the fingerprint halves RIDE THE BAND ROWS (r15; VERDICT r14 #2):
+    // carrying 16 extra bytes per band row lets every consumer verify
+    // bit_count(candidate) INSIDE the collision join — the pre-r15 shape
+    // shuffled the raw collision multiset through a distinct and two
+    // fp equi-joins before the (cheap) verify, and on length-class-
+    // clustered audio corpora that multiset IS the cost (the 50× decade's
+    // 154 s, SCALEPROBE_r14_50x). Same candidates, same verify, same
+    // output — only the exchanges move.
+    fp.select(col("media_id"), explode(array(keys: _*)).as("bpk"),
+      col("fp_hi"), col("fp_lo"))
   }
 
   /** Near-duplicate audio pairs over the corpus + planted variants:
@@ -691,17 +700,19 @@ object Multimodal {
     val fp = audioFingerprintsOf(audioVariantCorpus(documents))
       .select(col("media_id"), col("fp_hi"), col("fp_lo")).cache()
     val bp = afpBandPairKeys(fp)
-    val cand = bp.toDF("media_a", "bpk")
-      .join(bp.toDF("media_b", "bpk_b"),
-        col("bpk") === col("bpk_b") && col("media_a") < col("media_b"))
-      .select("media_a", "media_b").distinct()
-    cand
-      .join(fp.toDF("media_a", "hi_a", "lo_a"), Seq("media_a"))
-      .join(fp.toDF("media_b", "hi_b", "lo_b"), Seq("media_b"))
+    // verify INSIDE the collision join (the fps ride the band rows —
+    // [[afpBandPairKeys]]): the length-class collision multiset never
+    // hits an exchange, only the surviving true pairs reach the distinct
+    bp.toDF("media_a", "bpk", "hi_a", "lo_a")
+      .join(bp.toDF("media_b", "bpk", "hi_b", "lo_b"),
+        Seq("bpk"))
+      .filter(col("media_a") < col("media_b"))
       .select(col("media_a"), col("media_b"),
         (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
           .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // hamming is a function of (a, b): multi-key collisions
+      // collapse to the same 3-tuple
       .orderBy("media_a", "media_b")
   }
 
@@ -720,27 +731,8 @@ object Multimodal {
   def audioDedupKeepList(
       documents: DataFrame, maxHamming: Int = MaxHamming,
       bucketBudget: Int = graft.ops.NearDup.BucketBudget): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val fp = audioFingerprintsOf(audioVariantCorpus(documents)).cache()
-    val bp = afpBandPairKeys(
-      fp.select(col("media_id"), col("fp_hi"), col("fp_lo")))
-    val w = Window.partitionBy("bpk").orderBy("media_id")
-    val hubs = bp
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= bucketBudget)
-      .select(col("media_id").as("media_a"), col("bpk"))
-    val cand = bp.toDF("media_b", "bpk")
-      .join(hubs, Seq("bpk"))
-      .filter(col("media_a") < col("media_b"))
-      .select("media_a", "media_b").distinct()
-    val pairs = cand
-      .join(fp.select(col("media_id").as("media_a"), col("fp_hi").as("hi_a"),
-        col("fp_lo").as("lo_a")), Seq("media_a"))
-      .join(fp.select(col("media_id").as("media_b"), col("fp_hi").as("hi_b"),
-        col("fp_lo").as("lo_b")), Seq("media_b"))
-      .filter(expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)")
-        <= maxHamming)
-      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val pairs = audioKeepListPairs(fp, maxHamming, bucketBudget)
     val losers = graft.ops.NearDup.components(pairs)
       .filter(col("doc_id") =!= col("label"))
       .select(col("doc_id").as("loser_id"))
@@ -748,6 +740,73 @@ object Multimodal {
       .join(losers, col("media_id") === col("loser_id"), "left_anti")
       .select("media_id", "n_samples")
       .orderBy("media_id")
+  }
+
+  /** The keep-list's verified pair relation over an already-fingerprinted
+    * corpus (hub-budgeted band-pair candidates, in-join bit_count verify)
+    * — factored out so [[graft.AudioProf]] can time candidates and the
+    * star-rounds closure separately. Lazy; [[audioDedupKeepList]]'s plan
+    * is unchanged by the refactor.
+    */
+  /** Decode → fingerprint over the variant corpus, for [[graft.AudioProf]]. */
+  private[graft] def audioFingerprintsOfVariants(documents: DataFrame): DataFrame =
+    audioFingerprintsOf(audioVariantCorpus(documents))
+
+  /** (collision rows, within-radius collision rows) of the keep-list's
+    * hub-budgeted candidate join — the [[graft.AudioProf]] census that
+    * says how much of the multiset a de-clustered key could still cut.
+    */
+  private[graft] def audioKeepListCandidateCensus(
+      fp: DataFrame, maxHamming: Int = MaxHamming,
+      bucketBudget: Int = graft.ops.NearDup.BucketBudget): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val bp = afpBandPairKeys(
+      fp.select(col("media_id"), col("fp_hi"), col("fp_lo")))
+    val w = Window.partitionBy("bpk").orderBy("media_id")
+    val hubs = bp
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= bucketBudget)
+      .select(col("media_id").as("media_a"), col("bpk"),
+        col("fp_hi").as("hi_a"), col("fp_lo").as("lo_a"))
+    val r = bp.toDF("media_b", "bpk", "hi_b", "lo_b")
+      .join(hubs, Seq("bpk"))
+      .filter(col("media_a") < col("media_b"))
+      .agg(count(lit(1)).as("n_all"),
+        count(when(expr("bit_count(hi_a ^ hi_b)") +
+          expr("bit_count(lo_a ^ lo_b)") <= maxHamming, 1)).as("n_true"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private[graft] def audioKeepListPairs(
+      fp: DataFrame, maxHamming: Int = MaxHamming,
+      bucketBudget: Int = graft.ops.NearDup.BucketBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bp = afpBandPairKeys(
+      fp.select(col("media_id"), col("fp_hi"), col("fp_lo")))
+    val w = Window.partitionBy("bpk").orderBy("media_id")
+    val hubs = bp
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= bucketBudget)
+      .select(col("media_id").as("media_a"), col("bpk"),
+        col("fp_hi").as("hi_a"), col("fp_lo").as("lo_a"))
+    // hub candidates verify INSIDE the collision join (fps ride the band
+    // rows — [[afpBandPairKeys]]): the collision multiset never hits an
+    // exchange — bit_count filters it to within-radius rows in the join
+    // stage (AudioProf 50× census: 518M collision rows scanned in ~7 s;
+    // 59.5% are within-radius — multi-key duplicates of 32.1M unique true
+    // pairs, so no band layout has anything material left to cut). NO
+    // distinct here: the only consumer is [[NearDup.components]], whose
+    // first step canonicalizes + distincts + checkpoints the edge set
+    // itself — a distinct here would pay a second full exchange of the
+    // same 32M rows (q118's pair RELATION keeps its distinct; that output
+    // is the contract there).
+    bp.toDF("media_b", "bpk", "hi_b", "lo_b")
+      .join(hubs, Seq("bpk"))
+      .filter(col("media_a") < col("media_b"))
+      .filter(expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)")
+        <= maxHamming)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
   }
 
   /** The shared audio-fingerprint CTE chain (adoc → avar → awin → aamp →
@@ -1463,9 +1522,17 @@ object Multimodal {
       .unionByName(matchBatch.select(col("ix_id"), col("dhash_hi"),
         col("dhash_lo"), lit(false).as("from_ix")))
     val admissible = col("from_ix") || col("ix_id") < col("media_id")
+    // PINNED (r15): `exact` is consumed twice — as the band-probe skip's
+    // anti-join side and in the final verdict combine — and the r14 claim
+    // that its exchange is "reused, not recomputed" was measured FALSE
+    // (the executed plan shows the agg and its index-sig scan twice; only
+    // the matchBatch exchange and the batch-id broadcasts reuse). One
+    // eager checkpoint of the small (media_id, exact_of) relation beats
+    // re-running the exact join per consumer.
     val exact = batch.join(sideSig, Seq("dhash_hi", "dhash_lo"))
       .filter(admissible)
       .groupBy("media_id").agg(min("ix_id").as("exact_of"))
+      .localCheckpoint(true)
     // Band-candidate PROBE side: only rows with NO admissible exact match.
     // The verdict combiner below discards near_of whenever exact_of exists
     // (exact wins both status and dup_of), so probing exact-matched rows
@@ -1476,7 +1543,10 @@ object Multimodal {
     // one over genuinely novel rows. The match SIDE below still carries
     // every batch canonical, so other rows' candidates are unchanged —
     // output is bit-identical. The `exact` subplan appears twice in the
-    // DAG; its shuffle is exchange-reused, not recomputed.
+    // DAG and is PINNED above (r15, ADVICE r14): the r14 claim that its
+    // exchange would be reused was measured false — the executed plan
+    // carried the aggregate and its index-sig scan twice (only the
+    // matchBatch exchange and the batch-id broadcasts reuse under AQE).
     val batchBands = dhashBands(
       batch.join(exact.select("media_id"), Seq("media_id"), "left_anti"))
     val sideBands = spark.read.parquet(s"$path/bands")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.LongArrayDot.dotLong
@@ -895,6 +895,41 @@ object PQ {
       graft.ops.Similarity.bruteForceTopK(embeddings, nQueries, k),
       pqAdcRefineTopK(embeddings, nQueries, k, refineFactor, m, codes, iters),
       k)
+
+  /** OUT-OF-SAMPLE recall of the refine-path default on a DISJOINT query
+    * window `[from, until)` (r15, VERDICT r14 #6 — one shared
+    * implementation for PQTune's holdout arm and the scale probes, with
+    * the window width a parameter so the probes can run the 50-query
+    * window whose ±1.96·SE band is ~3× tighter than the 10-query one).
+    * The truth is the window's own brute-force top-k (one broadcast-
+    * queries corpus scan); the serving arm is [[pqAdcRefineTopK]] with
+    * the given refine factor (0 = the full derived default, exactly what
+    * production serves).
+    */
+  def pqRefineRecallHoldout(
+      embeddings: DataFrame,
+      from: Int = graft.ops.Similarity.TuneQueries,
+      until: Int = 2 * graft.ops.Similarity.TuneQueries,
+      k: Int = graft.ops.Similarity.TuneK,
+      refineFactor: Int = 0): DataFrame = {
+    val inWindow = (c: Column) => c >= from && c < until
+    val queries = embeddings.filter(inWindow(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val scored = embeddings.repartition(col("vec_id"))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.ops.Similarity.dot(col("query_emb"), col("embedding"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val truth = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    graft.ops.Similarity.recallVsTruth(
+      truth,
+      pqAdcRefineTopK(embeddings, nQueries = until, topK = k,
+        refineFactor = refineFactor, queryFrom = from),
+      k)
+  }
 
   def pqRefineRecallSql(
       nQueries: Int = 10, k: Int = 5, refineFactor: Int = 0,

@@ -49,6 +49,25 @@ import graft.sink.Sink
   */
 object MediaIngest {
 
+  /** Target rows per shuffle partition for the per-batch exchange sizing
+    * in [[processBatch]] — ~2,500 rows keeps a 20 k-row batch at 8
+    * partitions (the measured sweet spot on the standard probe) and a
+    * 30 k-row heavy batch at 12, while a genuinely large batch is capped
+    * by the session default, never sized up.
+    */
+  val RowsPerShufflePartition = 2500L
+
+  /** Run `body` (plan compilation AND its eager actions) with the given
+    * shuffle-partition setting, restoring the current one after.
+    */
+  private def withShuffleParts[T](spark: SparkSession, parts: String)(
+      body: => T): T = {
+    val cur = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", cur)
+  }
+
   final case class MediaBatchMetrics(
       batchId: Long,
       nIn: Long,
@@ -137,6 +156,22 @@ object MediaIngest {
           sink.append(passthrough, "accepted_media"))
       return MediaBatchMetrics(batchId, nPass, 0, 0, nPass, 0, 0, 0, nPass)
     }
+    // Micro-batch exchanges are sized to the BATCH, not the session
+    // default (r15, VERDICT r14 #3): AQE partition coalescing does not
+    // apply to streaming-derived plans, so a ~20 k-row batch on a
+    // 32-partition default pays 32 tasks per exchange across the ~10
+    // exchanges of the verdict path — measured 52.3 → 42.2 s on the
+    // standard probe (verdicts stage 20.4 → 14.6 s, decode 10.0 → 3.4 s)
+    // when sized to ~[[RowsPerShufflePartition]] rows per partition. The
+    // value is restored after the batch; foreachBatch hands this method
+    // the stream's cloned session, so the override cannot leak to
+    // concurrent users of the original session. Never sized UP: a batch
+    // larger than default × target keeps the session setting.
+    val prevShuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val batchParts = math.max(4L, math.min(prevShuffleParts.toLong,
+      (nImg + nVid + RowsPerShufflePartition - 1) / RowsPerShufflePartition))
+    spark.conf.set("spark.sql.shuffle.partitions", batchParts.toString)
+    try {
     val examined = batchDf.filter(col("kind").isin("image", "video"))
     // the gate verdicts themselves stay LAZY (their expensive leaf —
     // the payload hashes — is pinned above): every consumer (the novel
@@ -161,41 +196,82 @@ object MediaIngest {
     // Canonicalization is per (payload_hash, KIND): identical bytes
     // under different declared kinds decode separately, exactly as the
     // gate-off arm does.
-    val (payCopies, knownImg, knownVid) =
+    // The payload-match relation is computed ONCE and PINNED (VERDICT r14
+    // #3 — the r14 shape left it lazy, and its joins — payload groupBy,
+    // payload-index lookup, sig/vframes fetch — re-evaluated inside every
+    // consumer: the novel anti-join, badVerdicts, copyVerdicts, and ~6
+    // batch-relation scans inside the verdict joins, which is where the
+    // 32 → 54 s standard-probe regression lived). ONE eager checkpoint
+    // carries: within-batch copies (src='copy', canon = verdict target)
+    // and index-known canonicals (src='ix', canon = the MINIMUM matching
+    // ix_id — byte-identical payloads have identical signatures, so one
+    // ix row is as good as all of them and the later sig fetch needs no
+    // distinct over copies). The per-kind match counts ride the
+    // checkpoint job as an Observation, so the signature-inheritance
+    // joins are GATED: a batch with no index-known rows of a kind skips
+    // that kind's sig/vframes fetch and its eager union pin entirely —
+    // zero extra jobs on the r13 shape.
+    val payMatchObs = org.apache.spark.sql.Observation()
+    val payMatch =
       if (!payloadGate)
-        (Seq.empty[(Long, Long, String)].toDF("media_id", "canon", "kind"),
-          Seq.empty[(Long, Boolean, Long, Long)]
-            .toDF("media_id", "decoded", "dhash_hi", "dhash_lo"),
-          Seq.empty[(Long, Boolean, Int, Long, Long)]
-            .toDF("media_id", "decoded", "frame_idx", "dhash_hi", "dhash_lo"))
+        Seq.empty[(Long, String, Long, String)]
+          .toDF("media_id", "kind", "canon", "src")
       else {
         val payCanon = pay.groupBy("payload_hash", "kind")
           .agg(min("media_id").as("canon"))
         val copies = pay.join(payCanon, Seq("payload_hash", "kind"))
           .filter(col("media_id") =!= col("canon"))
-          .select(col("media_id"), col("canon"), col("kind"))
+          .select(col("media_id"), col("kind"), col("canon"),
+            lit("copy").as("src"))
         val canonRows = pay.join(copies.select(col("media_id").as("xid")),
           col("media_id") === col("xid"), "left_anti")
-        // self-match excluded (replay: own payload rows already appended);
-        // all index rows sharing the payload are byte-identical, so their
-        // signatures coincide and the distinct collapses to one row per
-        // media — no min-src tiebreak needed
+        // self-match excluded (replay: own payload rows already appended)
         val payIx = Multimodal.payloadIndex(spark, indexPath)
-        val kImg = canonRows.filter(col("kind") === "image")
-          .join(payIx, Seq("payload_hash"))
+        val ixKnown = canonRows.join(payIx, Seq("payload_hash"))
           .filter(col("ix_id") =!= col("media_id"))
-          .join(spark.read.parquet(s"$indexPath/sig"), Seq("ix_id"))
-          .select(col("media_id"), lit(true).as("decoded"),
-            col("dhash_hi"), col("dhash_lo")).distinct()
-        val kVid = canonRows.filter(col("kind") === "video")
-          .join(payIx, Seq("payload_hash"))
-          .filter(col("ix_id") =!= col("media_id"))
-          .join(spark.read.parquet(s"$indexPath/vframes"), Seq("ix_id"))
-          .select(col("media_id"), lit(true).as("decoded"),
-            lit(-1).as("frame_idx"), col("dhash_hi"), col("dhash_lo"))
-          .distinct()
-        (copies, kImg, kVid)
+          .groupBy(col("media_id"), col("kind"))
+          .agg(min("ix_id").as("canon"))
+          .select(col("media_id"), col("kind"), col("canon"),
+            lit("ix").as("src"))
+        copies.unionByName(ixKnown)
+          .observe(payMatchObs,
+            count(when(col("src") === "ix" && col("kind") === "image", 1))
+              .as("n_ix_img"),
+            count(when(col("src") === "ix" && col("kind") === "video", 1))
+              .as("n_ix_vid"))
+          .localCheckpoint(true)
       }
+    val (nIxImg, nIxVid) =
+      if (!payloadGate) (0L, 0L)
+      else {
+        val r = payMatchObs.get
+        (r("n_ix_img").asInstanceOf[Long], r("n_ix_vid").asInstanceOf[Long])
+      }
+    val payCopies = payMatch.filter(col("src") === "copy")
+      .select(col("media_id"), col("canon"), col("kind"))
+    // index-known rows fetch their (known) signature from the index BY
+    // the pinned min ix_id — one equi-join over the pinned match
+    // relation, gated on the observed per-kind count
+    val knownImg =
+      if (nIxImg == 0)
+        Seq.empty[(Long, Boolean, Long, Long)]
+          .toDF("media_id", "decoded", "dhash_hi", "dhash_lo")
+      else payMatch.filter(col("src") === "ix" && col("kind") === "image")
+        .select(col("media_id"), col("canon").as("ix_id"))
+        .join(spark.read.parquet(s"$indexPath/sig"), Seq("ix_id"))
+        .select(col("media_id"), lit(true).as("decoded"),
+          col("dhash_hi"), col("dhash_lo"))
+    val knownVid =
+      if (nIxVid == 0)
+        Seq.empty[(Long, Boolean, Int, Long, Long)]
+          .toDF("media_id", "decoded", "frame_idx", "dhash_hi", "dhash_lo")
+      else payMatch.filter(col("src") === "ix" && col("kind") === "video")
+        .select(col("media_id"), col("canon").as("ix_id"))
+        .join(spark.read.parquet(s"$indexPath/vframes"), Seq("ix_id"))
+        .select(col("media_id"), lit(true).as("decoded"),
+          lit(-1).as("frame_idx"), col("dhash_hi"), col("dhash_lo"))
+        .distinct() // a clip's own repeated frame hashes collapse, as the
+        // decode path's distinct frame relation has them collapsed
     locally {
       // only NOVEL payloads pay a codec; pinned eagerly: hashes feed
       // the verdict joins, the routing joins and the index write-backs.
@@ -203,21 +279,26 @@ object MediaIngest {
       // relations instead.
       val novel =
         if (payloadGate) examined.join(
-          payCopies.select("media_id")
-            .unionByName(knownImg.select("media_id"))
-            .unionByName(knownVid.select("media_id")),
-          Seq("media_id"), "left_anti")
+          payMatch.select("media_id"), Seq("media_id"), "left_anti")
         else examined
+      // the DECODE chains run at the SESSION's partitioning, not the
+      // batch-sized one: the codec pass is CPU-bound and partition-local
+      // (decode parallelism = the novel relation's partition count, which
+      // the anti-join sets to spark.sql.shuffle.partitions), so shrinking
+      // it starves cores exactly where the heavy-payload arm spends its
+      // time — measured 46 → 76 s on the heavy probe before this carve-out
       val hashed =
-        if (nImg > 0) timings.time("decode_hash")(
-          Multimodal.hashImageBatch(novel.filter(col("kind") === "image"))
-            .localCheckpoint(true))
+        if (nImg > 0) withShuffleParts(spark, prevShuffleParts)(
+          timings.time("decode_hash")(
+            Multimodal.hashImageBatch(novel.filter(col("kind") === "image"))
+              .localCheckpoint(true)))
         else Seq.empty[(Long, Boolean, Long, Long)]
           .toDF("media_id", "decoded", "dhash_hi", "dhash_lo")
       val vhashed =
-        if (nVid > 0) timings.time("decode_video")(
-          Multimodal.hashVideoBatch(novel.filter(col("kind") === "video"))
-            .localCheckpoint(true))
+        if (nVid > 0) withShuffleParts(spark, prevShuffleParts)(
+          timings.time("decode_video")(
+            Multimodal.hashVideoBatch(novel.filter(col("kind") === "video"))
+              .localCheckpoint(true)))
         else Seq.empty[(Long, Boolean, Int, Long, Long)]
           .toDF("media_id", "decoded", "frame_idx", "dhash_hi", "dhash_lo")
       try {
@@ -250,8 +331,23 @@ object MediaIngest {
         // admissible match or shares its target). Keeping the ~K copies
         // per batch out of the band-candidate joins is what preserves
         // the gate arm's wall-time win beyond the codec itself.
-        val imgAll = hashed.filter(col("decoded")).unionByName(knownImg)
-        val vidAll = vhashed.filter(col("decoded")).unionByName(knownVid)
+        // the verdict joins scan their probe relation many times (batch
+        // side of exact + bands + near + the final combine); decoded rows
+        // come from the pinned `hashed`, but index-known rows would
+        // re-run the sig fetch per scan — so when a batch HAS index-known
+        // rows, pin the union once (one small job over pinned inputs);
+        // when it has none, the union is the pinned decode relation plus
+        // an empty local relation and needs no extra job (the r13 shape)
+        val imgAll =
+          if (nIxImg > 0)
+            hashed.filter(col("decoded")).unionByName(knownImg)
+              .localCheckpoint(true)
+          else hashed.filter(col("decoded")).unionByName(knownImg)
+        val vidAll =
+          if (nIxVid > 0)
+            vhashed.filter(col("decoded")).unionByName(knownVid)
+              .localCheckpoint(true)
+          else vhashed.filter(col("decoded")).unionByName(knownVid)
         val copyVerdicts = payCopies
           .join(imgAll.select(col("media_id").as("canon"))
             .unionByName(vidAll.select(col("media_id").as("canon")).distinct()),
@@ -365,14 +461,22 @@ object MediaIngest {
             nPass, nDecodeErr, nExact, nNear, nKept + nPass)
         } finally {
           verdicts.unpersist()
+          // the per-batch pins are superseded once the routing appends
+          // land — free their blocks now, not at the next GC
+          if (nIxImg > 0) graft.util.Checkpoints.free(imgAll)
+          if (nIxVid > 0) graft.util.Checkpoints.free(vidAll)
           ()
         }
       } finally {
         hashed.unpersist()
         vhashed.unpersist()
+        if (payloadGate) graft.util.Checkpoints.free(payMatch)
         pay.unpersist()
         ()
       }
+    }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffleParts)
     }
   }
 
