@@ -674,11 +674,14 @@ object Multimodal {
     // the fingerprint halves RIDE THE BAND ROWS (r15; VERDICT r14 #2):
     // carrying 16 extra bytes per band row lets every consumer verify
     // bit_count(candidate) INSIDE the collision join — the pre-r15 shape
-    // shuffled the raw collision multiset through a distinct and two
-    // fp equi-joins before the (cheap) verify, and on length-class-
-    // clustered audio corpora that multiset IS the cost (the 50× decade's
-    // 154 s, SCALEPROBE_r14_50x). Same candidates, same verify, same
-    // output — only the exchanges move.
+    // shuffled the candidate set through a distinct and two fp
+    // equi-joins before the (cheap) verify. Same candidates, same
+    // verify, same output — only the exchanges move. Measured effect
+    // (interleaved same-corpus medians, SURVEY r15): the pair-relation
+    // consumers halve where those exchanges were the bigger fraction
+    // (sf1 bench q118 −55%, q119 −45%); the 50× keep-list TOTAL is
+    // neutral within host noise because codec + closure dominate there
+    // (AudioProf: the collision join is ~7 s of ~120).
     fp.select(col("media_id"), explode(array(keys: _*)).as("bpk"),
       col("fp_hi"), col("fp_lo"))
   }
