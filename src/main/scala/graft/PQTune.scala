@@ -61,8 +61,19 @@ object PQTune {
     // holdout window [TuneQueries, 2*TuneQueries) served with the
     // calibrated floor as an explicit refine factor (the out-of-sample
     // number the committed artifact claims).
+    // shared holdout scorer: mean recall ± normal ci95 on a disjoint
+    // 50-query window served with an explicit refine factor
+    def holdout(from: Int, floor: Int): (Double, Double, Int) = {
+      val hRows = graft.ops.PQ.pqRefineRecallHoldout(
+          emb, from = from, until = from + 50, refineFactor = floor)
+        .collect().map(_.getDouble(2))
+      val mean = hRows.sum / math.max(1, hRows.length)
+      val ci = if (hRows.length < 2) 0.0 else 1.96 * math.sqrt(
+        hRows.map(r => (r - mean) * (r - mean)).sum /
+          (hRows.length.toDouble * (hRows.length - 1)))
+      (mean, ci, hRows.length)
+    }
     if (args.contains("cal")) {
-      import graft.ops.Similarity.{TuneQueries, TuneK}
       val t0 = System.nanoTime()
       val cal = graft.ops.PQ.calibratedRefineFloor(emb)
       println(f"[pqtune] calibratedRefineFloor=$cal (${(System.nanoTime() - t0) / 1e9}%.1fs)")
@@ -78,18 +89,35 @@ object PQTune {
       val t2 = System.nanoTime()
       // 50-query disjoint window through the shared holdout machine
       // (r15, VERDICT r14 #6 — interval stated; refine factor = the
-      // calibrated floor, the serving arm the committed claim is about)
-      val hRows = graft.ops.PQ.pqRefineRecallHoldout(
-          emb, until = TuneQueries + 50, refineFactor = cal)
-        .collect().map(_.getDouble(2))
-      val holdout = hRows.sum / math.max(1, hRows.length)
-      val hCi = if (hRows.length < 2) 0.0 else 1.96 * math.sqrt(
-        hRows.map(r => (r - holdout) * (r - holdout)).sum /
-          (hRows.length.toDouble * (hRows.length - 1)))
+      // calibrated floor, the serving arm the committed claim is about).
+      // The window starts at the corpus-scaled sample width (r16 — the
+      // widened tune window [0, 40) on large corpora must stay disjoint
+      // from the holdout)
+      val nq = graft.ops.Similarity.tuneQueriesFor(n)
+      val (h, hCi, hN) = holdout(nq, cal)
       val t3 = System.nanoTime()
       println(f"[pqtune] derived-default refine_recall@5 in-sample=$insample%.3f " +
-        f"(${(t2 - t1) / 1e9}%.1fs) holdout(floor=$cal)=$holdout%.3f " +
-        f"ci95=±$hCi%.3f n=${hRows.length} (${(t3 - t2) / 1e9}%.1fs)")
+        f"(${(t2 - t1) / 1e9}%.1fs) holdout(floor=$cal, window=[$nq,${nq + 50}))=$h%.3f " +
+        f"ci95=±$hCi%.3f n=$hN (${(t3 - t2) / 1e9}%.1fs)")
+      spark.stop()
+      return
+    }
+    // `calsweep` mode (r16, VERDICT r15 #2): the SAMPLE-WIDTH sweep the
+    // corpus-scaled tune window is sized from — calibrate the floor at
+    // nq ∈ {10, 20, 40, 80} tune queries (bar = the 48/50 ratio of each
+    // pair count) and score every floor on the SAME disjoint holdout
+    // window [80, 130), so arms differ only in the calibration sample.
+    if (args.contains("calsweep")) {
+      for (nq <- Seq(10, 20, 40, 80)) {
+        val t0 = System.nanoTime()
+        val floor = graft.ops.PQ.calibratedRefineFloorAt(emb, nq)
+        val t1 = System.nanoTime()
+        val (h, ci, hN) = holdout(80, floor)
+        println(f"[pqtune] calsweep nq=$nq pairs=${nq * 5} " +
+          f"bar=${graft.ops.Similarity.tuneHitBarFor(nq * 5)} floor=$floor " +
+          f"(${(t1 - t0) / 1e9}%.1fs) holdout[80,130)=$h%.3f ci95=±$ci%.3f " +
+          f"n=$hN (${(System.nanoTime() - t1) / 1e9}%.1fs)")
+      }
       spark.stop()
       return
     }

@@ -196,14 +196,28 @@ object ScaleProbe {
       measurements += ((name, n, dt, Some(info)))
       println(f"[scale] $name: $n rows in $dt%.1fs  $info")
     }
-    // ±1.96·SE over per-query recalls (the stated interval of the
-    // widened holdout rows, VERDICT r14 #6)
-    def holdoutCi95(rec: Array[Double]): Double = {
+    // ±95% half-width over per-query recalls (the stated interval of the
+    // widened holdout rows, VERDICT r14 #6): the normal ±1.96·SE, FLOORED
+    // by the Wilson half-width over the pooled hit trials (ADVICE r15 —
+    // at an all-1.0 boundary the normal SE degenerates to ±0.000, a
+    // zero-width interval that overstates certainty; Wilson at p̂ = 1
+    // with N = k·n trials still leaves ≈ z²/N ≈ 1.5% downside at
+    // N = 250, which is the honest bound the row should state)
+    def holdoutCi95(rec: Array[Double], trialsPerQuery: Int = 5): Double = {
       val n = rec.length
       if (n < 2) return 0.0
       val mean = rec.sum / n
-      1.96 * math.sqrt(
+      val se = 1.96 * math.sqrt(
         rec.map(r => (r - mean) * (r - mean)).sum / (n.toDouble * (n - 1)))
+      val bigN = n.toDouble * trialsPerQuery
+      val z = 1.96
+      val p = math.min(1.0, math.max(0.0, mean))
+      val denom = 1 + z * z / bigN
+      val center = (p + z * z / (2 * bigN)) / denom
+      val half = z * math.sqrt(
+        p * (1 - p) / bigN + z * z / (4 * bigN * bigN)) / denom
+      val wilson = math.max(center + half - p, p - (center - half))
+      math.max(se, wilson)
     }
     // one row → {"n_shingles": …, …, "derived_cap": …}
     def capStatsJson(docs: org.apache.spark.sql.DataFrame): (Long, String) = {
@@ -477,13 +491,17 @@ object ScaleProbe {
       // 0..9; this row serves the DISJOINT 50-query window through the
       // full derived default and states the interval
       timeInfo(s"$label pq_refine_recall_holdout")({
+        // window starts at the corpus-scaled tune width (r16): the
+        // widened [0, 40) calibration sample on large corpora must stay
+        // disjoint from the holdout
+        val pnq = graft.ops.Similarity.tuneQueriesFor(emb.count())
         val rows = graft.ops.PQ.pqRefineRecallHoldout(
-          emb, until = graft.ops.Similarity.TuneQueries + 50).collect()
+          emb, from = pnq, until = pnq + 50).collect()
         val rec = rows.map(_.getDouble(2))
         val mean = rec.sum / math.max(1, rec.length)
         val ci = holdoutCi95(rec)
         (rows.length.toLong,
-          f"""{"mean_recall": $mean%.3f, "n_queries": ${rec.length}, "ci95": $ci%.3f}""")
+          f"""{"mean_recall": $mean%.3f, "n_queries": ${rec.length}, "ci95": $ci%.3f, "window_from": $pnq}""")
       })
       timeInfo(s"$label pq_recall")({
         val rows = graft.ops.PQ.pqRecall(emb).collect()

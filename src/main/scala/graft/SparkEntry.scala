@@ -565,6 +565,17 @@ object SparkEntry {
     // probe-only. The deep-prefix spec extends coverage past the oracle
     "q123_bpe_deep_merges" -> ((s, dir) =>
       graft.ops.BPE.bpeDeepMerges(Tables.documents(s, dir))),
+    // trained quality classifier (r16, the CCNet/fastText wiki-vs-crawl
+    // gate): hashed-unigram least-squares descent in exact fixed point —
+    // the LEARNED WEIGHT VECTOR is the oracle-checked artifact, the
+    // oracle unrolls the same gradient iterations as CTEs (q68 recipe;
+    // sigmoid linearized away per the q89/q90 precedent)
+    "q124_quality_classifier" -> ((s, dir) =>
+      Curate.qualityClassifierWeights(Tables.documents(s, dir))),
+    // …and the scoring pass applying it to the full corpus: sign(score)
+    // is the quality gate
+    "q125_quality_classifier_score" -> ((s, dir) =>
+      Curate.qualityClassifierScore(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -895,5 +906,7 @@ object SparkEntry {
     "q121_ann_ivf_derived_subbucket" -> Similarity.ivfTopKAdaptiveSql(budget = 125L),
     "q122_pq_floor_calibration" -> PQ.pqFloorCalibrationSql(),
     "q123_bpe_deep_merges" -> graft.ops.BPE.bpeDeepMergesSql(),
+    "q124_quality_classifier" -> Curate.qualityClassifierWeightsSql(),
+    "q125_quality_classifier_score" -> Curate.qualityClassifierScoreSql(),
   )
 }

@@ -348,9 +348,18 @@ object StreamScaleProbe {
       val ixPath = s"$out/crawl-index"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ixPath))
       graft.streaming.CrawlDedup.initIndex(spark, ixPath)
+      // per-stage attribution (r16, VERDICT r15 #7): CrawlDedup.processBatch
+      // has timed its stages since r10 — the probe just never passed a
+      // collector, so the committed artifact could not say whether the
+      // ~10 k rows/s plateau is intra-batch dedup, the verdict joins, the
+      // write-back, or compaction
+      val timings = new DocIngest.StageTimings
       val perBatch = scala.collection.mutable.ArrayBuffer[(graft.streaming.CrawlDedup.CrawlBatchMetrics, Double)]()
       var lastT = System.nanoTime()
       def crawlInfo: Option[String] = {
+        val stages = timings.snapshot.map {
+          case (stage, c, s) => f""""$stage": {"batches": $c, "sec": $s%.2f}"""
+        }.mkString("{", ", ", "}")
         val batches = perBatch.map { case (m, s) =>
           f"""{"batch": ${m.batchId}, "n_in": ${m.nIn}, "kept": ${m.nKept}, "exact_dup": ${m.nExactDup}, "near_dup": ${m.nNearDup}, "compacted": ${m.compacted}, "sec": $s%.2f}"""
         }.mkString("[", ", ", "]")
@@ -367,7 +376,8 @@ object StreamScaleProbe {
         graft.ops.NearDup.compactDedupIndex(ixPath)
         val after = verdictSet()
         val ixRows = spark.read.parquet(s"$ixPath/norm").count()
-        Some(s"""{"batches": $batches, "index_rows": $ixRows, """ +
+        Some(s"""{"stages": $stages, "batches": $batches, """ +
+          s""""index_rows": $ixRows, """ +
           s""""probe_verdicts": ${before.size}, """ +
           s""""verdicts_stable_across_compaction": ${before == after}}""")
       }
@@ -377,7 +387,7 @@ object StreamScaleProbe {
         graft.streaming.CrawlDedup.start(spark,
           docStream().select(col("doc_id"), col("text")),
           ckpt("crawl"), ixPath, sink, compactEvery = 4,
-          trigger = Some(Trigger.AvailableNow()),
+          trigger = Some(Trigger.AvailableNow()), timings = timings,
           metricsOut = { m =>
             val now = System.nanoTime()
             perBatch += ((m, (now - lastT) / 1e9))
@@ -411,7 +421,7 @@ object StreamScaleProbe {
           .mapPartitions { it =>
             it.map { case (id, v, cls) =>
               if (cls == 40L) (id, "image", "not a png".getBytes) // dead-letter
-              else if (cls >= 37L) (id, "audio", Array[Byte](1, 2, 3))
+              else if (cls >= 37L) (id, "text", Array[Byte](1, 2, 3)) // passthrough filler (audio is EXAMINED since r16)
               else (id, "image", graft.ops.Multimodal.MediaCodec.encodePng(
                 24, 16,
                 // wrap-dense gradient whose phase AND slope derive from
@@ -493,7 +503,7 @@ object StreamScaleProbe {
           .mapPartitions { it =>
             it.map { case (id, v, cls) =>
               if (cls == 40L) (id, "image", "not a png".getBytes)
-              else if (cls >= 37L) (id, "audio", Array[Byte](1, 2, 3))
+              else if (cls >= 37L) (id, "text", Array[Byte](1, 2, 3)) // passthrough filler (audio is EXAMINED since r16)
               else (id, "image", graft.ops.Multimodal.MediaCodec.encodePng(
                 1600, 1200,
                 (x, y) => ((x + (v % 97).toInt) * (73 + ((v / 97) % 89).toInt)
@@ -541,7 +551,8 @@ object StreamScaleProbe {
           // xxhash64 over whole rows. Equal digests across the A/B arms =
           // bit-identical index contents (the r14 gate-independence
           // claim), checkable from the committed artifact alone.
-          val digests = Seq("sig", "bands", "payload", "vframes").map { rel =>
+          val digests = Seq("sig", "bands", "payload", "vframes",
+            "asig", "abands").map { rel =>
             val d = spark.read.parquet(s"$ixPath/$rel")
               .select(xxhash64(struct(col("*"))).as("h"))
               .agg(expr("bit_xor(h)")).head()
@@ -594,7 +605,7 @@ object StreamScaleProbe {
           .mapPartitions { it =>
             it.map { case (id, wv, cls) =>
               if (cls == 40L) (id, "video", "not a y4m".getBytes)
-              else if (cls >= 37L) (id, "audio", Array[Byte](1, 2, 3))
+              else if (cls >= 37L) (id, "text", Array[Byte](1, 2, 3)) // passthrough filler (audio is EXAMINED since r16)
               else {
                 // shared-content class + wave-independent frame count:
                 // same class ⇒ same frame pixels, so shorter clips are
@@ -642,6 +653,127 @@ object StreamScaleProbe {
           spark.readStream.schema(vidSchema)
             .option("maxFilesPerTrigger", Files / 10).parquet(vidPath),
           ckpt("media-video"), ixPath, sink,
+          trigger = Some(Trigger.AvailableNow()), timings = timings,
+          metricsOut = { m =>
+            val now = System.nanoTime()
+            perBatch += ((m, (now - lastT) / 1e9))
+            lastT = now
+          })
+      }
+    }
+
+    // ---- probe 4c: streaming AUDIO ingest (band-pair fingerprints) -------
+    // The r16 audio branch at probe volume (VERDICT r15 #1): waves of 5
+    // byte-identical WAVs (the payload pre-gate path), cross-wave shared
+    // PCM-content classes in two amplitude "masters" — the full-scale
+    // original and a half-amplitude re-master whose fingerprint sits
+    // within the Hamming radius (the q118 benign-transform class: a
+    // same-class, different-master clip must verdict near_dup against
+    // the asig/abands index) — plus text passthrough and dead-letter
+    // rows. Per-stage timings land in the artifact; per-batch seconds
+    // must stay flat (one decode pass + batch-sized band-pair joins
+    // against a streaming scan of the fingerprint index).
+    if (want("media_ingest_audio")) locally {
+      import spark.implicits._
+      val audPath = s"$out/media-audio"
+      val audMult = math.max(5, docMult / 5)
+      if (!new java.io.File(s"$audPath/_SUCCESS").exists()) {
+        graft.sources.Tables.documents(spark, base).select(col("doc_id"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(audMult - 1))).as("k"))
+          .select((col("doc_id") * audMult + col("k")).as("media_id"),
+            ((col("doc_id") * audMult + col("k") - pmod(col("k"), lit(5)))
+              / 5).cast("long").as("wave"),
+            pmod(col("doc_id") * audMult + col("k"), lit(41)).as("cls"))
+          .repartitionByRange(Files, col("media_id"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, wv, cls) =>
+              if (cls == 40L) (id, "audio", "not a wav".getBytes) // dead-letter
+              else if (cls >= 37L) (id, "text", Array[Byte](1, 2, 3))
+              else {
+                // shared-content class (splitmix64 noise — sawtooth
+                // formulas make every same-length class fingerprint-
+                // close; hashed samples put cross-class Hamming ≥ 14,
+                // measured over all 200 classes) + wave-independent
+                // MASTER, so every cross-batch duplicate path is
+                // exercised: master 0 is a 16 kHz container re-encode
+                // of master 1 (same PCM ⇒ identical fingerprint,
+                // different bytes — the asig exact path); master 2 is
+                // a 3-window DROPOUT re-master (zeroed span ⇒
+                // fingerprint Hamming mostly 1–3 — the abands near
+                // path; amplitude scaling is fp-invariant by design,
+                // so a dropout is the probe's benign NEAR transform);
+                // same (class, master) across waves is byte-identical
+                // (the payload-index path)
+                def mix(z0: Long): Long = {
+                  var z = z0 + 0x9e3779b97f4a7c15L
+                  z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+                  z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+                  z ^ (z >>> 31)
+                }
+                val c = (wv % 200L).toInt
+                val m = ((wv / 200L) % 3L).toInt
+                val rate = if (m == 0) 16000f else 8000f
+                val n = 1500 + (c % 7) * 100
+                val pcm = Array.tabulate(n)(i =>
+                  ((mix(c * 100003L + i) & 0xffffL) - 32768L).toShort)
+                if (m == 2) {
+                  var i = 10 * n / 65
+                  while (i < 13 * n / 65) { pcm(i) = 0; i += 1 }
+                }
+                (id, "audio",
+                  graft.ops.Multimodal.MediaCodec.encodeWav(pcm, rate))
+              }
+            }
+          }
+          .toDF("media_id", "kind", "content")
+          .write.mode("overwrite").parquet(audPath)
+        val fs = new java.io.File(audPath).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val t0 = System.currentTimeMillis() - fs.length * 2000L
+        fs.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+      }
+      val audSchema = spark.read.parquet(audPath).schema
+      val nAud = spark.read.parquet(audPath).count()
+      val ixPath = s"$out/media-audio-index"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ixPath))
+      graft.streaming.MediaIngest.initIndex(spark, ixPath)
+      val sink = new CountingSink
+      val timings = new DocIngest.StageTimings
+      val perBatch = scala.collection.mutable.ArrayBuffer[(graft.streaming.MediaIngest.MediaBatchMetrics, Double)]()
+      var lastT = System.nanoTime()
+      def audInfo: Option[String] = {
+        val stages = timings.snapshot.map {
+          case (stage, c, s) => f""""$stage": {"batches": $c, "sec": $s%.2f}"""
+        }.mkString("{", ", ", "}")
+        val batches = perBatch.map { case (m, s) =>
+          f"""{"batch": ${m.batchId}, "n_in": ${m.nIn}, "audios": ${m.nAudios}, "kept": ${m.nAccepted - m.nPassthrough}, "exact_dup": ${m.nExactDup}, "near_dup": ${m.nNearDup}, "decode_err": ${m.nDecodeErr}, "sec": $s%.2f}"""
+        }.mkString("[", ", ", "]")
+        val ixClips = spark.read.parquet(s"$ixPath/asig").count()
+        // the A/B digest contract extended to the audio relations
+        // (VERDICT r15 #1): order-independent content digests, same
+        // formula as the heavy probe's
+        val digests = Seq("asig", "abands", "payload").map { rel =>
+          val d = spark.read.parquet(s"$ixPath/$rel")
+            .select(xxhash64(struct(col("*"))).as("h"))
+            .agg(expr("bit_xor(h)")).head()
+          s""""$rel": ${if (d.isNullAt(0)) 0L else d.getLong(0)}"""
+        }.mkString("{", ", ", "}")
+        val decodes = graft.ops.Multimodal.MediaCodec.decodeCalls.get()
+        Some(s"""{"stages": $stages, "batches": $batches, """ +
+          s""""index_clips": $ixClips, "index_digests": $digests, """ +
+          s""""decode_calls": $decodes}""")
+      }
+      graft.ops.Multimodal.MediaCodec.decodeCalls.set(0)
+      results += runProbe("media_ingest_audio",
+        () => sink.counts("accepted_media") + sink.counts("duplicate_media") +
+          sink.counts("rejected_media"),
+        expectedInput = nAud, info = () => audInfo) {
+        graft.streaming.MediaIngest.start(spark,
+          spark.readStream.schema(audSchema)
+            .option("maxFilesPerTrigger", Files / 10).parquet(audPath),
+          ckpt("media-audio"), ixPath, sink,
           trigger = Some(Trigger.AvailableNow()), timings = timings,
           metricsOut = { m =>
             val now = System.nanoTime()

@@ -515,4 +515,253 @@ object Curate {
        |        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS BIGINT) AS n_tokens
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Trained quality classifier (r16, VERDICT r15 #5): the CCNet/fastText
+  // "wiki-vs-crawl" gate production pipelines actually score with — a
+  // supervised LINEAR classifier over hashed unigram features (the q90
+  // DSIR feature stream), trained by full-batch gradient steps on the
+  // squared loss against ±1 labels (target source vs rest). The sigmoid
+  // is LINEARIZED away on purpose (the q89/q90 precedent: anything that
+  // can't be hash-checked cross-engine gets linearized or fix-pointed):
+  // least-squares descent keeps every iteration a pure integer
+  // aggregation — fixed-point features (tf·1e6 // len), fixed-point
+  // weights, floor-division rescales — so the LEARNED WEIGHT VECTOR is
+  // bit-identical cross-engine and the oracle unrolls the same
+  // iterations as CTEs (the q68 k-means recipe). sign(score) is the
+  // same decision family a sigmoid-trained model thresholded at 0.5
+  // produces; only the calibrated probabilities are absent, and nothing
+  // downstream consumes them.
+  //
+  // Scale shape: training reads a deterministic hash-ordered sample
+  // (QcTrainCap docs — the KMeans.TrainCap pattern: FAISS-style bounded
+  // sample training; at verification volumes the sample IS the corpus,
+  // so every oracle hash is scale-invariant), each iteration is two
+  // batch-sized aggregations (per-doc margin, per-bucket gradient) over
+  // ≤ cap docs, and the model (≤ QcBuckets longs) collects to the
+  // driver exactly like the k-means centroid sync. Scoring is one
+  // broadcast-join pass over the full corpus — embarrassingly parallel
+  // at any scale. Fixed-point magnitudes are bounded by construction:
+  // |x| ≤ 1e6 (normalized tf), |margin| ≤ B·1e6·|w|, and the gradient
+  // sum ≤ cap·1e8·1e6 ≈ 4e17 < 2^63 at the 4096-doc cap.
+  // ------------------------------------------------------------------
+
+  val QcBuckets = 256
+  val QcIters = 3
+  val QcEta = 8L      // update = w − Eta·mean-gradient (integer multiply)
+  val QcTrainCap = 4096
+  val QcScale = 1000000L // the 1e6 fixed-point scale (QuantizedDot convention)
+
+  /** Floor-division SQL fragment (both engines' `%` truncates toward
+    * zero, so `(a − ((a % b) + b) % b) / b` floors identically for
+    * negative numerators; the numerator is exactly divisible, so integer
+    * division is exact).
+    */
+  private def fdivSql(a: String, b: String): String =
+    s"(($a) - ((($a) % ($b)) + ($b)) % ($b)) // ($b)"
+
+  private def fdivExpr(a: String, b: String): String =
+    s"(($a) - pmod($a, $b)) div ($b)"
+
+  /** The classifier's feature stream: (doc_id, y, f, x) — hashed unigram
+    * bucket f (the q90 formula), x = tf·1e6 // n_tokens (an exact
+    * integer probability), y = ±1 by target source. Empty docs yield no
+    * rows (they have no features; scoring gives them 0).
+    */
+  private def qcFeats(
+      docs: DataFrame, buckets: Int, targetSource: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val base = docs
+      .select(col("doc_id"),
+        when(col("source") === targetSource, 1L).otherwise(-1L).as("y"),
+        filter(tokens(coalesce(col("text"), lit(""))),
+          t => length(t) > 0).as("toks"))
+      .withColumn("len", size(col("toks")).cast("long"))
+      .filter(col("len") > 0)
+    base
+      .select(col("doc_id"), col("y"), col("len"), explode(col("toks")).as("tok"))
+      .withColumn("f",
+        conv(substring(md5(col("tok")), 1, 5), 16, 10).cast("long") % buckets)
+      .groupBy("doc_id", "y", "len", "f")
+      .agg(count(lit(1)).as("tf"))
+      .selectExpr("doc_id", "y", "f", s"(tf * ${QcScale}L) div len AS x")
+  }
+
+  /** The deterministic hash-ordered training sample (smallest
+    * md5("qc|" ++ doc_id), the KMeans seed-order pattern) with its size.
+    */
+  private def qcSample(documents: DataFrame, cap: Int): (DataFrame, Long) = {
+    val s = documents
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(concat(lit("qc|"), col("doc_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(cap)
+      .drop("h")
+      .repartition(col("doc_id")) // the top-cap collapses to one partition
+      .localCheckpoint(true)
+    (s, s.count())
+  }
+
+  /** Train the classifier; returns the final integer weight vector as
+    * (f, w) rows — the oracle-checked model artifact (q124). Each
+    * iteration: margin M_d = Σ_f x·w (scale 1e12), residual
+    * rq_d = ⌊(M_d − y·1e12)/1e6⌋, mean gradient
+    * gm_f = ⌊Σ_d rq_d·x_df / (n·1e6)⌋ (back at weight scale), update
+    * w_f ← w_f − Eta·gm_f. The model collects to the driver per
+    * iteration (≤ [[QcBuckets]] longs — it is the model, not data).
+    */
+  def qualityClassifierWeights(
+      documents: DataFrame, buckets: Int = QcBuckets,
+      targetSource: String = "src0", iters: Int = QcIters,
+      eta: Long = QcEta, trainCap: Int = QcTrainCap): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (samp, n) = qcSample(documents, trainCap)
+    val feats = qcFeats(samp, buckets, targetSource).localCheckpoint(true)
+    try {
+      var w = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val wDf = w.toSeq.toDF("f", "wf")
+        val rq = feats
+          .join(broadcast(wDf), Seq("f"), "left")
+          .groupBy("doc_id", "y")
+          .agg(sum(col("x") * coalesce(col("wf"), lit(0L))).as("m"))
+          .selectExpr("doc_id",
+            fdivExpr(s"m - y * ${QcScale}L * ${QcScale}L", s"${QcScale}L")
+              + " AS rq")
+        val grad = feats.join(rq, Seq("doc_id"))
+          .groupBy("f").agg(sum(col("rq") * col("x")).as("g"))
+          .selectExpr("f", fdivExpr("g", s"${n}L * ${QcScale}L") + " AS gm")
+          .collect()
+        w = grad.map { r =>
+          val f = r.getLong(0)
+          f -> (w.getOrElse(f, 0L) - eta * r.getLong(1))
+        }.toMap
+      }
+      w.toSeq.sortBy(_._1).toDF("f", "w")
+    } finally {
+      graft.util.Checkpoints.free(feats)
+      graft.util.Checkpoints.free(samp)
+    }
+  }
+
+  /** Apply the trained model to the FULL corpus (q125): score = Σ x·w
+    * (scale 1e12), predicted = score > 0 — the quality gate. Docs with
+    * no tokens score 0 (not predicted target). One broadcast join, no
+    * index-sized shuffle.
+    */
+  def qualityClassifierScore(
+      documents: DataFrame, buckets: Int = QcBuckets,
+      targetSource: String = "src0", iters: Int = QcIters,
+      eta: Long = QcEta, trainCap: Int = QcTrainCap): DataFrame = {
+    val w = qualityClassifierWeights(
+      documents, buckets, targetSource, iters, eta, trainCap)
+    val feats = qcFeats(
+      documents.select(col("doc_id"), col("source"), col("text")),
+      buckets, targetSource)
+    val scores = feats
+      .join(broadcast(w), Seq("f"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("score"))
+    documents.select(col("doc_id"), col("source"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) > 0).as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared training CTE chain (sample → feats → unrolled
+    * iterations w1..wT), mirrored term-for-term: same md5 bucket
+    * formula, same floor divisions, same update rule.
+    */
+  private def qcCtesSql(
+      buckets: Int, targetSource: String, iters: Int, eta: Long,
+      trainCap: Int): String = {
+    val S = QcScale
+    val base =
+      s"""samp AS (
+         |  SELECT doc_id, source, COALESCE(text, '') AS text
+         |  FROM documents
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY md5('qc|' || CAST(doc_id AS VARCHAR)), doc_id)
+         |    <= $trainCap),
+         |nn AS (SELECT COUNT(*) AS n FROM samp),
+         |qtoks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN source = '$targetSource' THEN 1 ELSE -1 END AS y,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+         |  FROM samp),
+         |feats AS (
+         |  SELECT doc_id, y, f, (tf * $S) // len AS x
+         |  FROM (
+         |    SELECT doc_id, y, len, ('0x' || substr(md5(u.tok), 1, 5))::BIGINT % $buckets AS f,
+         |      COUNT(*) AS tf
+         |    FROM (SELECT doc_id, y, toks, len(toks) AS len FROM qtoks WHERE len(toks) > 0) t,
+         |      LATERAL (SELECT unnest(toks) AS tok) u
+         |    GROUP BY 1, 2, 3, 4))""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      val prevW = if (t == 1) "0" else s"COALESCE(w${t - 1}.w, 0)"
+      val joinPrev =
+        if (t == 1) "" else s" LEFT JOIN w${t - 1} USING (f)"
+      // margin/residual stage (skipped textually for t=1: w0 = 0 ⇒
+      // rq = ⌊−y·1e12/1e6⌋ = −y·1e6 exactly)
+      val rqCte =
+        if (t == 1)
+          s"""rq$t AS (
+             |  SELECT DISTINCT doc_id, -y * CAST($S AS BIGINT) AS rq FROM feats)"""
+            .stripMargin
+        else
+          s"""m$t AS (
+             |  SELECT t.doc_id, t.y, SUM(t.x * COALESCE(w${t - 1}.w, 0)) AS m
+             |  FROM feats t LEFT JOIN w${t - 1} USING (f)
+             |  GROUP BY 1, 2),
+             |rq$t AS (
+             |  SELECT doc_id, ${fdivSql(s"m - y * CAST($S AS BIGINT) * CAST($S AS BIGINT)", s"CAST($S AS BIGINT)")} AS rq
+             |  FROM m$t)""".stripMargin
+      s"""$rqCte,
+         |g$t AS (
+         |  SELECT f, SUM(r.rq * t.x) AS g
+         |  FROM feats t JOIN rq$t r USING (doc_id)
+         |  GROUP BY f),
+         |w$t AS (
+         |  SELECT f, $prevW - $eta * ${fdivSql("g.g", s"nn.n * CAST($S AS BIGINT)")} AS w
+         |  FROM g$t g$joinPrev CROSS JOIN nn)""".stripMargin
+    }
+    (base +: iterCtes).mkString(",\n")
+  }
+
+  def qualityClassifierWeightsSql(
+      buckets: Int = QcBuckets, targetSource: String = "src0",
+      iters: Int = QcIters, eta: Long = QcEta,
+      trainCap: Int = QcTrainCap): String =
+    s"""WITH ${qcCtesSql(buckets, targetSource, iters, eta, trainCap)}
+       |SELECT f, CAST(w AS BIGINT) AS w FROM w$iters ORDER BY f""".stripMargin
+
+  def qualityClassifierScoreSql(
+      buckets: Int = QcBuckets, targetSource: String = "src0",
+      iters: Int = QcIters, eta: Long = QcEta,
+      trainCap: Int = QcTrainCap): String =
+    s"""WITH ${qcCtesSql(buckets, targetSource, iters, eta, trainCap)},
+       |atoks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(COALESCE(text, ''))), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |afeats AS (
+       |  SELECT doc_id, f, (tf * ${QcScale}) // len AS x
+       |  FROM (
+       |    SELECT doc_id, len, ('0x' || substr(md5(u.tok), 1, 5))::BIGINT % $buckets AS f,
+       |      COUNT(*) AS tf
+       |    FROM (SELECT doc_id, toks, len(toks) AS len FROM atoks WHERE len(toks) > 0) t,
+       |      LATERAL (SELECT unnest(toks) AS tok) u
+       |    GROUP BY 1, 2, 3)),
+       |sc AS (
+       |  SELECT t.doc_id, SUM(t.x * COALESCE(w$iters.w, 0)) AS score
+       |  FROM afeats t LEFT JOIN w$iters USING (f)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, d.source,
+       |  CAST(COALESCE(sc.score, 0) AS BIGINT) AS score,
+       |  COALESCE(sc.score, 0) > 0 AS predicted
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

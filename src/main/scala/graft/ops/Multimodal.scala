@@ -142,10 +142,14 @@ object Multimodal {
     }
 
     /** Decode a WAV payload to its 16-bit PCM samples; None if the bytes
-      * are not a parseable audio container.
+      * are not a parseable audio container. Counts against
+      * [[decodeCalls]] like [[decodeImage]] (r16 — the audio streaming
+      * branch proves its payload pre-gate skips the codec by diffing the
+      * counter, the same contract the image specs assert).
       */
     def decodeWav(content: Array[Byte]): Option[Array[Short]] =
       try {
+        decodeCalls.incrementAndGet()
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(content))
         val f = ais.getFormat
@@ -1995,5 +1999,171 @@ object Multimodal {
         when(col("dup_of").isNotNull, lit("near_dup"))
           .otherwise(lit("kept")).as("status"),
         col("dup_of"))
+  }
+
+  // ------------------------------------------------------------------
+  // Streaming AUDIO dedup (r16, VERDICT r15 #1): the q117–q119 batch
+  // machinery wired for the MediaIngest loop, to the image/video
+  // standard — tolerant WAV decode (dead-letter instead of sys.error),
+  // fused within-batch + against-index verdicts over the persisted
+  // fingerprint relations (`asig/`: ix_id, fp_hi, fp_lo — 16 bytes per
+  // kept clip; `abands/`: the 36 band-PAIR rows per kept clip with the
+  // fingerprint halves RIDING them, so the against-index candidate
+  // join verifies bit_count INSIDE the collision join exactly like the
+  // batch path — r15's exchange-elision shape), and the same
+  // crash-safe at-least-once append discipline as sig/bands/payload.
+  // ------------------------------------------------------------------
+
+  /** Decode + fingerprint for a raw streaming batch: one partition-local
+    * pass over the payloads (never shuffled), `decoded = false` marker
+    * rows (zero fingerprint) for unparseable containers — the
+    * dead-letter branch, like [[hashImageBatch]].
+    */
+  def hashAudioBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          MediaCodec.decodeWav(bytes) match {
+            case Some(pcm) =>
+              val fp = audioFp64(pcm)
+              (id, true, fp >>> 32, fp & 0xFFFFFFFFL)
+            case None => (id, false, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "fp_hi", "fp_lo")
+  }
+
+  /** The index's per-clip audio fingerprint relation — reads empty when
+    * absent (pre-audio indexes keep working; every clip is then novel).
+    */
+  def audioFpIndex(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/asig")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/asig")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("ix_id", "fp_hi", "fp_lo")
+    }
+  }
+
+  /** The index's band-pair relation (`abands/`): one row per (kept clip,
+    * band-pair key), fingerprint halves riding the rows so consumers
+    * verify in-join. Empty when absent, like [[audioFpIndex]].
+    */
+  def audioBandIndex(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/abands")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/abands")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("ix_id", "bpk", "fp_hi", "fp_lo")
+    }
+  }
+
+  /** Hub-budgeted band-pair rows of a fingerprint relation — the audio
+    * twin of [[budgetedImageHubs]], applied per band-PAIR bucket within
+    * each appended snapshot (the same LSM/budget semantics: recall only
+    * improves vs a fresh write; pair buckets sit far below the budget on
+    * real volumes — the [[AudioBandLens]] measurement).
+    */
+  private def budgetedAudioHubs(
+      fps: DataFrame, bucketBudget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bpk").orderBy("media_id")
+    afpBandPairKeys(fps)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= bucketBudget)
+      .select(col("media_id").as("ix_id"), col("bpk"),
+        col("fp_hi"), col("fp_lo"))
+  }
+
+  /** Append a batch's KEPT audio fingerprints — the asig/abands
+    * write-back, same contract as [[appendImageSigIndex]]: `keptFps`
+    * must read nothing under `path` (callers pass pinned batch blocks),
+    * so the two appends evaluate independently as CONCURRENT jobs and
+    * neither can invalidate the other's input.
+    */
+  def appendAudioFpIndex(
+      keptFps: DataFrame, path: String,
+      bucketBudget: Int = graft.ops.NearDup.BucketBudget): Unit = {
+    val base = keptFps.select(col("media_id"), col("fp_hi"), col("fp_lo"))
+    graft.util.ParJobs.run(
+      () => base
+        .select(col("media_id").as("ix_id"), col("fp_hi"), col("fp_lo"))
+        .write.mode("append").parquet(s"$path/asig"),
+      () => budgetedAudioHubs(base, bucketBudget)
+        .write.mode("append").parquet(s"$path/abands"))
+  }
+
+  /** COMBINED within-batch + against-index audio verdicts in ONE pass —
+    * the [[imageDedupVerdicts]] shape over the band-pair multi-index:
+    * the match side is the persisted index ∪ the batch's
+    * signature-canonicalized fingerprints, admissibility is identical
+    * (index: ix ids also in the batch excluded wholesale — the ADVICE
+    * r13 cycle rule; batch: `ix_id < media_id`), exact (identical
+    * fingerprint) wins over near (band-pair collision within
+    * `maxHamming`). The near probe verifies bit_count INSIDE the
+    * collision join — the fingerprint halves ride both the batch band
+    * rows ([[afpBandPairKeys]]) and the persisted `abands/` rows, so
+    * the collision multiset never hits an exchange (the r15 q118/q119
+    * shape, carried into the streaming path from day one).
+    *
+    * `batchFps` should be PINNED by the caller (the read-modify-write
+    * recache note on [[incrementalImageDedupAgainstIndex]]).
+    */
+  def audioDedupVerdicts(
+      batchFps: DataFrame, path: String,
+      maxHamming: Int = MaxHamming): DataFrame = {
+    val spark = batchFps.sparkSession
+    val batch = batchFps.select(col("media_id"), col("fp_hi"), col("fp_lo"))
+    val batchIds = batch.select(col("media_id").as("bid"))
+    val matchBatch = batch.groupBy("fp_hi", "fp_lo")
+      .agg(min("media_id").as("ix_id"))
+    val ixSig = audioFpIndex(spark, path)
+      .join(broadcast(batchIds), col("ix_id") === col("bid"), "left_anti")
+    val sideSig = ixSig.select(col("ix_id"), col("fp_hi"), col("fp_lo"),
+        lit(true).as("from_ix"))
+      .unionByName(matchBatch.select(col("ix_id"), col("fp_hi"),
+        col("fp_lo"), lit(false).as("from_ix")))
+    val admissible = col("from_ix") || col("ix_id") < col("media_id")
+    // pinned for the same measured reason as the image `exact` (r15,
+    // ADVICE r14): it is consumed as the band probe's anti-join side AND
+    // in the final combine, and the exchange is not reused across those
+    val exact = batch.join(sideSig, Seq("fp_hi", "fp_lo"))
+      .filter(admissible)
+      .groupBy("media_id").agg(min("ix_id").as("exact_of"))
+      .localCheckpoint(true)
+    // band-pair probe side: only rows with NO admissible exact match
+    // (exact wins both status and dup_of — probing them buys nothing,
+    // and on re-crawl-dominated streams they ARE the batch)
+    val probeBands = afpBandPairKeys(
+      batch.join(exact.select("media_id"), Seq("media_id"), "left_anti"))
+    val sideBands = audioBandIndex(spark, path)
+      .join(broadcast(batchIds), col("ix_id") === col("bid"), "left_anti")
+      .select(col("ix_id"), col("bpk"), col("fp_hi").as("ix_hi"),
+        col("fp_lo").as("ix_lo"), lit(true).as("from_ix"))
+      .unionByName(afpBandPairKeys(
+          matchBatch.withColumnRenamed("ix_id", "media_id"))
+        .select(col("media_id").as("ix_id"), col("bpk"),
+          col("fp_hi").as("ix_hi"), col("fp_lo").as("ix_lo"),
+          lit(false).as("from_ix")))
+    val near = probeBands
+      .join(sideBands, Seq("bpk"))
+      .filter(admissible)
+      .filter(expr("bit_count(fp_hi ^ ix_hi)") +
+        expr("bit_count(fp_lo ^ ix_lo)") <= maxHamming)
+      .groupBy("media_id").agg(min("ix_id").as("near_of"))
+    batch.select("media_id")
+      .join(exact, Seq("media_id"), "left")
+      .join(near, Seq("media_id"), "left")
+      .select(col("media_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
   }
 }

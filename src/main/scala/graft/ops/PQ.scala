@@ -447,7 +447,31 @@ object PQ {
     * textually THE relation serving scans.
     */
   private def adcChainSql(
-      nQueries: Int, m: Int, codes: Int, iters: Int): String = {
+      nQueries: Int, m: Int, codes: Int, iters: Int,
+      dynWindow: Boolean = false): String = {
+    // dynWindow (r16, VERDICT r15 #2): when the calibration CTEs follow,
+    // the tune-sample width is CORPUS-SCALED (cnq — 10 queries below
+    // TuneCorpusLarge, 40 above, bar at the same 48/50 ratio), so the
+    // adc window must cover max(serving window, tune window). At every
+    // oracle-checked volume the corpus sits below the threshold and the
+    // emitted plan prunes to the r15 shape — hashes unchanged.
+    val window =
+      if (dynWindow) s"GREATEST($nQueries, (SELECT nq FROM cnq))"
+      else nQueries.toString
+    val cnqCte =
+      if (dynWindow)
+        s"""cnq AS (
+           |  SELECT CASE WHEN (SELECT COUNT(*) FROM embeddings)
+           |                >= ${Similarity.TuneCorpusLarge}
+           |              THEN ${Similarity.TuneQueriesLarge}
+           |              ELSE ${Similarity.TuneQueries} END AS nq,
+           |         CASE WHEN (SELECT COUNT(*) FROM embeddings)
+           |                >= ${Similarity.TuneCorpusLarge}
+           |              THEN ${Similarity.tuneHitBarFor(
+                              Similarity.TuneQueriesLarge * Similarity.TuneK)}
+           |              ELSE ${Similarity.TuneHitBar} END AS bar),
+           |""".stripMargin
+      else ""
     val subDim = KMeans.Dim / m
     val chains = (0 until m).map { s =>
       KMeans.kmeansCtesSql(codes, iters, subDim, s"_s$s",
@@ -465,7 +489,7 @@ object PQ {
          |          list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}],
          |            x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qx
          |        FROM embeddings
-         |        WHERE vec_id < $nQueries AND embedding IS NOT NULL
+         |        WHERE vec_id < $window AND embedding IS NOT NULL
          |          AND len(embedding) = ${KMeans.Dim}) q
          |  CROSS JOIN c${iters}_s$s c)""".stripMargin
     }.mkString(",\n")
@@ -473,7 +497,7 @@ object PQ {
       s"JOIN lut$s l$s ON e.code$s = l$s.cluster AND l$s.query_id = l0.query_id")
       .mkString("\n  ")
     val distSum = (0 until m).map(s => s"l$s.ld").mkString(" + ")
-    s"""$chains,
+    s"""$cnqCte$chains,
        |enc AS (
        |  SELECT a0.vec_id, $encCols
        |  FROM afinal_s0 a0 $encJoins),
@@ -500,14 +524,20 @@ object PQ {
       if (derivedCutoff) ",\n" + derivedCutoffCtesSql(m, floor) else ""
     val cutoff =
       if (derivedCutoff) s"$topK * (SELECT r FROM rfac)" else s"$topK"
-    s"""WITH ${adcChainSql(nQueries, m, codes, iters)}$rfacCtes
+    // derived-cutoff plans window the adc chain dynamically (the
+    // calibration sample may exceed the serving window on large corpora),
+    // so the serving output re-pins its own static window
+    val servingWindow =
+      if (derivedCutoff) s" AND query_id < $nQueries" else ""
+    s"""WITH ${adcChainSql(nQueries, m, codes, iters,
+          dynWindow = derivedCutoff)}$rfacCtes
        |SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
        |FROM (SELECT *, ${
         if (tieRank) "rank() OVER (PARTITION BY query_id ORDER BY adc_dist)"
         else "row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)"
       } AS rn
        |      FROM adc)
-       |WHERE rn <= $cutoff ORDER BY query_id, rank""".stripMargin
+       |WHERE rn <= $cutoff$servingWindow ORDER BY query_id, rank""".stripMargin
   }
 
   /** Oracle for [[pqFloorCalibration]] (q122): the adc chain, the
@@ -515,7 +545,8 @@ object PQ {
     */
   def pqFloorCalibrationSql(
       m: Int = M, codes: Int = Codes, iters: Int = Iters): String =
-    s"""WITH ${adcChainSql(Similarity.TuneQueries, m, codes, iters)},
+    s"""WITH ${adcChainSql(Similarity.TuneQueries, m, codes, iters,
+          dynWindow = true)},
        |${calibrationCtesSql(RefineFactor)}
        |SELECT query_id, neighbor_id, adc_rank, needed_r,
        |  CAST((SELECT r FROM cfl) AS BIGINT) AS floor_r
@@ -631,16 +662,34 @@ object PQ {
       iters: Int = Iters): Int = {
     val key = (embeddings.queryExecution.analyzed.canonicalized, m, codes, iters)
     calFloorCache.computeIfAbsent(key, _ => {
-      val needed = neededRanksDf(embeddings, m, codes, iters)
-        .select(col("needed_r"))
-        .collect().map(_.getLong(0)).sorted
-      if (needed.isEmpty) RefineFactor
-      else {
-        val pos = math.min(Similarity.TuneHitBar, needed.length)
-        math.max(RefineFactor.toLong,
-          math.min(needed(pos - 1), Int.MaxValue.toLong)).toInt
-      }
+      // the sample WIDTH is corpus-scaled (r16, VERDICT r15 #2): one
+      // count against the already-derivation-priced corpus picks 10
+      // queries below Similarity.TuneCorpusLarge (every oracle-checked
+      // volume — hashes unchanged) and 40 above it, where PQTUNE_r15
+      // measured the 50-pair quantile under-resolving the needed_r tail
+      val nq = Similarity.tuneQueriesFor(embeddings.count())
+      calibratedRefineFloorAt(embeddings, nq, m, codes, iters)
     })
+  }
+
+  /** The calibration at an EXPLICIT sample width (the PQTune `calsweep`
+    * measurement arm; [[calibratedRefineFloor]] passes the corpus-scaled
+    * width). Bar = the 48/50 ratio of the pair count
+    * ([[Similarity.tuneHitBarFor]]).
+    */
+  private[graft] def calibratedRefineFloorAt(
+      embeddings: DataFrame, nq: Int, m: Int = M, codes: Int = Codes,
+      iters: Int = Iters): Int = {
+    val needed = neededRanksDf(embeddings, nq, m, codes, iters)
+      .select(col("needed_r"))
+      .collect().map(_.getLong(0)).sorted
+    if (needed.isEmpty) RefineFactor
+    else {
+      val pos = math.min(
+        Similarity.tuneHitBarFor(nq * Similarity.TuneK), needed.length)
+      math.max(RefineFactor.toLong,
+        math.min(needed(pos - 1), Int.MaxValue.toLong)).toInt
+    }
   }
 
   /** The calibration relation behind [[calibratedRefineFloor]]: one row
@@ -648,12 +697,13 @@ object PQ {
     * ADC rank and the refine factor that would have shortlisted it.
     */
   private def neededRanksDf(
-      embeddings: DataFrame, m: Int, codes: Int, iters: Int): DataFrame = {
+      embeddings: DataFrame, nq: Int, m: Int, codes: Int,
+      iters: Int): DataFrame = {
     val truth = Similarity
-      .bruteForceTopK(embeddings, Similarity.TuneQueries, Similarity.TuneK)
+      .bruteForceTopK(embeddings, nq, Similarity.TuneK)
       .select(col("query_id"), col("neighbor_id"))
     val sw = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"))
-    adcDists(embeddings, Similarity.TuneQueries, m, codes, iters)
+    adcDists(embeddings, nq, m, codes, iters)
       .withColumn("srank", rank().over(sw))
       .join(truth, Seq("query_id", "neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -670,7 +720,8 @@ object PQ {
       embeddings: DataFrame, m: Int = M, codes: Int = Codes,
       iters: Int = Iters): DataFrame = {
     val f = calibratedRefineFloor(embeddings, m, codes, iters)
-    neededRanksDf(embeddings, m, codes, iters)
+    val nq = Similarity.tuneQueriesFor(embeddings.count())
+    neededRanksDf(embeddings, nq, m, codes, iters)
       .withColumn("floor_r", lit(f.toLong))
       .orderBy("query_id", "neighbor_id")
   }
@@ -751,18 +802,18 @@ object PQ {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${Similarity.dotSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS rank
        |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-       |    WHERE q.vec_id < ${Similarity.TuneQueries})
+       |    WHERE q.vec_id < (SELECT nq FROM cnq))
        |  WHERE rank <= ${Similarity.TuneK}),
        |cneed AS (
        |  SELECT r.query_id, r.neighbor_id, CAST(r.srank AS BIGINT) AS adc_rank,
        |    CAST(ceil(CAST(r.srank AS DOUBLE) / ${Similarity.TuneK}) AS BIGINT) AS needed_r
        |  FROM (SELECT query_id, neighbor_id,
        |          rank() OVER (PARTITION BY query_id ORDER BY adc_dist) AS srank
-       |        FROM adc WHERE query_id < ${Similarity.TuneQueries}) r
+       |        FROM adc WHERE query_id < (SELECT nq FROM cnq)) r
        |  JOIN ctruth t ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id),
        |cfl AS (
        |  SELECT GREATEST($floorMin,
-       |    COALESCE(MAX(CASE WHEN rn = LEAST(${Similarity.TuneHitBar}, cnt)
+       |    COALESCE(MAX(CASE WHEN rn = LEAST((SELECT bar FROM cnq), cnt)
        |                      THEN needed_r END), $floorMin)) AS r
        |  FROM (SELECT needed_r, row_number() OVER (ORDER BY needed_r) AS rn,
        |          COUNT(*) OVER () AS cnt FROM cneed))""".stripMargin

@@ -81,6 +81,31 @@ object Similarity {
     */
   val TuneHitBar = 48
 
+  /** Corpus-size threshold above which the PQ refine-floor calibration
+    * widens its tune sample (r16, VERDICT r15 #2): at iid-60k the 50-pair
+    * sample's 48/50 quantile stopped resolving the heavy needed_r tail
+    * (PQTUNE_r15: floor 56, holdout 0.896 ± 0.036 — below the 0.9 bar
+    * the derivation targets), because the quantile lands on the
+    * 3rd-largest of 50 draws from a heavy-tailed order statistic. Above
+    * this corpus size the calibration samples [[TuneQueriesLarge]]
+    * queries (200 pairs, bar 192 — the same 48/50 = 0.96 ratio with 4×
+    * the tail resolution; the PQTUNE_r16 sweep measures the effect).
+    * The IVF nprobe derivation keeps the 10-query window: its holdouts
+    * meet the bar at every measured size (IVFTUNE_r15).
+    */
+  val TuneCorpusLarge = 50000L
+  val TuneQueriesLarge = 40
+
+  /** Calibration sample width as a function of corpus size. */
+  def tuneQueriesFor(n: Long): Int =
+    if (n >= TuneCorpusLarge) TuneQueriesLarge else TuneQueries
+
+  /** The [[TuneHitBar]] acceptance quantile at an arbitrary pair count —
+    * the exact 48/50 ratio, integer arithmetic (50 → 48, 200 → 192).
+    */
+  def tuneHitBarFor(nPairs: Int): Int =
+    nPairs * TuneHitBar / (TuneQueries * TuneK)
+
   /** Deterministic ±1 hyperplane coefficients: sign = parity of the first
     * md5 byte of "plane_j|d". Public-knowledge construction (sign random
     * projections, Charikar 2002), reproducible anywhere md5 exists.

@@ -11,37 +11,47 @@ import graft.sink.Sink
   * is text-only, but a crawl yields mixed text+media): each micro-batch
   * of media rows (`media_id`, `kind`, `content` binary) flows through
   *
-  *   1. the declared-kind gate — `image` and `video` rows enter their
-  *      perceptual pipelines; other kinds pass through to the accepted
-  *      sink unexamined;
+  *   1. the declared-kind gate — `image`, `video` and `audio` rows
+  *      (r16 completed the matrix; audio previously passed unexamined)
+  *      enter their perceptual pipelines; other kinds pass through to
+  *      the accepted sink unexamined;
   *   2. the byte-level payload pre-gate (md5 of the raw bytes vs the
   *      index's `payload/` relation + within-batch payload groups) —
-  *      byte-identical re-crawls of EITHER kind skip the codec and
-  *      INHERIT their signature (copies from their within-batch
-  *      canonical, cross-batch matches from the sig/vframes index:
-  *      same bytes ⇒ same signature), then take the ordinary verdict
-  *      path — the gate changes WHO pays the codec, never a verdict
-  *      (r14; the verdict stage's input relation is bit-identical with
-  *      the gate on or off);
+  *      byte-identical re-crawls of ANY examined kind skip the codec
+  *      and INHERIT their signature (copies from their within-batch
+  *      canonical, cross-batch matches from the sig/vframes/asig
+  *      index: same bytes ⇒ same signature), then take the ordinary
+  *      verdict path — the gate changes WHO pays the codec, never a
+  *      verdict (r14; the verdict stage's input relation is
+  *      bit-identical with the gate on or off). An index-known row
+  *      whose signature fetch MISSES (partial concurrent append before
+  *      a crash, externally pruned index) falls back to the decode
+  *      path instead of vanishing (r16, ADVICE r15);
   *   3. decode → signature for novel payloads only
   *      ([[Multimodal.hashImageBatch]] dHash / [[Multimodal.hashVideoBatch]]
-  *      per-keyframe dHash — one partition-local pass, payloads never
+  *      per-keyframe dHash / [[Multimodal.hashAudioBatch]] amplitude
+  *      fingerprint — one partition-local pass, payloads never
   *      shuffle); undecodable bytes route to the rejected sink as
   *      `decode_error` (the dead-letter pattern);
   *   4. the PERSISTED-signature gates
-  *      ([[Multimodal.incrementalImageDedupAgainstIndex]] — exact-hash
-  *      equi-join + hub-budgeted banded Hamming;
+  *      ([[Multimodal.imageDedupVerdicts]] — fused exact-hash +
+  *      hub-budgeted banded Hamming;
   *      [[Multimodal.incrementalVideoDedupAgainstIndex]] — directed
   *      frame-hash containment over the `vframes/` relation, the q116
-  *      semantics): kept media append their signatures back so the NEXT
-  *      batch sees them; duplicates land in the duplicate sink with
-  *      `dup_of` resolved to the ROOT canonical.
+  *      semantics; [[Multimodal.audioDedupVerdicts]] — fused exact-
+  *      fingerprint + band-pair Hamming over `asig/`+`abands/`, the
+  *      q118 semantics with the fps riding the band rows): kept media
+  *      append their signatures back so the NEXT batch sees them;
+  *      duplicates land in the duplicate sink with `dup_of` resolved
+  *      to the ROOT canonical.
   *
   * Scale shape per batch: decode cost is batch-linear and partition-
-  * local; the index joins stream the two signature relations with
+  * local; the index joins stream the signature relations with
   * batch-sized shuffles only (never an index-sized exchange); the
-  * write-back is a batch-sized parquet append. The index stores 16
-  * bytes + 8 band rows per kept image — signatures, never pixels.
+  * write-back is a batch-sized parquet append. The index stores
+  * signatures, never payloads: 16 bytes + 8 band rows per kept image,
+  * 16 bytes per kept keyframe, 16 bytes + 36 band-pair rows per kept
+  * audio clip.
   *
   * Crash/replay: write-back-first ordering plus the verdict joins'
   * self-match exclusion make replays idempotent for routing, exactly as
@@ -56,6 +66,11 @@ object MediaIngest {
     * by the session default, never sized up.
     */
   val RowsPerShufflePartition = 2500L
+
+  /** The declared kinds the ingest loop examines; anything else is
+    * passthrough.
+    */
+  private val ExaminedKinds = Seq("image", "video", "audio")
 
   /** Run `body` (plan compilation AND its eager actions) with the given
     * shuffle-partition setting, restoring the current one after.
@@ -73,14 +88,16 @@ object MediaIngest {
       nIn: Long,
       nImages: Long,
       nVideos: Long,
+      nAudios: Long,
       nPassthrough: Long,
       nDecodeErr: Long,
       nExactDup: Long,
       nNearDup: Long,
       nAccepted: Long)
 
-  /** Create an EMPTY persisted signature index at `path` (sig/ + bands/
-    * + the payload/ byte-identity relation).
+  /** Create an EMPTY persisted signature index at `path` (image sig/ +
+    * bands/, the payload/ byte-identity relation, video vframes/, audio
+    * asig/ + abands/).
     */
   def initIndex(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
@@ -91,6 +108,10 @@ object MediaIngest {
       .write.mode("overwrite").parquet(s"$path/payload")
     Seq.empty[(Long, Long, Long)].toDF("ix_id", "dhash_hi", "dhash_lo")
       .write.mode("overwrite").parquet(s"$path/vframes")
+    Seq.empty[(Long, Long, Long)].toDF("ix_id", "fp_hi", "fp_lo")
+      .write.mode("overwrite").parquet(s"$path/asig")
+    Seq.empty[(Long, Long, Long, Long)].toDF("ix_id", "bpk", "fp_hi", "fp_lo")
+      .write.mode("overwrite").parquet(s"$path/abands")
   }
 
   /** Process one micro-batch (directly unit-testable): kind gate →
@@ -127,34 +148,36 @@ object MediaIngest {
     val observed = batchDf.observe(census,
       count(when(col("kind") === "image", 1)).as("n_img"),
       count(when(col("kind") === "video", 1)).as("n_vid"),
+      count(when(col("kind") === "audio", 1)).as("n_aud"),
       count(lit(1)).as("n_all"))
-    val passthrough = batchDf.filter(!col("kind").isin("image", "video"))
+    val passthrough = batchDf.filter(!col("kind").isin(ExaminedKinds: _*))
     // BYTE-LEVEL PRE-GATE (VERDICT r12 #1 — re-crawl traffic is
     // dominated by byte-identical copies that got fully decoded before
     // a signature join could reject them). md5 the RAW payload: same
-    // bytes => same pixels/frames => same signature => the decode
+    // bytes => same pixels/frames/PCM => same signature => the decode
     // path's exact_dup verdict, so byte-matches — within the batch
     // (only the smallest media_id of each payload group decodes) and
     // against the index's payload/ relation — skip the codec entirely,
-    // for images AND video.
+    // for all three examined kinds.
     val pay = timings.time("prep_census")(
       (if (payloadGate)
         Multimodal.payloadHashes(
-          observed.filter(col("kind").isin("image", "video")))
+          observed.filter(col("kind").isin(ExaminedKinds: _*)))
       else
-        observed.filter(col("kind").isin("image", "video"))
+        observed.filter(col("kind").isin(ExaminedKinds: _*))
           .select(col("media_id")))
         .localCheckpoint(true))
     val censusRow = census.get
     val nImg = censusRow("n_img").asInstanceOf[Long]
     val nVid = censusRow("n_vid").asInstanceOf[Long]
-    val nPass = censusRow("n_all").asInstanceOf[Long] - nImg - nVid
-    if (nImg + nVid == 0) {
+    val nAud = censusRow("n_aud").asInstanceOf[Long]
+    val nPass = censusRow("n_all").asInstanceOf[Long] - nImg - nVid - nAud
+    if (nImg + nVid + nAud == 0) {
       pay.unpersist()
       if (nPass > 0)
         timings.time("passthrough_append")(
           sink.append(passthrough, "accepted_media"))
-      return MediaBatchMetrics(batchId, nPass, 0, 0, nPass, 0, 0, 0, nPass)
+      return MediaBatchMetrics(batchId, nPass, 0, 0, 0, nPass, 0, 0, 0, nPass)
     }
     // Micro-batch exchanges are sized to the BATCH, not the session
     // default (r15, VERDICT r14 #3): AQE partition coalescing does not
@@ -169,10 +192,11 @@ object MediaIngest {
     // larger than default × target keeps the session setting.
     val prevShuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
     val batchParts = math.max(4L, math.min(prevShuffleParts.toLong,
-      (nImg + nVid + RowsPerShufflePartition - 1) / RowsPerShufflePartition))
+      (nImg + nVid + nAud + RowsPerShufflePartition - 1)
+        / RowsPerShufflePartition))
     spark.conf.set("spark.sql.shuffle.partitions", batchParts.toString)
     try {
-    val examined = batchDf.filter(col("kind").isin("image", "video"))
+    val examined = batchDf.filter(col("kind").isin(ExaminedKinds: _*))
     // the gate verdicts themselves stay LAZY (their expensive leaf —
     // the payload hashes — is pinned above): every consumer (the novel
     // anti-join inside the decode checkpoints, the verdict union inside
@@ -183,11 +207,11 @@ object MediaIngest {
     // (joins over pinned blocks plus the tiny payload-index scan).
     // The pre-gate SKIPS THE CODEC, it never pre-judges (r14, VERDICT r13
     // #4): a payload match means the row's SIGNATURE IS KNOWN without
-    // decoding — byte-identical bytes ⇒ identical pixels/frames ⇒
-    // identical dHash/frame hashes — so payload-matched rows INHERIT
-    // their signatures (within-batch copies from their canonical,
-    // cross-batch matches from the sig/vframes index) and flow through
-    // the SAME verdict relation the decode path feeds. The verdict stage
+    // decoding — byte-identical bytes ⇒ identical pixels/frames/PCM ⇒
+    // identical signatures — so payload-matched rows INHERIT their
+    // signatures (within-batch copies from their canonical, cross-batch
+    // matches from the sig/vframes/asig index) and flow through the
+    // SAME verdict relation the decode path feeds. The verdict stage
     // then sees a bit-identical input whether the gate is on or off —
     // the r13 A/B's 0.16% survivor divergence came from pre-judged
     // exact_dup verdicts hiding the copies' (known) signatures from the
@@ -198,7 +222,7 @@ object MediaIngest {
     // gate-off arm does.
     // The payload-match relation is computed ONCE and PINNED (VERDICT r14
     // #3 — the r14 shape left it lazy, and its joins — payload groupBy,
-    // payload-index lookup, sig/vframes fetch — re-evaluated inside every
+    // payload-index lookup, signature fetch — re-evaluated inside every
     // consumer: the novel anti-join, badVerdicts, copyVerdicts, and ~6
     // batch-relation scans inside the verdict joins, which is where the
     // 32 → 54 s standard-probe regression lived). ONE eager checkpoint
@@ -209,8 +233,8 @@ object MediaIngest {
     // distinct over copies). The per-kind match counts ride the
     // checkpoint job as an Observation, so the signature-inheritance
     // joins are GATED: a batch with no index-known rows of a kind skips
-    // that kind's sig/vframes fetch and its eager union pin entirely —
-    // zero extra jobs on the r13 shape.
+    // that kind's signature fetch and its pin entirely — zero extra
+    // jobs on the r13 shape.
     val payMatchObs = org.apache.spark.sql.Observation()
     val payMatch =
       if (!payloadGate)
@@ -238,20 +262,32 @@ object MediaIngest {
             count(when(col("src") === "ix" && col("kind") === "image", 1))
               .as("n_ix_img"),
             count(when(col("src") === "ix" && col("kind") === "video", 1))
-              .as("n_ix_vid"))
+              .as("n_ix_vid"),
+            count(when(col("src") === "ix" && col("kind") === "audio", 1))
+              .as("n_ix_aud"))
           .localCheckpoint(true)
       }
-    val (nIxImg, nIxVid) =
-      if (!payloadGate) (0L, 0L)
+    val (nIxImg, nIxVid, nIxAud) =
+      if (!payloadGate) (0L, 0L, 0L)
       else {
         val r = payMatchObs.get
-        (r("n_ix_img").asInstanceOf[Long], r("n_ix_vid").asInstanceOf[Long])
+        (r("n_ix_img").asInstanceOf[Long], r("n_ix_vid").asInstanceOf[Long],
+          r("n_ix_aud").asInstanceOf[Long])
       }
     val payCopies = payMatch.filter(col("src") === "copy")
       .select(col("media_id"), col("canon"), col("kind"))
     // index-known rows fetch their (known) signature from the index BY
     // the pinned min ix_id — one equi-join over the pinned match
-    // relation, gated on the observed per-kind count
+    // relation, gated on the observed per-kind count, PINNED eagerly
+    // (r16): the fetch is consumed by the novel anti-join AND the
+    // verdict probe relations, and pinning the fetch itself (instead of
+    // the r15 shape's pinned probe-side union) is what lets a fetch
+    // MISS fall back to decode — an ix-known row whose sig/vframes/asig
+    // row is missing (partial concurrent append before a crash,
+    // externally pruned index) simply isn't in the fetched relation, so
+    // the anti-join below routes it into the decode path instead of
+    // silently dropping it from every sink (ADVICE r15). Same job
+    // count: one pin per present kind either way.
     val knownImg =
       if (nIxImg == 0)
         Seq.empty[(Long, Boolean, Long, Long)]
@@ -261,6 +297,7 @@ object MediaIngest {
         .join(spark.read.parquet(s"$indexPath/sig"), Seq("ix_id"))
         .select(col("media_id"), lit(true).as("decoded"),
           col("dhash_hi"), col("dhash_lo"))
+        .localCheckpoint(true)
     val knownVid =
       if (nIxVid == 0)
         Seq.empty[(Long, Boolean, Int, Long, Long)]
@@ -272,15 +309,33 @@ object MediaIngest {
           lit(-1).as("frame_idx"), col("dhash_hi"), col("dhash_lo"))
         .distinct() // a clip's own repeated frame hashes collapse, as the
         // decode path's distinct frame relation has them collapsed
+        .localCheckpoint(true)
+    val knownAud =
+      if (nIxAud == 0)
+        Seq.empty[(Long, Boolean, Long, Long)]
+          .toDF("media_id", "decoded", "fp_hi", "fp_lo")
+      else payMatch.filter(col("src") === "ix" && col("kind") === "audio")
+        .select(col("media_id"), col("canon").as("ix_id"))
+        .join(Multimodal.audioFpIndex(spark, indexPath), Seq("ix_id"))
+        .select(col("media_id"), lit(true).as("decoded"),
+          col("fp_hi"), col("fp_lo"))
+        .localCheckpoint(true)
     locally {
-      // only NOVEL payloads pay a codec; pinned eagerly: hashes feed
-      // the verdict joins, the routing joins and the index write-backs.
-      // Absent kinds skip their whole branch — zero jobs, local empty
-      // relations instead.
+      // only rows with NO inherited signature pay a codec: payload
+      // copies inherit from their canonical, ix-known rows from their
+      // pinned fetch — and a fetch MISS (see the pin note above) lands
+      // the row back here, decoded like any novel payload. Pinned
+      // eagerly: hashes feed the verdict joins, the routing joins and
+      // the index write-backs. Absent kinds skip their whole branch —
+      // zero jobs, local empty relations instead.
       val novel =
-        if (payloadGate) examined.join(
-          payMatch.select("media_id"), Seq("media_id"), "left_anti")
-        else examined
+        if (payloadGate) {
+          val matched = payCopies.select("media_id")
+            .unionByName(knownImg.select("media_id"))
+            .unionByName(knownVid.select("media_id").distinct())
+            .unionByName(knownAud.select("media_id"))
+          examined.join(matched, Seq("media_id"), "left_anti")
+        } else examined
       // the DECODE chains run at the SESSION's partitioning, not the
       // batch-sized one: the codec pass is CPU-bound and partition-local
       // (decode parallelism = the novel relation's partition count, which
@@ -301,6 +356,13 @@ object MediaIngest {
               .localCheckpoint(true)))
         else Seq.empty[(Long, Boolean, Int, Long, Long)]
           .toDF("media_id", "decoded", "frame_idx", "dhash_hi", "dhash_lo")
+      val ahashed =
+        if (nAud > 0) withShuffleParts(spark, prevShuffleParts)(
+          timings.time("decode_audio")(
+            Multimodal.hashAudioBatch(novel.filter(col("kind") === "audio"))
+              .localCheckpoint(true)))
+        else Seq.empty[(Long, Boolean, Long, Long)]
+          .toDF("media_id", "decoded", "fp_hi", "fp_lo")
       try {
         // undecodable payloads become verdict rows themselves (one
         // relation carries every routing decision — no separate
@@ -310,6 +372,7 @@ object MediaIngest {
         val badCanon = hashed.filter(!col("decoded")).select("media_id")
           .unionByName(
             vhashed.filter(!col("decoded")).select("media_id").distinct())
+          .unionByName(ahashed.filter(!col("decoded")).select("media_id"))
         val badVerdicts = badCanon
           .unionByName(payCopies
             .join(badCanon.select(col("media_id").as("bc")),
@@ -318,50 +381,50 @@ object MediaIngest {
           .select(col("media_id"), lit("decode_error").as("status"),
             lit(null).cast("long").as("dup_of"))
         // the verdict stage's PROBE relation: decoded canonicals ∪
-        // index-known canonicals — dhash-for-dhash the same relation the
-        // gate-off arm's decodes produce, because payload COPIES carry
-        // no information a canonical lacks (same bytes ⇒ same signature,
-        // larger media_id ⇒ never a match winner). Copies therefore
-        // don't probe: each one verdicts straight to its canonical —
-        // exact_dup for images (dhash equality is the decode path's
-        // exact class), near_dup for video (containment has no exact
-        // class) — and root resolution rewrites it to the canonical's
-        // own root, which is provably the dup_of the gate-off arm's
-        // probed copy resolves to (the canonical is each copy's best
-        // admissible match or shares its target). Keeping the ~K copies
-        // per batch out of the band-candidate joins is what preserves
-        // the gate arm's wall-time win beyond the codec itself.
-        // the verdict joins scan their probe relation many times (batch
-        // side of exact + bands + near + the final combine); decoded rows
-        // come from the pinned `hashed`, but index-known rows would
-        // re-run the sig fetch per scan — so when a batch HAS index-known
-        // rows, pin the union once (one small job over pinned inputs);
-        // when it has none, the union is the pinned decode relation plus
-        // an empty local relation and needs no extra job (the r13 shape)
-        val imgAll =
-          if (nIxImg > 0)
-            hashed.filter(col("decoded")).unionByName(knownImg)
-              .localCheckpoint(true)
-          else hashed.filter(col("decoded")).unionByName(knownImg)
-        val vidAll =
-          if (nIxVid > 0)
-            vhashed.filter(col("decoded")).unionByName(knownVid)
-              .localCheckpoint(true)
-          else vhashed.filter(col("decoded")).unionByName(knownVid)
+        // index-known canonicals — signature-for-signature the same
+        // relation the gate-off arm's decodes produce, because payload
+        // COPIES carry no information a canonical lacks (same bytes ⇒
+        // same signature, larger media_id ⇒ never a match winner).
+        // Copies therefore don't probe: each one verdicts straight to
+        // its canonical — exact_dup for images/audio (signature
+        // equality is the decode path's exact class), near_dup for
+        // video (containment has no exact class) — and root resolution
+        // rewrites it to the canonical's own root, which is provably
+        // the dup_of the gate-off arm's probed copy resolves to (the
+        // canonical is each copy's best admissible match or shares its
+        // target). Keeping the ~K copies per batch out of the band-
+        // candidate joins is what preserves the gate arm's wall-time
+        // win beyond the codec itself.
+        // Since r16 each per-kind probe relation is a UNION OF PINNED
+        // BLOCKS (the decode checkpoint + the fetch checkpoint), so the
+        // verdict joins' many scans re-evaluate only the union — no
+        // extra pin needed (the r15 shape pinned the union instead,
+        // which is why a fetch miss had nowhere to fall back to).
+        val imgAll = hashed.filter(col("decoded")).unionByName(knownImg)
+        val vidAll = vhashed.filter(col("decoded")).unionByName(knownVid)
+        val audAll = ahashed.filter(col("decoded")).unionByName(knownAud)
         val copyVerdicts = payCopies
           .join(imgAll.select(col("media_id").as("canon"))
-            .unionByName(vidAll.select(col("media_id").as("canon")).distinct()),
+            .unionByName(vidAll.select(col("media_id").as("canon")).distinct())
+            .unionByName(audAll.select(col("media_id").as("canon"))),
             Seq("canon"))
           .select(col("media_id"),
-            when(col("kind") === "image", lit("exact_dup"))
-              .otherwise(lit("near_dup")).as("status"),
+            when(col("kind") === "video", lit("near_dup"))
+              .otherwise(lit("exact_dup")).as("status"),
             col("canon").as("dup_of"))
         // image: fused within-batch + against-index verdicts (ONE pass —
-        // Multimodal.imageDedupVerdicts); video: intra containment, then
-        // canonicals face the frame-hash index
+        // Multimodal.imageDedupVerdicts); audio: same fused shape over
+        // the band-pair multi-index (Multimodal.audioDedupVerdicts);
+        // video: intra containment, then canonicals face the frame-hash
+        // index
         val imgVerdicts =
           if (nImg > 0)
             Multimodal.imageDedupVerdicts(imgAll, indexPath)
+          else Seq.empty[(Long, String, Option[Long])]
+            .toDF("media_id", "status", "dup_of")
+        val audVerdicts =
+          if (nAud > 0)
+            Multimodal.audioDedupVerdicts(audAll, indexPath)
           else Seq.empty[(Long, String, Option[Long])]
             .toDF("media_id", "status", "dup_of")
         val (vidVerdicts, vintra) =
@@ -385,6 +448,7 @@ object MediaIngest {
         val (verdicts, counts) = timings.time("verdicts") {
           val raw = imgVerdicts
             .unionByName(vidVerdicts)
+            .unionByName(audVerdicts)
             .unionByName(copyVerdicts)
             .unionByName(badVerdicts)
           val badIds = badVerdicts.select(col("media_id").as("bad_id"))
@@ -408,18 +472,20 @@ object MediaIngest {
             .select("media_id")
           // kept-by-kind gates the per-kind index appends; single-kind
           // batches need no extra job for it
+          val presentKinds = Seq("image" -> nImg, "video" -> nVid,
+            "audio" -> nAud).filter(_._2 > 0)
           val keptByKind: Map[String, Long] =
             if (nKept == 0) Map.empty
-            else if (nVid == 0) Map("image" -> nKept)
-            else if (nImg == 0) Map("video" -> nKept)
+            else if (presentKinds.sizeIs == 1)
+              Map(presentKinds.head._1 -> nKept)
             else keptIds
               .join(examined.select("media_id", "kind"), "media_id")
               .groupBy("kind").count()
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           if (nKept > 0) {
             // write-back FIRST (idempotent for verdicts AND routing — the
-            // self-match exclusions cover the replay window). The three
-            // index relations are independent appends of pinned inputs:
+            // self-match exclusions cover the replay window). The index
+            // relations are independent appends of pinned inputs:
             // submitted as concurrent jobs, awaited as a group before
             // any routing append starts.
             timings.time("index_append") {
@@ -430,6 +496,9 @@ object MediaIngest {
               if (keptByKind.getOrElse("video", 0L) > 0)
                 jobs += (() => Multimodal.appendVideoFrameIndex(
                   vhashed.join(keptIds, "media_id"), indexPath))
+              if (keptByKind.getOrElse("audio", 0L) > 0)
+                jobs += (() => Multimodal.appendAudioFpIndex(
+                  ahashed.join(keptIds, "media_id"), indexPath))
               if (payloadGate)
                 jobs += (() => Multimodal.appendPayloadIndex(
                   pay.join(keptIds, "media_id"), indexPath))
@@ -457,19 +526,21 @@ object MediaIngest {
                 "rejected_media"))
             graft.util.ParJobs.run(jobs.result(): _*)
           }
-          MediaBatchMetrics(batchId, nImg + nVid + nPass, nImg, nVid,
-            nPass, nDecodeErr, nExact, nNear, nKept + nPass)
+          MediaBatchMetrics(batchId, nImg + nVid + nAud + nPass, nImg, nVid,
+            nAud, nPass, nDecodeErr, nExact, nNear, nKept + nPass)
         } finally {
           verdicts.unpersist()
-          // the per-batch pins are superseded once the routing appends
-          // land — free their blocks now, not at the next GC
-          if (nIxImg > 0) graft.util.Checkpoints.free(imgAll)
-          if (nIxVid > 0) graft.util.Checkpoints.free(vidAll)
           ()
         }
       } finally {
         hashed.unpersist()
         vhashed.unpersist()
+        ahashed.unpersist()
+        // the per-batch pins are superseded once the routing appends
+        // land — free their blocks now, not at the next GC
+        if (nIxImg > 0) graft.util.Checkpoints.free(knownImg)
+        if (nIxVid > 0) graft.util.Checkpoints.free(knownVid)
+        if (nIxAud > 0) graft.util.Checkpoints.free(knownAud)
         if (payloadGate) graft.util.Checkpoints.free(payMatch)
         pay.unpersist()
         ()

@@ -11,7 +11,17 @@ package graft.util
   *
   * Thread safety: `Collections.synchronizedMap` — its `computeIfAbsent`
   * runs under the wrapper mutex, so concurrent callers of the memoized
-  * derivations compute each key at most once per residence.
+  * derivations compute each key at most once per residence. That mutex
+  * is MAP-WIDE (ADVICE r15): a `computeIfAbsent` whose mapping function
+  * is a whole training/derivation job holds it for the job's duration,
+  * serializing concurrent trainings against DIFFERENT corpora and
+  * blocking pure cache hits behind an in-flight miss — a deliberate
+  * trade-off: the memoized derivations here are driver-side
+  * sample-sized jobs (seconds), the serving reads they unblock are
+  * cache hits thereafter, and nothing in this engine trains against
+  * two corpora concurrently on one session. If that changes, switch to
+  * per-key memo futures (ConcurrentHashMap of Promise) with a separate
+  * bounded eviction rather than widening this lock's contract.
   */
 object BoundedLru {
   def apply[K, V](max: Int = 32): java.util.Map[K, V] =

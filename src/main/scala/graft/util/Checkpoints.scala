@@ -36,6 +36,18 @@ object Checkpoints {
     * runtime class (MapPartitionsRDD, SQLExecutionRDD, …) and varies by
     * plan; the filter itself is keyed on level + message text, so it is
     * a no-op for every other event.
+    *
+    * Scope (ADVICE r15): once installed the suppression is PROCESS-WIDE
+    * and permanent — any caller that unpersists a local checkpoint it
+    * still needs loses the (then-legitimate) warning too, and events
+    * routed through a non-additive child LoggerConfig bypass the root
+    * filter entirely. Accepted over the r14 level-flip alternative
+    * (which had a race window that could swallow UNRELATED warnings
+    * while active); every in-repo unpersist of a local checkpoint goes
+    * through [[free]] after its consumers have materialized, which is
+    * exactly the case the warning does not apply to. [[suppressedCount]]
+    * counts the denied events so a log-tail claim can state how many
+    * suppressions this filter performed.
     */
   private lazy val filterInstalled: Unit = {
     import org.apache.logging.log4j.core.Filter.Result
@@ -48,12 +60,20 @@ object Checkpoints {
       override def filter(
           event: org.apache.logging.log4j.core.LogEvent): Result =
         if (event.getLevel == org.apache.logging.log4j.Level.WARN &&
-            event.getMessage.getFormattedMessage.contains(BenignFragment))
+            event.getMessage.getFormattedMessage.contains(BenignFragment)) {
+          suppressed.incrementAndGet()
           Result.DENY
-        else Result.NEUTRAL
+        } else Result.NEUTRAL
     })
     ctx.updateLoggers()
   }
+
+  private val suppressed = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** How many benign lineage-truncated warnings the filter has denied
+    * process-wide (ADVICE r15 — makes the suppression itself auditable).
+    */
+  def suppressedCount: Long = suppressed.get()
 
   def free(df: DataFrame): Unit = {
     filterInstalled

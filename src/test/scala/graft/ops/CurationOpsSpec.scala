@@ -594,4 +594,58 @@ class CurationOpsSpec extends SparkSpec {
       assert(newOrder == oldOrder)
     }
   }
+
+  // ---- trained quality classifier (r16, VERDICT r15 #5) ----------------
+
+  private def qcCorpus(overlap: Boolean): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(7)
+    def doc(words: IndexedSeq[String], n: Int) =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val alpha = (0 until 10).map(i => s"alpha$i")
+    val beta = (0 until 10).map(i => s"beta$i")
+    val common = (0 until 5).map(i => s"common$i")
+    def body(vocab: IndexedSeq[String]) =
+      if (overlap) doc(common, 15) + " " + doc(vocab, 15) else doc(vocab, 30)
+    // imbalanced on purpose (the production shape: the target slice is
+    // the minority class)
+    ((0 until 20).map(i => (i.toLong, "src0", body(alpha))) ++
+      (20 until 50).map(i => (i.toLong, "src1", body(beta))))
+      .toDF("doc_id", "source", "text")
+  }
+
+  test("quality classifier separates a vocab-disjoint corpus: every doc " +
+    "predicted to its source after 3 exact gradient iterations") {
+    val scored = Curate.qualityClassifierScore(qcCorpus(overlap = false))
+      .collect()
+    scored.foreach { r =>
+      assert(r.getBoolean(3) == (r.getString(1) == "src0"),
+        s"doc ${r.getLong(0)} (${r.getString(1)}) score ${r.getLong(2)}")
+    }
+  }
+
+  test("quality classifier separates an overlapping-vocab corpus (shared " +
+    "stopword mass riding both classes)") {
+    val scored = Curate.qualityClassifierScore(qcCorpus(overlap = true))
+      .collect()
+    scored.foreach { r =>
+      assert(r.getBoolean(3) == (r.getString(1) == "src0"),
+        s"doc ${r.getLong(0)} (${r.getString(1)}) score ${r.getLong(2)}")
+    }
+  }
+
+  test("quality classifier model is partitioning-invariant (exact integer " +
+    "aggregations) and scores empty docs 0/not-target") {
+    val base = qcCorpus(overlap = true)
+      .union(Seq((90L, "src1", ""), (91L, "src1", null.asInstanceOf[String]))
+        .toDF("doc_id", "source", "text"))
+    val w1 = Curate.qualityClassifierWeights(base).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w2 = Curate.qualityClassifierWeights(base.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == w2, "weights changed under repartitioning")
+    assert(w1.nonEmpty && w1.valuesIterator.exists(_ != 0L))
+    val sc = Curate.qualityClassifierScore(base).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(sc(90L) == ((0L, false)) && sc(91L) == ((0L, false)), sc.get(90L))
+  }
 }

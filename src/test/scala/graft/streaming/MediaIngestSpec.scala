@@ -51,10 +51,11 @@ class MediaIngestSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-mediaix").toString
     MediaIngest.initIndex(spark, dir)
     val sink = new InMemorySink
-    // batch 0: two distinct images, one audio passthrough, one corrupt
+    // batch 0: two distinct images, one text passthrough (audio is
+    // EXAMINED since r16), one corrupt
     val m0 = MediaIngest.processBatch(
       mediaDf((1L, "image", png(baseF)), (2L, "image", png(otherF)),
-        (3L, "audio", Array[Byte](1, 2, 3)),
+        (3L, "text", Array[Byte](1, 2, 3)),
         (4L, "image", "not a png".getBytes)),
       0L, dir, sink)
     assert(m0.nImages == 3 && m0.nPassthrough == 1 && m0.nDecodeErr == 1 &&
@@ -276,6 +277,161 @@ class MediaIngestSpec extends SparkSpec {
     assert(ix == Set(1L, 2L, 20L), ix)
   }
 
+  // ---- audio fixtures (r16): splitmix64 noise PCM — distinct seeds sit
+  // ≥ 20 bits apart (far outside the radius), a 3-window DROPOUT lands
+  // at 1–3 bits (the near radius), and a 16 kHz container re-encode is
+  // fingerprint-identical (same PCM). Amplitude scaling is fp-invariant
+  // by DESIGN (sign-of-window-delta survives uniform scaling), so the
+  // near fixture is a dropout, not a re-master.
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private def pcmOf(seed: Int, n: Int = 600): Array[Short] =
+    Array.tabulate(n)(i =>
+      ((mix(seed * 100003L + i) & 0xffffL) - 32768L).toShort)
+  private def wav(seed: Int): Array[Byte] = MediaCodec.encodeWav(pcmOf(seed))
+  private def wavReEnc(seed: Int): Array[Byte] =
+    MediaCodec.encodeWav(pcmOf(seed), 16000f)
+  private def wavDropout(seed: Int): Array[Byte] = {
+    val p = pcmOf(seed)
+    var i = 10 * p.length / 65
+    while (i < 13 * p.length / 65) { p(i) = 0; i += 1 }
+    MediaCodec.encodeWav(p)
+  }
+  private def afpOf(bytes: Array[Byte]): Long =
+    Multimodal.audioFp64(MediaCodec.decodeWav(bytes).get)
+
+  test("planted audio geometry: container re-encode and half-amplitude " +
+    "re-master are fingerprint-identical, a 3-window dropout is within " +
+    "the near radius, a distinct seed is far outside it") {
+    val base = afpOf(wav(1))
+    assert(afpOf(wavReEnc(1)) == base, "re-encode moved the fingerprint")
+    val half = MediaCodec.encodeWav(pcmOf(1).map(s => (s / 2).toShort))
+    assert(afpOf(half) == base, "amplitude scaling moved the fingerprint")
+    val dDrop = java.lang.Long.bitCount(base ^ afpOf(wavDropout(1)))
+    assert(dDrop >= 1 && dDrop <= Multimodal.MaxHamming, s"dropout hamming $dDrop")
+    val dOther = java.lang.Long.bitCount(base ^ afpOf(wav(2)))
+    assert(dOther > Multimodal.MaxHamming, s"other hamming $dOther")
+  }
+
+  test("audio branch end-to-end: byte re-crawls skip the codec, container " +
+    "re-encodes dedup exact via asig, dropouts dedup near via abands, " +
+    "novel clips are kept and indexed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediaaud").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    // batch 0: two distinct clips, one text passthrough, one corrupt WAV
+    val m0 = MediaIngest.processBatch(
+      mediaDf((1L, "audio", wav(1)), (2L, "audio", wav(2)),
+        (3L, "text", Array[Byte](1, 2, 3)),
+        (4L, "audio", "not a wav".getBytes)),
+      0L, dir, sink)
+    assert(m0.nAudios == 3 && m0.nPassthrough == 1 && m0.nDecodeErr == 1 &&
+      m0.nExactDup == 0 && m0.nNearDup == 0 && m0.nAccepted == 3, m0)
+    assert(sink.tables("accepted_media").map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    assert(sink.tables("rejected_media").map(r =>
+      (r.getLong(0), r.getString(1))).toSet == Set((4L, "decode_error")))
+    // batch 1: a byte-identical re-crawl of 1 (payload pre-gate — NO
+    // codec), a 16 kHz re-encode of 1 (different bytes, same PCM ⇒
+    // fingerprint-exact via asig), a dropout of 1 (near via abands),
+    // and a novel clip
+    MediaCodec.decodeCalls.set(0)
+    val m1 = MediaIngest.processBatch(
+      mediaDf((10L, "audio", wav(1)), (11L, "audio", wavReEnc(1)),
+        (12L, "audio", wavDropout(1)), (13L, "audio", wav(3))),
+      1L, dir, sink)
+    assert(m1.nExactDup == 2 && m1.nNearDup == 1 && m1.nAccepted == 1, m1)
+    // only 11, 12, 13 decode; 10 inherits its signature from the index
+    assert(MediaCodec.decodeCalls.get() == 3,
+      s"re-crawl decoded: ${MediaCodec.decodeCalls.get()} calls")
+    val dup = sink.tables("duplicate_media")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(dup(10L) == (("exact_dup", 1L)), dup)
+    assert(dup(11L) == (("exact_dup", 1L)), dup)
+    assert(dup(12L) == (("near_dup", 1L)), dup)
+    // the fingerprint index holds exactly the kept clips
+    val ix = spark.read.parquet(s"$dir/asig").select("ix_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ix == Set(1L, 2L, 13L), ix)
+    // band-pair rows carry the fingerprint halves (the in-join verify
+    // contract) — 36 rows per kept clip
+    val ab = spark.read.parquet(s"$dir/abands")
+    assert(ab.columns.toSet == Set("ix_id", "bpk", "fp_hi", "fp_lo"))
+    assert(ab.count() == 3 * 36, ab.count())
+  }
+
+  test("replayed audio batch is idempotent for routing: kept clips " +
+    "re-verdict kept against their own appended fingerprints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediaarp").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    val b0 = mediaDf((1L, "audio", wav(1)), (2L, "audio", wav(2)))
+    val first = MediaIngest.processBatch(b0, 0L, dir, sink)
+    assert(first.nAccepted == 2)
+    val replay = MediaIngest.processBatch(b0, 0L, dir, sink)
+    assert(replay.nExactDup == 0 && replay.nNearDup == 0 &&
+      replay.nAccepted == 2, replay)
+  }
+
+  test("audio within-batch resolution + cross-batch root chain: in-batch " +
+    "copies and variants resolve to the batch canonical, whose root is " +
+    "the indexed original") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediaach").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    assert(MediaIngest.processBatch(
+      mediaDf((1L, "audio", wav(1))), 0L, dir, sink).nAccepted == 1)
+    // 10 = re-encode of 1 (exact vs index), 11 = byte copy of 10
+    // (payload copy → canonical 10), 12 = dropout (near) — every root
+    // must resolve to 1, the chain's indexed head
+    val m1 = MediaIngest.processBatch(
+      mediaDf((10L, "audio", wavReEnc(1)), (11L, "audio", wavReEnc(1)),
+        (12L, "audio", wavDropout(1))),
+      1L, dir, sink)
+    assert(m1.nExactDup == 2 && m1.nNearDup == 1 && m1.nAccepted == 0, m1)
+    val dup = sink.tables("duplicate_media")
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dup == Map(10L -> 1L, 11L -> 1L, 12L -> 1L), dup)
+  }
+
+  test("ix-known payload whose signature row is MISSING falls back to " +
+    "decode instead of vanishing (ADVICE r15: partial concurrent append)") {
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map("%02x".format(_)).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediamiss").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    // simulate a crash between the payload append and the asig/sig
+    // appends: payload rows exist with NO signature twin
+    Seq((99L, md5hex(wav(5)))).toDF("ix_id", "payload_hash")
+      .write.mode("append").parquet(s"$dir/payload")
+    Seq((98L, md5hex(png(baseF)))).toDF("ix_id", "payload_hash")
+      .write.mode("append").parquet(s"$dir/payload")
+    MediaCodec.decodeCalls.set(0)
+    val m = MediaIngest.processBatch(
+      mediaDf((20L, "audio", wav(5)), (21L, "image", png(baseF))),
+      0L, dir, sink)
+    // both byte-match the orphaned payload rows, both fetches miss —
+    // both rows must DECODE and verdict (kept: the signature index has
+    // no matching content), not silently drop from every sink
+    assert(m.nAccepted == 2 && m.nExactDup == 0 && m.nDecodeErr == 0, m)
+    assert(MediaCodec.decodeCalls.get() == 2,
+      s"fallback decodes: ${MediaCodec.decodeCalls.get()}")
+    assert(sink.tables("accepted_media").map(_.getLong(0)).toSet ==
+      Set(20L, 21L))
+    // their signatures are now appended, healing the index for the
+    // NEXT byte-match (min ix_id picks the healed row)
+    assert(spark.read.parquet(s"$dir/asig").select("ix_id")
+      .collect().map(_.getLong(0)).toSet == Set(20L))
+    assert(spark.read.parquet(s"$dir/sig").select("ix_id")
+      .collect().map(_.getLong(0)).toSet == Set(21L))
+  }
+
   test("streaming wrapper drains batches through the gate with metrics " +
     "(MemoryStream end-to-end)") {
     implicit val sqlCtx = spark.sqlContext
@@ -290,9 +446,10 @@ class MediaIngestSpec extends SparkSpec {
       mem.toDF().toDF("media_id", "kind", "content"),
       ckpt, dir, sink, metricsOut = metrics += _)
     try {
-      // video rows are EXAMINED since r13 — garbage Y4M dead-letters
+      // video rows are EXAMINED since r13, audio since r16 — the
+      // passthrough row is text
       mem.addData((1L, "image", png(baseF)), (2L, "video", Array[Byte](9)),
-        (3L, "audio", Array[Byte](7)))
+        (3L, "text", Array[Byte](7)))
       q.processAllAvailable()
       assert(metrics.last.nAccepted == 2 && metrics.last.nPassthrough == 1 &&
         metrics.last.nDecodeErr == 1 && metrics.last.nVideos == 1,

@@ -21,14 +21,17 @@ if [ ! -f /tmp/frozen-sf1/_GRAFT_SFSCALE_DONE ]; then
 fi
 
 log "bench on frozen sf1"
+# the committed artifact is the FILE graft.Bench writes (full query names,
+# full precision — ADVICE r15), never the compact stdout line (abbreviated
+# qNN keys, ms-rounded: a round-10 log-truncation workaround)
 SPARK_GRAFT_SF_DIR=/tmp/frozen-sf1 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}" \
+  SPARK_GRAFT_BENCH_OUT=/tmp/bench_frozen_full.json \
   tools/runmain.sh graft.Bench > /tmp/bench_frozen.log 2>&1 \
   || { log "bench FAILED"; tail -5 /tmp/bench_frozen.log; exit 1; }
 
 python3 - "$out" <<'EOF'
 import json, sys, hashlib
-line = [l for l in open('/tmp/bench_frozen.log') if l.startswith('{')][-1]
-d = json.loads(line)
+d = json.load(open('/tmp/bench_frozen_full.json'))
 d["corpus"] = "fixtures/frozen-sf0.1 (sha256-pinned) x10 via graft.SfScale"
 d["fixture_digest"] = hashlib.sha256(
     open('fixtures/frozen-sf0.1.sha256','rb').read()).hexdigest()[:16]
