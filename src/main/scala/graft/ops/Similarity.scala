@@ -88,13 +88,19 @@ object Similarity {
     * the derivation targets), because the quantile lands on the
     * 3rd-largest of 50 draws from a heavy-tailed order statistic. Above
     * this corpus size the calibration samples [[TuneQueriesLarge]]
-    * queries (200 pairs, bar 192 — the same 48/50 = 0.96 ratio with 4×
-    * the tail resolution; the PQTUNE_r16 sweep measures the effect).
+    * queries (400 pairs, bar 384 — the same 48/50 = 0.96 ratio with 8×
+    * the tail resolution). The width is SWEPT, not asserted (PQTUNE_r16,
+    * iid-60k, shared disjoint holdout [80, 130)): 50 pairs → floor 56,
+    * holdout 0.896 ± 0.034 (the r15 miss, reproduced); 100 → 144,
+    * 0.968; 200 → 83, 0.932 (clears the bar, thin margin — the floor
+    * order statistic is still heavy-tail noisy); 400 → floor 162,
+    * holdout 0.972 ± 0.019 at a 4.7 s derivation — the smallest swept
+    * width with real margin, and the derivation cost stays sample-sized.
     * The IVF nprobe derivation keeps the 10-query window: its holdouts
     * meet the bar at every measured size (IVFTUNE_r15).
     */
   val TuneCorpusLarge = 50000L
-  val TuneQueriesLarge = 40
+  val TuneQueriesLarge = 80
 
   /** Calibration sample width as a function of corpus size. */
   def tuneQueriesFor(n: Long): Int =
