@@ -364,6 +364,43 @@ class MediaIngestSpec extends SparkSpec {
     assert(ab.count() == 3 * 36, ab.count())
   }
 
+  test("audio payload-gate A/B arms yield bit-identical verdicts and " +
+    "asig/abands index contents on the same stream (the image A/B " +
+    "contract extended to the audio relations, r16)") {
+    def runArm(gate: Boolean): (Set[Long], Set[(Long, String, Long)],
+        Set[(Long, Long, Long)], Set[(Long, Long, Long, Long)]) = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft-audioab-$gate").toString
+      MediaIngest.initIndex(spark, dir)
+      val sink = new InMemorySink
+      // batch 0: canonical + two byte-copies + a dropout near-dup + an
+      // unrelated clip
+      MediaIngest.processBatch(
+        mediaDf((1L, "audio", wav(1)), (2L, "audio", wav(1)),
+          (3L, "audio", wav(1)), (4L, "audio", wavDropout(1)),
+          (5L, "audio", wav(2))),
+        0L, dir, sink, payloadGate = gate)
+      // batch 1: re-crawled copies of both kept canonicals (byte-exact
+      // and re-encoded) + a novel pair of byte-copies
+      MediaIngest.processBatch(
+        mediaDf((10L, "audio", wav(1)), (11L, "audio", wavReEnc(2)),
+          (12L, "audio", wav(3)), (13L, "audio", wav(3))),
+        1L, dir, sink, payloadGate = gate)
+      val acc = sink.tables("accepted_media").map(_.getLong(0)).toSet
+      val dup = sink.tables("duplicate_media")
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val asig = spark.read.parquet(s"$dir/asig")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val abands = spark.read.parquet(s"$dir/abands")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      (acc, dup, asig, abands)
+    }
+    val on = runArm(true)
+    val off = runArm(false)
+    assert(on == off, s"arms diverged:\n gated=$on\n control=$off")
+  }
+
   test("replayed audio batch is idempotent for routing: kept clips " +
     "re-verdict kept against their own appended fingerprints") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mediaarp").toString
