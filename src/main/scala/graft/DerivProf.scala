@@ -52,8 +52,13 @@ object DerivProf {
       runs += ((name, rep, dt, gs))
       println(f"[derivprof] $name rep=$rep sec=$dt%.2f gc_sec=$gs%.2f")
     }
+    // even lengths average the two middles (ADVICE r16): the upper-middle
+    // convention biased the 4-warm-rep median toward q121's SLOWER
+    // compiled-plan mode
     def med(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     val perQuery = names.map { n =>
       val rs = runs.filter(_._1 == n)

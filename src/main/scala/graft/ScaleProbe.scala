@@ -198,18 +198,20 @@ object ScaleProbe {
     }
     // ±95% half-width over per-query recalls (the stated interval of the
     // widened holdout rows, VERDICT r14 #6): the normal ±1.96·SE, FLOORED
-    // by the Wilson half-width over the pooled hit trials (ADVICE r15 —
-    // at an all-1.0 boundary the normal SE degenerates to ±0.000, a
-    // zero-width interval that overstates certainty; Wilson at p̂ = 1
-    // with N = k·n trials still leaves ≈ z²/N ≈ 1.5% downside at
-    // N = 250, which is the honest bound the row should state)
-    def holdoutCi95(rec: Array[Double], trialsPerQuery: Int = 5): Double = {
+    // by a Wilson half-width so an all-1.0 boundary never reports a
+    // zero-width interval. The Wilson N is the number of QUERIES, not
+    // queries×trials (ADVICE r16): a query's 5 hit trials are correlated
+    // (same neighborhood, and some queries have <5 true neighbors), so
+    // pooling them as independent Bernoulli draws understated the honest
+    // floor — per-query means as the draws is the conservative bound
+    // (≈ z²/n ≈ ±0.072 at n=50 all-1.0, vs the pooled ±0.015).
+    def holdoutCi95(rec: Array[Double]): Double = {
       val n = rec.length
       if (n < 2) return 0.0
       val mean = rec.sum / n
       val se = 1.96 * math.sqrt(
         rec.map(r => (r - mean) * (r - mean)).sum / (n.toDouble * (n - 1)))
-      val bigN = n.toDouble * trialsPerQuery
+      val bigN = n.toDouble
       val z = 1.96
       val p = math.min(1.0, math.max(0.0, mean))
       val denom = 1 + z * z / bigN

@@ -676,7 +676,11 @@ object StreamScaleProbe {
     if (want("media_ingest_audio")) locally {
       import spark.implicits._
       val audPath = s"$out/media-audio"
-      val audMult = math.max(5, docMult / 5)
+      // rounded UP to a multiple of 5: the wave key below groups clips in
+      // aligned runs of 5 byte-identical payloads, and a non-multiple
+      // audMult (e.g. docMult=32 → 6) silently breaks that geometry for
+      // the trailing clip of every doc (ADVICE r16)
+      val audMult = ((math.max(5, docMult / 5) + 4) / 5) * 5
       if (!new java.io.File(s"$audPath/_SUCCESS").exists()) {
         graft.sources.Tables.documents(spark, base).select(col("doc_id"))
           .select(col("doc_id"),

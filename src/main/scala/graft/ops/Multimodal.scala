@@ -1515,7 +1515,8 @@ object Multimodal {
     */
   def imageDedupVerdicts(
       batchHashes: DataFrame, path: String,
-      maxHamming: Int = MaxHamming): DataFrame = {
+      maxHamming: Int = MaxHamming,
+      onPin: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batchHashes.sparkSession
     val batch = batchHashes
       .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
@@ -1540,6 +1541,11 @@ object Multimodal {
       .filter(admissible)
       .groupBy("media_id").agg(min("ix_id").as("exact_of"))
       .localCheckpoint(true)
+    // The pinned block outlives this call (the returned plan reads it) —
+    // hand it to the caller so a streaming loop can Checkpoints.free it
+    // once the batch's routing appends land, instead of accruing one
+    // orphaned block per micro-batch until RDD GC (ADVICE r16).
+    onPin(exact)
     // Band-candidate PROBE side: only rows with NO admissible exact match.
     // The verdict combiner below discards near_of whenever exact_of exists
     // (exact wins both status and dup_of), so probing exact-matched rows
@@ -2117,7 +2123,8 @@ object Multimodal {
     */
   def audioDedupVerdicts(
       batchFps: DataFrame, path: String,
-      maxHamming: Int = MaxHamming): DataFrame = {
+      maxHamming: Int = MaxHamming,
+      onPin: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batchFps.sparkSession
     val batch = batchFps.select(col("media_id"), col("fp_hi"), col("fp_lo"))
     val batchIds = batch.select(col("media_id").as("bid"))
@@ -2137,6 +2144,8 @@ object Multimodal {
       .filter(admissible)
       .groupBy("media_id").agg(min("ix_id").as("exact_of"))
       .localCheckpoint(true)
+    // caller-freed once the batch lands, as in [[imageDedupVerdicts]]
+    onPin(exact)
     // band-pair probe side: only rows with NO admissible exact match
     // (exact wins both status and dup_of — probing them buys nothing,
     // and on re-crawl-dominated streams they ARE the batch)

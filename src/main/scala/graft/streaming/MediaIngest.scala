@@ -321,6 +321,7 @@ object MediaIngest {
           col("fp_hi"), col("fp_lo"))
         .localCheckpoint(true)
     locally {
+      val verdictPins = scala.collection.mutable.ArrayBuffer[DataFrame]()
       // only rows with NO inherited signature pay a codec: payload
       // copies inherit from their canonical, ix-known rows from their
       // pinned fetch — and a fetch MISS (see the pin note above) lands
@@ -417,14 +418,20 @@ object MediaIngest {
         // the band-pair multi-index (Multimodal.audioDedupVerdicts);
         // video: intra containment, then canonicals face the frame-hash
         // index
+        // the fused verdict passes pin their internal `exact` relation;
+        // collect those pins so the finally below frees their blocks when
+        // the batch lands, like knownImg/knownVid/knownAud (ADVICE r16 —
+        // previously they lingered until RDD GC, one block per micro-batch)
         val imgVerdicts =
           if (nImg > 0)
-            Multimodal.imageDedupVerdicts(imgAll, indexPath)
+            Multimodal.imageDedupVerdicts(imgAll, indexPath,
+              onPin = verdictPins += _)
           else Seq.empty[(Long, String, Option[Long])]
             .toDF("media_id", "status", "dup_of")
         val audVerdicts =
           if (nAud > 0)
-            Multimodal.audioDedupVerdicts(audAll, indexPath)
+            Multimodal.audioDedupVerdicts(audAll, indexPath,
+              onPin = verdictPins += _)
           else Seq.empty[(Long, String, Option[Long])]
             .toDF("media_id", "status", "dup_of")
         val (vidVerdicts, vintra) =
@@ -538,6 +545,7 @@ object MediaIngest {
         ahashed.unpersist()
         // the per-batch pins are superseded once the routing appends
         // land — free their blocks now, not at the next GC
+        verdictPins.foreach(graft.util.Checkpoints.free)
         if (nIxImg > 0) graft.util.Checkpoints.free(knownImg)
         if (nIxVid > 0) graft.util.Checkpoints.free(knownVid)
         if (nIxAud > 0) graft.util.Checkpoints.free(knownAud)
