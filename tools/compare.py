@@ -17,10 +17,28 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 # --skip q26,q32: exclude oracles whose DuckDB form is all-pairs/quadratic
 # and intractable at scaled volumes (the SPARK side still runs them; only
 # the cross-engine check is skipped, and each skip prints visibly)
-skip = set()
-if len(sys.argv) > 4 and sys.argv[3] == "--skip":
-    skip = {s for s in sys.argv[4].split(",") if s}
+# --only q38,q66: compare EXACTLY these prefixes (a subset Verify dump) —
+# without it a subset run reports every undumped query as "unreadable",
+# which is how the r16 gate chain masked a DuckDB death as "subset run"
+skip, only = set(), None
+args = sys.argv[3:]
+while args:
+    if args[0] == "--skip" and len(args) > 1:
+        skip = {s for s in args[1].split(",") if s}; args = args[2:]
+    elif args[0] == "--only" and len(args) > 1:
+        only = {s for s in args[1].split(",") if s}; args = args[2:]
+    else:
+        print(f"unknown arg {args[0]}"); sys.exit(2)
 con = duckdb.connect()
+# Bounded-memory oracle runs (r17, VERDICT r16 #2): the unhinted 3x q66
+# containment oracle killed the DuckDB process mid-suite. A memory limit
+# plus an explicit spill directory turns "process dies, log truncates"
+# into either a completed (slow) run or a visible per-query oracle error.
+if os.environ.get("DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+if os.environ.get("DUCKDB_TMP"):
+    os.makedirs(os.environ["DUCKDB_TMP"], exist_ok=True)
+    con.execute(f"SET temp_directory='{os.environ['DUCKDB_TMP']}'")
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f)[:-8]
     src = f"{f}/*.parquet" if os.path.isdir(f) else f  # SfScale dirs vs driver files
@@ -175,23 +193,41 @@ def cached_oracle(name, sql):
     return exp, None
 
 fails = 0
-for name in sorted(oracle):
+# COMPARE_JSON=<path>: per-query machine-readable record, written query by
+# query AS the compare runs (flush per line) — the round's commit-proof
+# correctness evidence (VERDICT r16 #1): a late cutoff or a dead process
+# leaves every completed query's row on disk instead of nothing.
+record_path = os.environ.get("COMPARE_JSON")
+record_f = open(record_path, "w") if record_path else None
+def record(name, status, detail):
+    if record_f:
+        record_f.write(json.dumps(
+            {"query": name, "status": status, "detail": detail}) + "\n")
+        record_f.flush()
+names = [n for n in sorted(oracle)
+         if only is None or any(n.startswith(p) for p in only)]
+for name in names:
     if any(name.startswith(p) for p in skip):
-        print(f"SKIP {name}: oracle excluded by --skip"); continue
+        print(f"SKIP {name}: oracle excluded by --skip")
+        record(name, "skip", "oracle excluded by --skip"); continue
     sql = oracle[name]
     try:
         got = con.execute(f"SELECT * FROM parquet_scan('{outdir}/{name}/*.parquet')").df()
     except Exception as e:
-        print(f"FAIL {name}: spark result unreadable: {e}"); fails += 1; continue
+        print(f"FAIL {name}: spark result unreadable: {e}"); fails += 1
+        record(name, "fail", f"spark result unreadable: {e}"); continue
     exp, err = cached_oracle(name, sql)
     if err:
-        print(f"FAIL {name}: {err}"); fails += 1; continue
+        print(f"FAIL {name}: {err}"); fails += 1
+        record(name, "fail", str(err)); continue
     if sorted(got.columns) != sorted(exp.columns):
-        print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"); fails += 1; continue
+        print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"); fails += 1
+        record(name, "fail", f"columns {sorted(got.columns)} != {sorted(exp.columns)}"); continue
     got = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
     exp = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
     if len(got) != len(exp):
-        print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1; continue
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1
+        record(name, "fail", f"rows {len(got)} != {len(exp)}"); continue
     bad = []
     for c in got.columns:
         g, e = got[c], exp[c]
@@ -204,7 +240,12 @@ for name in sorted(oracle):
             bad.append(f"col {c} row {i}: spark={g.iloc[i]!r} oracle={e.iloc[i]!r} ({int((~eq).sum())} diffs)")
     if bad:
         print(f"FAIL {name}: " + "; ".join(bad[:3])); fails += 1
+        record(name, "fail", "; ".join(bad[:3]))
     else:
         print(f"OK   {name} ({len(got)} rows)")
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+        record(name, "ok", f"{len(got)} rows, schema+values match")
+print(f"\n{len(names) - fails}/{len(names)} queries match")
+if record_f:
+    record(None, "done", f"{len(names) - fails}/{len(names)} queries match")
+    record_f.close()
 sys.exit(1 if fails else 0)
