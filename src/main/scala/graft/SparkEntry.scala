@@ -576,6 +576,18 @@ object SparkEntry {
     // is the quality gate
     "q125_quality_classifier_score" -> ((s, dir) =>
       Curate.qualityClassifierScore(Tables.documents(s, dir))),
+    // multi-class language/domain labeler (r17, VERDICT r16 #4): K-class
+    // one-vs-rest over the q124 hashed-feature stream — the fastText
+    // langid gate shape. Classes are the sample's distinct `lang`
+    // values, carried as a cls COLUMN through training so the oracle
+    // mirrors on any corpus geometry; per-class weight table is the
+    // oracle artifact
+    "q126_lang_classifier" -> ((s, dir) =>
+      Curate.langClassifierWeights(Tables.documents(s, dir))),
+    // …argmax labeling of the full corpus: min(struct(−score, cls)) —
+    // one combinable aggregation per doc, no window shuffle
+    "q127_lang_classifier_label" -> ((s, dir) =>
+      Curate.langClassifierLabel(Tables.documents(s, dir))),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -908,5 +920,7 @@ object SparkEntry {
     "q123_bpe_deep_merges" -> graft.ops.BPE.bpeDeepMergesSql(),
     "q124_quality_classifier" -> Curate.qualityClassifierWeightsSql(),
     "q125_quality_classifier_score" -> Curate.qualityClassifierScoreSql(),
+    "q126_lang_classifier" -> Curate.langClassifierWeightsSql(),
+    "q127_lang_classifier_label" -> Curate.langClassifierLabelSql(),
   )
 }

@@ -764,4 +764,246 @@ object Curate {
        |  COALESCE(sc.score, 0) > 0 AS predicted
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // MULTI-CLASS language/domain labeler (r17, VERDICT r16 #4): K-class
+  // one-vs-rest over the SAME hashed-unigram feature stream and the same
+  // exact-fixed-point gradient machinery as q124/q125 — per production
+  // pipelines' trained language-ID gates (the fastText langid shape,
+  // linearized like q124 per the q89/q90 precedent). The class set is
+  // DATA-DRIVEN: distinct `lang` values of the training sample, carried
+  // through every stage as a `cls` COLUMN (not a per-class namespace), so
+  // one DataFrame program trains all K weight vectors at once and the
+  // SQL mirror works unchanged on any corpus geometry (fuzz corpora
+  // included). Each iteration is two sample-sized aggregations over the
+  // (doc × class) grid (≤ trainCap·K rows); the model sync is ≤
+  // K·QcBuckets longs per iteration — the model, not data. Labeling is
+  // one broadcast join over the corpus feature stream (K rows per
+  // feature, map-side-combined into per-(doc, cls) scores) and an argmax
+  // as min(struct(−score, cls)) — a single combinable aggregation, no
+  // per-doc window shuffle.
+  // ------------------------------------------------------------------
+
+  /** The shared raw feature stream — (doc_id, f, x) without a label
+    * column: x = tf·1e6 // n_tokens on the q90 hashed-unigram buckets.
+    */
+  private def lcFeats(docs: DataFrame, buckets: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    docs
+      .select(col("doc_id"),
+        filter(tokens(coalesce(col("text"), lit(""))),
+          t => length(t) > 0).as("toks"))
+      .withColumn("len", size(col("toks")).cast("long"))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("len"), explode(col("toks")).as("tok"))
+      .withColumn("f",
+        conv(substring(md5(col("tok")), 1, 5), 16, 10).cast("long") % buckets)
+      .groupBy("doc_id", "len", "f")
+      .agg(count(lit(1)).as("tf"))
+      .selectExpr("doc_id", "f", s"(tf * ${QcScale}L) div len AS x")
+  }
+
+  /** Deterministic hash-ordered training sample keeping the label column
+    * (salt "lc|" — independent of the q124 sample's "qc|").
+    */
+  private def lcSample(documents: DataFrame, cap: Int): (DataFrame, Long) = {
+    val s = documents
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(concat(lit("lc|"), col("doc_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(cap)
+      .drop("h")
+      .repartition(col("doc_id"))
+      .localCheckpoint(true)
+    (s, s.count())
+  }
+
+  /** Train the K-class one-vs-rest labeler; returns the per-class weight
+    * table (cls, f, w) — the oracle-checked model artifact (q126). Per
+    * class c the math is exactly [[qualityClassifierWeights]] with
+    * y = +1 iff lang = c: margins and gradients carry `cls` as a
+    * grouping column, so all K vectors train in the same two
+    * aggregations per iteration. The driver sync collects ≤ K·buckets
+    * (cls, f, gm) rows per iteration.
+    */
+  def langClassifierWeights(
+      documents: DataFrame, buckets: Int = QcBuckets,
+      iters: Int = QcIters, eta: Long = QcEta,
+      trainCap: Int = QcTrainCap): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (samp, n) = lcSample(documents, trainCap)
+    val feats = lcFeats(samp, buckets).localCheckpoint(true)
+    try {
+      val classes = samp.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val ycls = samp.select(col("doc_id"), col("lang"))
+        .crossJoin(broadcast(classes.toSeq.toDF("cls")))
+        .select(col("doc_id"), col("cls"),
+          when(col("lang") === col("cls"), 1L).otherwise(-1L).as("y"))
+      var w = Map.empty[(String, Long), Long]
+      for (_ <- 1 to iters) {
+        val wDf = w.toSeq.map { case ((c, f), v) => (c, f, v) }
+          .toDF("cls", "f", "wf")
+        val rq = ycls
+          .join(feats, Seq("doc_id"))
+          .join(broadcast(wDf), Seq("cls", "f"), "left")
+          .groupBy("doc_id", "cls", "y")
+          .agg(sum(col("x") * coalesce(col("wf"), lit(0L))).as("m"))
+          .selectExpr("doc_id", "cls",
+            fdivExpr(s"m - y * ${QcScale}L * ${QcScale}L", s"${QcScale}L")
+              + " AS rq")
+        val grad = feats.join(rq, Seq("doc_id"))
+          .groupBy("cls", "f").agg(sum(col("rq") * col("x")).as("g"))
+          .selectExpr("cls", "f",
+            fdivExpr("g", s"${n}L * ${QcScale}L") + " AS gm")
+          .collect()
+        w = grad.map { r =>
+          val k = (r.getString(0), r.getLong(1))
+          k -> (w.getOrElse(k, 0L) - eta * r.getLong(2))
+        }.toMap
+      }
+      w.toSeq.sortBy(_._1).map { case ((c, f), v) => (c, f, v) }
+        .toDF("cls", "f", "w")
+    } finally {
+      graft.util.Checkpoints.free(feats)
+      graft.util.Checkpoints.free(samp)
+    }
+  }
+
+  /** Label the FULL corpus with the trained K-class model (q127):
+    * score(d, c) = Σ_f x·w_c, pred_lang = argmax_c (ties → smallest
+    * class name; a doc with no trained feature scores 0 everywhere and
+    * takes the smallest class, mirrored by the oracle's COALESCE). The
+    * argmax is min(struct(−score, cls)) — one map-side-combinable
+    * aggregation, no window shuffle.
+    */
+  def langClassifierLabel(
+      documents: DataFrame, buckets: Int = QcBuckets,
+      iters: Int = QcIters, eta: Long = QcEta,
+      trainCap: Int = QcTrainCap): DataFrame = {
+    val w = langClassifierWeights(documents, buckets, iters, eta, trainCap)
+    val minCls = w.sparkSession.sparkContext.broadcast(
+      w.select(min(col("cls"))).head().getString(0))
+    val scores = lcFeats(
+        documents.select(col("doc_id"), col("text")), buckets)
+      .join(broadcast(w), Seq("f")) // inner: absent features add 0 to every class
+      .groupBy("doc_id", "cls")
+      .agg(sum(col("x") * col("w")).as("score"))
+    val best = scores
+      .groupBy("doc_id")
+      .agg(min(struct((-col("score")).as("ns"), col("cls"))).as("b"))
+      .select(col("doc_id"), col("b.cls").as("pred"),
+        (-col("b.ns")).as("bscore"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred"), lit(minCls.value)).as("pred_lang"),
+        coalesce(col("bscore"), lit(0L)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** The multi-class training CTE chain — the q124 unrolled-iteration
+    * recipe with `cls` as a column: classes from the sample's distinct
+    * labels, (doc × class) one-vs-rest targets, per-(cls, f) gradients.
+    * Mirrored term-for-term against [[langClassifierWeights]].
+    */
+  private def lcCtesSql(
+      buckets: Int, iters: Int, eta: Long, trainCap: Int): String = {
+    val S = QcScale
+    val base =
+      s"""lsamp AS (
+         |  SELECT doc_id, lang, COALESCE(text, '') AS text
+         |  FROM documents
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY md5('lc|' || CAST(doc_id AS VARCHAR)), doc_id)
+         |    <= $trainCap),
+         |lnn AS (SELECT COUNT(*) AS n FROM lsamp),
+         |lclasses AS (SELECT DISTINCT lang AS cls FROM lsamp),
+         |ltoks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+         |  FROM lsamp),
+         |lfeats AS (
+         |  SELECT doc_id, f, (tf * $S) // len AS x
+         |  FROM (
+         |    SELECT doc_id, len, ('0x' || substr(md5(u.tok), 1, 5))::BIGINT % $buckets AS f,
+         |      COUNT(*) AS tf
+         |    FROM (SELECT doc_id, toks, len(toks) AS len FROM ltoks WHERE len(toks) > 0) t,
+         |      LATERAL (SELECT unnest(toks) AS tok) u
+         |    GROUP BY 1, 2, 3)),
+         |lycls AS (
+         |  SELECT s.doc_id, c.cls,
+         |    CASE WHEN s.lang = c.cls THEN 1 ELSE -1 END AS y
+         |  FROM lsamp s CROSS JOIN lclasses c)""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      val rqCte =
+        if (t == 1)
+          // w0 = 0 ⇒ rq = ⌊−y·1e12/1e6⌋ = −y·1e6 exactly, for every
+          // (doc-with-features × class) pair
+          s"""lrq$t AS (
+             |  SELECT y.doc_id, y.cls, -y.y * CAST($S AS BIGINT) AS rq
+             |  FROM lycls y JOIN (SELECT DISTINCT doc_id FROM lfeats) d USING (doc_id))"""
+            .stripMargin
+        else
+          s"""lm$t AS (
+             |  SELECT y.doc_id, y.cls, y.y, SUM(t.x * COALESCE(w.w, 0)) AS m
+             |  FROM lycls y JOIN lfeats t USING (doc_id)
+             |  LEFT JOIN lw${t - 1} w ON w.cls = y.cls AND w.f = t.f
+             |  GROUP BY 1, 2, 3),
+             |lrq$t AS (
+             |  SELECT doc_id, cls, ${fdivSql(s"m - y * CAST($S AS BIGINT) * CAST($S AS BIGINT)", s"CAST($S AS BIGINT)")} AS rq
+             |  FROM lm$t)""".stripMargin
+      val prevW = if (t == 1) "0" else s"COALESCE(w.w, 0)"
+      val joinPrev =
+        if (t == 1) ""
+        else s" LEFT JOIN lw${t - 1} w ON w.cls = g.cls AND w.f = g.f"
+      s"""$rqCte,
+         |lg$t AS (
+         |  SELECT r.cls, t.f, SUM(r.rq * t.x) AS g
+         |  FROM lfeats t JOIN lrq$t r USING (doc_id)
+         |  GROUP BY 1, 2),
+         |lw$t AS (
+         |  SELECT g.cls, g.f, $prevW - $eta * ${fdivSql("g.g", s"lnn.n * CAST($S AS BIGINT)")} AS w
+         |  FROM lg$t g$joinPrev CROSS JOIN lnn)""".stripMargin
+    }
+    (base +: iterCtes).mkString(",\n")
+  }
+
+  def langClassifierWeightsSql(
+      buckets: Int = QcBuckets, iters: Int = QcIters, eta: Long = QcEta,
+      trainCap: Int = QcTrainCap): String =
+    s"""WITH ${lcCtesSql(buckets, iters, eta, trainCap)}
+       |SELECT cls, f, CAST(w AS BIGINT) AS w FROM lw$iters
+       |ORDER BY cls, f""".stripMargin
+
+  def langClassifierLabelSql(
+      buckets: Int = QcBuckets, iters: Int = QcIters, eta: Long = QcEta,
+      trainCap: Int = QcTrainCap): String =
+    s"""WITH ${lcCtesSql(buckets, iters, eta, trainCap)},
+       |latoks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(COALESCE(text, ''))), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |lafeats AS (
+       |  SELECT doc_id, f, (tf * ${QcScale}) // len AS x
+       |  FROM (
+       |    SELECT doc_id, len, ('0x' || substr(md5(u.tok), 1, 5))::BIGINT % $buckets AS f,
+       |      COUNT(*) AS tf
+       |    FROM (SELECT doc_id, toks, len(toks) AS len FROM latoks WHERE len(toks) > 0) t,
+       |      LATERAL (SELECT unnest(toks) AS tok) u
+       |    GROUP BY 1, 2, 3)),
+       |lpsc AS (
+       |  SELECT t.doc_id, w.cls, SUM(t.x * w.w) AS score
+       |  FROM lafeats t JOIN lw$iters w USING (f)
+       |  GROUP BY 1, 2),
+       |lbest AS (
+       |  SELECT doc_id, cls, score FROM lpsc
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, cls) = 1)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(b.cls, (SELECT MIN(cls) FROM lclasses)) AS pred_lang,
+       |  CAST(COALESCE(b.score, 0) AS BIGINT) AS score
+       |FROM documents d LEFT JOIN lbest b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }
