@@ -364,6 +364,75 @@ class MediaIngestSpec extends SparkSpec {
     assert(ab.count() == 3 * 36, ab.count())
   }
 
+  test("hostile audio payloads (r17, VERDICT r16 #7): truncated header, " +
+    "zero-length (byte-identical pair), and wrong bit depth all route " +
+    "decode_error without disturbing valid rows; byte-identical bytes " +
+    "under different declared kinds canonicalize per kind") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediahostile")
+      .toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    // 8-bit WAV: a valid container whose declared sample size the decode
+    // contract rejects — patch bitsPerSample (offset 34, LE) in the
+    // canonical 44-byte RIFF header the JDK writes
+    val wav8 = { val b = wav(2).clone(); b(34) = 8; b }
+    val m0 = MediaIngest.processBatch(
+      mediaDf(
+        (1L, "audio", wav(1)),                    // valid → kept
+        (2L, "audio", wav(1).take(16)),           // truncated mid-header
+        (3L, "audio", Array.empty[Byte]),         // zero-length canonical
+        (4L, "audio", Array.empty[Byte]),         // byte-identical copy of 3
+        (5L, "audio", wav8),                      // wrong bit depth
+        (6L, "audio", wav(3)),                    // valid → kept
+        (7L, "image", wav(3))),                   // same bytes, image kind
+      0L, dir, sink)
+    // 6 audio + 1 image examined; 2,3,5,7 fail their codecs, 4 inherits
+    // decode_error from its byte-identical canonical 3 WITHOUT a second
+    // decode; 7 must NOT inherit audio 6's signature (canonicalization is
+    // per (payload_hash, kind))
+    assert(m0.nAudios == 6 && m0.nImages == 1 && m0.nDecodeErr == 5 &&
+      m0.nExactDup == 0 && m0.nNearDup == 0 && m0.nAccepted == 2, m0)
+    assert(sink.tables("accepted_media").map(_.getLong(0)).toSet ==
+      Set(1L, 6L))
+    assert(sink.tables("rejected_media").map(r =>
+      (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "decode_error"), (3L, "decode_error"), (4L, "decode_error"),
+        (5L, "decode_error"), (7L, "decode_error")))
+    // only the kept clips reached the fingerprint index
+    val ix = spark.read.parquet(s"$dir/asig").select("ix_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ix == Set(1L, 6L), ix)
+  }
+
+  test("cross-kind payload-index hash match heals via the sig-fetch-miss " +
+    "fallback: an indexed audio clip's bytes arriving declared image " +
+    "decode as an image (and dead-letter), never inherit the audio " +
+    "signature") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediaxkind")
+      .toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    val m0 = MediaIngest.processBatch(
+      mediaDf((1L, "audio", wav(1))), 0L, dir, sink)
+    assert(m0.nAccepted == 1)
+    // batch 1: wav(1)'s bytes hash-match the payload index (ix_id=1) but
+    // the row declares kind=image, so the signature fetch against sig/
+    // misses (clip 1 lives in asig/) — the orphaned-payload fallback must
+    // route the row through the image codec, which fails → decode_error
+    MediaCodec.decodeCalls.set(0)
+    val m1 = MediaIngest.processBatch(
+      mediaDf((10L, "image", wav(1))), 1L, dir, sink)
+    assert(m1.nDecodeErr == 1 && m1.nAccepted == 0, m1)
+    assert(sink.tables("rejected_media").map(r =>
+      (r.getLong(0), r.getString(1))).toSet == Set((10L, "decode_error")))
+    assert(MediaCodec.decodeCalls.get() >= 1,
+      "fallback did not decode the fetch-miss row")
+    // the audio index is untouched by the failed image
+    val ix = spark.read.parquet(s"$dir/asig").select("ix_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ix == Set(1L), ix)
+  }
+
   test("audio payload-gate A/B arms yield bit-identical verdicts and " +
     "asig/abands index contents on the same stream (the image A/B " +
     "contract extended to the audio relations, r16)") {
