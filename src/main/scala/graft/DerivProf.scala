@@ -15,13 +15,22 @@ import org.apache.spark.sql.SparkSession
   * Bench pass), so cold-vs-warm splits the derivation cost out of the
   * serving cost; GC deltas split allocator pressure out of both.
   *
-  * Usage: runMain graft.DerivProf [sfDir] [reps]   (default sf0.1, 5)
+  * Usage: runMain graft.DerivProf [sfDir] [reps] [key=value ...]
+  * (default sf0.1, 5). Trailing key=value args are applied as session
+  * confs BEFORE any query runs — the r17 knob harness for the q121
+  * bimodal-JIT experiment (VERDICT r16 #3): e.g.
+  * `spark.sql.codegen.hugeMethodLimit=8000`,
+  * `spark.sql.codegen.wholeStage=false`. The conf set is echoed into
+  * the JSON artifact so each committed arm names its knob.
+  * SPARK_GRAFT_DERIVPROF_QUERIES (comma list) narrows the query set.
   * Output: one JSON line (grep '^{').
   */
 object DerivProf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val confs = args.drop(2).filter(_.contains("="))
+      .map { a => val i = a.indexOf('='); (a.take(i), a.drop(i + 1)) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,6 +38,7 @@ object DerivProf {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     // the Bench warmup
     spark.range(1 << 18).selectExpr("sum(id)").collect()
     graft.sources.Tables.lineitem(spark, sfDir).limit(1000)
@@ -39,7 +49,9 @@ object DerivProf {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    val names = Seq("q36_ann_ivf_topk", "q121_ann_ivf_derived_subbucket")
+    val names = sys.env.get("SPARK_GRAFT_DERIVPROF_QUERIES")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq("q36_ann_ivf_topk", "q121_ann_ivf_derived_subbucket"))
     val runs = scala.collection.mutable.ArrayBuffer[(String, Int, Double, Double)]()
     for (rep <- 0 until reps; name <- names) {
       val fn = SparkEntry.queries(name)
@@ -72,7 +84,9 @@ object DerivProf {
         f""""median_sec": ${med(rs.map(_._3).toSeq)}%.2f, """ +
         f""""gc_median_sec": ${med(gcAll.toSeq)}%.2f, "reps": $repJson}"""
     }.mkString("{", ", ", "}")
-    println(s"""{"metric":"derivprof","sf":"$sfDir","reps":$reps,"queries":$perQuery}""")
+    val confJson = confs.map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ", ", "}")
+    println(s"""{"metric":"derivprof","sf":"$sfDir","reps":$reps,"conf":$confJson,"queries":$perQuery}""")
     spark.stop()
   }
 }
