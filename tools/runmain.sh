@@ -14,7 +14,9 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS \
+# SPARK_GRAFT_JVM_EXTRA: extra JVM flags (e.g. -XX:-DontCompileHugeMethods
+# for the r17 q121 JIT experiment) — probe arms only, never a default
+exec java $OPENS ${SPARK_GRAFT_JVM_EXTRA:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" -XX:ReservedCodeCacheSize=512m \
   -cp "$CP" "$@"
