@@ -80,7 +80,7 @@ object Bench {
         else names.map(n => "\"" + n + "\":" +
             runsOf(n).map(v => f"$v%.3f").mkString("[", ",", "]"))
           .mkString(""","runs":{""", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$runsJson,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpus,"queries":$qs$runsJson,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
     }
     // stdout gets the COMPACT form — keys abbreviated to the qNN prefix,
     // values to milliseconds, no runs array — because the round harness
