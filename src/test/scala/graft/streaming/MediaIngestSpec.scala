@@ -470,6 +470,38 @@ class MediaIngestSpec extends SparkSpec {
     assert(on == off, s"arms diverged:\n gated=$on\n control=$off")
   }
 
+  test("per-batch pinned blocks are freed once the batch lands: no " +
+    "persistent RDD storage accumulates across micro-batches (ADVICE " +
+    "r16 - the fused verdict passes' pinned exact relations included)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediapins").toString
+    MediaIngest.initIndex(spark, dir)
+    val sink = new InMemorySink
+    def pinnedStorageCount(): Int = {
+      import scala.jdk.CollectionConverters._
+      System.gc() // localCheckpoint blocks don't need GC to unpersist, but
+      // a Dataset-level .unpersist noop leaves the RDD entry; count only
+      // entries still holding a non-NONE storage level
+      spark.sparkContext.getPersistentRDDs.values
+        .count(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    }
+    val before = pinnedStorageCount()
+    // mixed batches: images + audio so BOTH fused verdict passes pin,
+    // batch 1 re-crawls batch 0 so the ix-known fetch pins fire too
+    MediaIngest.processBatch(
+      mediaDf((1L, "audio", wav(1)), (2L, "image", png(baseF)),
+        (3L, "audio", wav(2))), 0L, dir, sink)
+    MediaIngest.processBatch(
+      mediaDf((10L, "audio", wav(1)), (11L, "image", png(baseF)),
+        (12L, "audio", wav(3)), (13L, "image", png(otherF))), 1L, dir, sink)
+    val after = pinnedStorageCount()
+    assert(after <= before,
+      s"pinned storage grew across batches: $before -> $after (" +
+        spark.sparkContext.getPersistentRDDs.values
+          .filter(_.getStorageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE)
+          .map(r => s"${r.id}:${r.name}").mkString(", ") + ")")
+  }
+
   test("replayed audio batch is idempotent for routing: kept clips " +
     "re-verdict kept against their own appended fingerprints") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mediaarp").toString
