@@ -10,7 +10,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parsed ONCE, fail-fast (ADVICE r17: the raw env string was
+    // interpolated unquoted into the JSON line, so '*' or stray
+    // whitespace produced invalid JSON the sf1/frozen consumers die on)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim.toIntOption
+      .getOrElse(sys.error(
+        s"SPARK_GRAFT_CPUS must be a bare integer (local[*] is not " +
+          s"supported here - bench thread counts must be recordable), got " +
+          s"'${sys.env("SPARK_GRAFT_CPUS")}'"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -93,6 +93,59 @@ object IvfTune {
     val dnp = graft.ops.Similarity.derivedNprobe(emb, budget)
     println(s"[ivftune] derivedNprobe=$dnp" +
       (if (dnp == -1) " (DEGRADE: exact probe-all-cells)" else ""))
+    // r18 (VERDICT r17 #3): the TRAINED-cell router measured with the
+    // SAME tune machinery — grid, derived np, and a 5-rep interleaved
+    // wall-clock A/B of the current q36 serving vs trained-probed
+    // serving at the trained-derived np. Opt-in via a "trained" arg.
+    if (args.contains("trained")) {
+      val kk = graft.ops.KMeans.adaptiveK(n)
+      val tg = graft.ops.KMeans.trainedTuneGridRows(emb, kk)
+      tg.foreach { case (np, h) =>
+        println(s"[ivftune] trained-grid np=$np hits=$h/" +
+          s"${graft.ops.Similarity.TuneQueries * graft.ops.Similarity.TuneK}")
+      }
+      val tnp = graft.ops.KMeans.derivedNprobeTrained(emb, kk)
+      println(s"[ivftune] trained k=$kk derivedNprobeTrained=$tnp" +
+        (if (tnp == -1) " (trained router ALSO misses the bar)" else ""))
+      if (tnp > 0) {
+        // holdout recall of the trained-probed serving at tnp
+        val truthH = graft.ops.Similarity.bruteForceTopK(
+          emb, graft.ops.Similarity.TuneQueries + 50,
+          graft.ops.Similarity.TuneK)
+          .filter(col("query_id") >= graft.ops.Similarity.TuneQueries)
+          .select(col("query_id"), col("neighbor_id"))
+        val gotH = graft.ops.KMeans.ivfTopKTrainedProbed(
+            emb, graft.ops.Similarity.TuneK, tnp, kk)
+          .filter(col("query_id") >= graft.ops.Similarity.TuneQueries &&
+            col("query_id") < graft.ops.Similarity.TuneQueries + 50)
+          .select(col("query_id"), col("neighbor_id"))
+        val hitsH = gotH.join(truthH, Seq("query_id", "neighbor_id")).count()
+        println(f"[ivftune] trained@np=$tnp holdout recall@5 = $hitsH/250 " +
+          f"= ${hitsH / 250.0}%.3f")
+      }
+      // interleaved A/B medians: current q36 serving vs trained serving
+      def time(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val reps = 5
+      val cur = scala.collection.mutable.ArrayBuffer[Double]()
+      val trn = scala.collection.mutable.ArrayBuffer[Double]()
+      for (_ <- 1 to reps) {
+        spark.catalog.clearCache()
+        cur += time(graft.ops.Similarity.ivfTopKAdaptive(emb).count())
+        spark.catalog.clearCache()
+        trn += time(
+          if (tnp > 0)
+            graft.ops.KMeans.ivfTopKTrainedProbed(emb, 3, tnp, kk).count()
+          else graft.ops.Similarity.ivfTopKAdaptive(emb).count())
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      println(f"[ivftune] A/B medians over $reps interleaved reps: " +
+        f"current=${med(cur.toSeq)}%.2fs runs=${cur.map(x => f"$x%.2f").mkString(",")} " +
+        f"trained=${med(trn.toSeq)}%.2fs runs=${trn.map(x => f"$x%.2f").mkString(",")}")
+      spark.stop()
+      return
+    }
     val t1 = System.nanoTime()
     val insample = graft.ops.Similarity.annRecall(emb)
       .agg(avg("recall")).head().getDouble(0)

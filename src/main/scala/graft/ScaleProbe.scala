@@ -547,6 +547,23 @@ object ScaleProbe {
           val r = graft.ops.NearDup.derivedCapJoinAudit(docs).head()
           (1L, s"""{"derived_cap": ${r.getLong(0)}, "est_joined_rows": ${r.getLong(1)}, "measured_joined_rows": ${r.getLong(2)}}""")
         })
+      // r18 (VERDICT r17 #4): measured scale evidence for the trained
+      // classifier family (q124–q127) — training wall must stay ~FLAT
+      // across decades (every gradient aggregation is bounded by the
+      // hash-ordered 4096-doc sample; only the sample SELECTION scans the
+      // corpus), while labeling grows ~linearly (one token featurize +
+      // one broadcast-weights join over the full corpus). The info row
+      // counts the driver sync: classes·buckets longs per iteration.
+      timeInfo(s"$label classifier_train")({
+        val w = graft.ops.Curate.langClassifierWeights(docs).collect()
+        val k = w.map(_.getString(0)).distinct.length
+        (w.length.toLong,
+          s"""{"classes": $k, "weight_rows": ${w.length}, "sync_longs_per_iter_bound": ${k * graft.ops.Curate.QcBuckets}}""")
+      })
+      time(s"$label classifier_label")(
+        graft.ops.Curate.langClassifierLabel(docs).count())
+      time(s"$label quality_classifier_score")(
+        graft.ops.Curate.qualityClassifierScore(docs).count())
     }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALEPROBE_OUT", "SCALEPROBE.json")
     val rows = measurements.map { case (name, n, dt, info) =>

@@ -551,6 +551,18 @@ object Curate {
   val QcEta = 8L      // update = w − Eta·mean-gradient (integer multiply)
   val QcTrainCap = 4096
   val QcScale = 1000000L // the 1e6 fixed-point scale (QuantizedDot convention)
+  /** Hard ceiling on the K-class labeler's class count (VERDICT r17
+    * watch item: the class set is data-driven, so a pathological corpus
+    * where every sampled doc carries a unique label made K = trainCap —
+    * a ~16.7M-row one-vs-rest grid per iteration and a K·256-long driver
+    * sync). Classes are the top-`QcMaxClasses` sample labels by
+    * frequency (ties to the smaller name — deterministic); rarer labels
+    * train as negatives for every kept class, the standard "other" bucket
+    * of production language-ID gates. 64 covers real language mixes
+    * (CommonCrawl's CCNet buckets ~60 languages) while bounding the
+    * training grid at trainCap·64 rows and the sync at 64·256 longs.
+    */
+  val QcMaxClasses = 64
 
   /** Floor-division SQL fragment (both engines' `%` truncates toward
     * zero, so `(a − ((a % b) + b) % b) / b` floors identically for
@@ -775,9 +787,12 @@ object Curate {
   // through every stage as a `cls` COLUMN (not a per-class namespace), so
   // one DataFrame program trains all K weight vectors at once and the
   // SQL mirror works unchanged on any corpus geometry (fuzz corpora
-  // included). Each iteration is two sample-sized aggregations over the
-  // (doc × class) grid (≤ trainCap·K rows); the model sync is ≤
-  // K·QcBuckets longs per iteration — the model, not data. Labeling is
+  // included), bounded at the top-[[QcMaxClasses]] sample labels by
+  // frequency (r18 — rarer labels train as all-negative "other" docs,
+  // null labels are never classes). Each iteration is two sample-sized
+  // aggregations over the (doc × class) grid (≤ trainCap·K rows); the
+  // model sync is ≤ K·QcBuckets longs per iteration — the model, not
+  // data. Labeling is
   // one broadcast join over the corpus feature stream (K rows per
   // feature, map-side-combined into per-(doc, cls) scores) and an argmax
   // as min(struct(−score, cls)) — a single combinable aggregation, no
@@ -829,20 +844,38 @@ object Curate {
   def langClassifierWeights(
       documents: DataFrame, buckets: Int = QcBuckets,
       iters: Int = QcIters, eta: Long = QcEta,
-      trainCap: Int = QcTrainCap): DataFrame = {
+      trainCap: Int = QcTrainCap): DataFrame =
+    lcTrain(documents, buckets, iters, eta, trainCap)._1
+
+  /** The sample's class set: top-[[QcMaxClasses]] non-null labels by
+    * frequency (count desc, then name asc — deterministic), returned
+    * name-sorted. Null labels never become classes (ADVICE r17: a fuzz
+    * corpus with null `lang` NPE'd here while the SQL mirror's DISTINCT
+    * carried a NULL class); docs with a null or uncapped-rare label stay
+    * in the sample as all-negative examples.
+    */
+  private def lcClasses(samp: DataFrame): Array[String] =
+    samp.filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("lang"))
+      .limit(QcMaxClasses)
+      .collect().map(_.getString(0)).sorted
+
+  private def lcTrain(
+      documents: DataFrame, buckets: Int, iters: Int, eta: Long,
+      trainCap: Int): (DataFrame, Array[String]) = {
     val spark = documents.sparkSession
     import spark.implicits._
     val (samp, n) = lcSample(documents, trainCap)
     val feats = lcFeats(samp, buckets).localCheckpoint(true)
     try {
-      val classes = samp.select(col("lang")).distinct()
-        .collect().map(_.getString(0)).sorted
+      val classes = lcClasses(samp)
       val ycls = samp.select(col("doc_id"), col("lang"))
         .crossJoin(broadcast(classes.toSeq.toDF("cls")))
         .select(col("doc_id"), col("cls"),
           when(col("lang") === col("cls"), 1L).otherwise(-1L).as("y"))
       var w = Map.empty[(String, Long), Long]
-      for (_ <- 1 to iters) {
+      for (_ <- 1 to iters if classes.nonEmpty) {
         val wDf = w.toSeq.map { case ((c, f), v) => (c, f, v) }
           .toDF("cls", "f", "wf")
         val rq = ycls
@@ -863,8 +896,8 @@ object Curate {
           k -> (w.getOrElse(k, 0L) - eta * r.getLong(2))
         }.toMap
       }
-      w.toSeq.sortBy(_._1).map { case ((c, f), v) => (c, f, v) }
-        .toDF("cls", "f", "w")
+      (w.toSeq.sortBy(_._1).map { case ((c, f), v) => (c, f, v) }
+        .toDF("cls", "f", "w"), classes)
     } finally {
       graft.util.Checkpoints.free(feats)
       graft.util.Checkpoints.free(samp)
@@ -882,9 +915,14 @@ object Curate {
       documents: DataFrame, buckets: Int = QcBuckets,
       iters: Int = QcIters, eta: Long = QcEta,
       trainCap: Int = QcTrainCap): DataFrame = {
-    val w = langClassifierWeights(documents, buckets, iters, eta, trainCap)
-    val minCls = w.sparkSession.sparkContext.broadcast(
-      w.select(min(col("cls"))).head().getString(0))
+    val (w, classes) = lcTrain(documents, buckets, iters, eta, trainCap)
+    // fallback class from the CLASS SET, not the weight table (ADVICE
+    // r17: a sample where no doc has tokens leaves the weight table
+    // empty, so min-over-weights was null while the SQL mirror fell back
+    // to MIN(lclasses)); classes is name-sorted, so head = min. A corpus
+    // with no classes at all (every sampled lang null) labels NULL in
+    // both engines.
+    val minCls = w.sparkSession.sparkContext.broadcast(classes.headOption.orNull)
     val scores = lcFeats(
         documents.select(col("doc_id"), col("text")), buckets)
       .join(broadcast(w), Seq("f")) // inner: absent features add 0 to every class
@@ -919,7 +957,9 @@ object Curate {
          |    ORDER BY md5('lc|' || CAST(doc_id AS VARCHAR)), doc_id)
          |    <= $trainCap),
          |lnn AS (SELECT COUNT(*) AS n FROM lsamp),
-         |lclasses AS (SELECT DISTINCT lang AS cls FROM lsamp),
+         |lclasses AS (
+         |  SELECT lang AS cls FROM lsamp WHERE lang IS NOT NULL
+         |  GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT $QcMaxClasses),
          |ltoks AS (
          |  SELECT doc_id,
          |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks

@@ -662,33 +662,44 @@ object Similarity {
     val key = (embeddings.queryExecution.analyzed, budget)
     tuneCache.computeIfAbsent(key, _ => {
       val p = adaptiveSubPlanes(embeddings.count(), budget)
-      val ranked = ivfCellsRanked(embeddings, MaxDerivedNprobe, p)
-      val emb2 = embeddings.select(col("vec_id"), col("embedding"))
-      val qside = emb2.filter(col("vec_id") < TuneQueries).join(ranked, "vec_id")
-        .toDF("query_id", "query_emb", "cell_a", "cell_rank")
-      val home = emb2.join(ranked.filter(col("cell_rank") === 1), "vec_id")
-        .toDF("neighbor_id", "emb_b", "cell_b", "crb")
-      // a (query, neighbor) pair meets at most once (one home cell), so
-      // cell_rank is THE rank of the neighbor's cell in the query's probe
-      // order — filtering cell_rank ≤ np reproduces the np-probe search
-      val cand = qside.join(home,
-          col("cell_a") === col("cell_b") && col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("cell_rank"), col("neighbor_id"),
-          dot(col("query_emb"), col("emb_b")).as("cosine"))
-      val w = Window.partitionBy(col("query_id"), col("np"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      val topk = cand
-        .withColumn("np", explode(sequence(lit(1), lit(MaxDerivedNprobe))))
-        .filter(col("cell_rank") <= col("np"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TuneK)
-      val truth = bruteForceTopK(embeddings, TuneQueries, TuneK)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = topk.join(truth, Seq("query_id", "neighbor_id"))
-        .groupBy("np").agg(count(lit(1)).as("sample_hits"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      (1 to MaxDerivedNprobe).map(np => np -> hits.getOrElse(np, 0L))
+      tuneGridFromRanked(embeddings, ivfCellsRanked(embeddings, MaxDerivedNprobe, p))
     })
+  }
+
+  /** The grid computation itself, parameterized by the ranked cell
+    * assignment — shared between the label-cell router above and the
+    * TRAINED-cell router ([[KMeans.trainedTuneGridRows]], r18): any
+    * (vec_id, cell, cell_rank ≤ [[MaxDerivedNprobe]]) relation whose
+    * rank-1 row is the vector's single home cell measures its per-nprobe
+    * tune-sample recall through the identical joins.
+    */
+  private[ops] def tuneGridFromRanked(
+      embeddings: DataFrame, ranked: DataFrame): Seq[(Int, Long)] = {
+    val emb2 = embeddings.select(col("vec_id"), col("embedding"))
+    val qside = emb2.filter(col("vec_id") < TuneQueries).join(ranked, "vec_id")
+      .toDF("query_id", "query_emb", "cell_a", "cell_rank")
+    val home = emb2.join(ranked.filter(col("cell_rank") === 1), "vec_id")
+      .toDF("neighbor_id", "emb_b", "cell_b", "crb")
+    // a (query, neighbor) pair meets at most once (one home cell), so
+    // cell_rank is THE rank of the neighbor's cell in the query's probe
+    // order — filtering cell_rank ≤ np reproduces the np-probe search
+    val cand = qside.join(home,
+        col("cell_a") === col("cell_b") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("cell_rank"), col("neighbor_id"),
+        dot(col("query_emb"), col("emb_b")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"), col("np"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topk = cand
+      .withColumn("np", explode(sequence(lit(1), lit(MaxDerivedNprobe))))
+      .filter(col("cell_rank") <= col("np"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TuneK)
+    val truth = bruteForceTopK(embeddings, TuneQueries, TuneK)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = topk.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("np").agg(count(lit(1)).as("sample_hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (1 to MaxDerivedNprobe).map(np => np -> hits.getOrElse(np, 0L))
   }
 
   /** MEASUREMENT-DERIVED serving nprobe (VERDICT r13 #1: the hard-coded

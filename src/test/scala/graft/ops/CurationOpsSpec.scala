@@ -717,4 +717,40 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
     assert(lb(90L) == (("aa", 0L)) && lb(91L) == (("aa", 0L)), lb.get(90L))
   }
+
+  test("lang classifier: null labels never become classes (ADVICE r17) " +
+    "and null-labeled docs are still scored against the kept classes") {
+    val rnd = new scala.util.Random(13)
+    def adoc() = Seq.fill(20)(s"avocab${rnd.nextInt(10)}").mkString(" ")
+    val base = lcCorpus(overlap = false)
+      .union(Seq((95L, null.asInstanceOf[String], adoc()),
+        (96L, null.asInstanceOf[String], adoc()))
+        .toDF("doc_id", "lang", "text"))
+    val w = Curate.langClassifierWeights(base).collect()
+    assert(w.map(_.getString(0)).toSet == Set("aa", "bb", "cc"),
+      "null lang leaked into the class set")
+    val lb = Curate.langClassifierLabel(base).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    // null-labeled docs written in class-aa vocabulary argmax to aa
+    assert(lb(95L).contains("aa") && lb(96L).contains("aa"), lb.get(95L))
+  }
+
+  test("lang classifier caps the class set at the top-QcMaxClasses " +
+    "sample labels by frequency (rare labels train as negatives)") {
+    // 3 real classes (5 docs each) + 70 singleton labels: the cap keeps
+    // aa/bb/cc plus the 61 name-smallest singletons (count desc, name asc)
+    val rnd = new scala.util.Random(17)
+    def doc(v: String) = Seq.fill(15)(s"$v${rnd.nextInt(8)}").mkString(" ")
+    val majors = for ((l, j) <- Seq("aa", "bb", "cc").zipWithIndex; i <- 0 until 5)
+      yield (100L * j + i, l, doc(l.take(1) + "vocab"))
+    val rares = (0 until 70).map(i =>
+      (1000L + i, f"u$i%02d", doc("rarevocab")))
+    val w = Curate.langClassifierWeights(
+      (majors ++ rares).toDF("doc_id", "lang", "text")).collect()
+    val classes = w.map(_.getString(0)).toSet
+    val expected = Set("aa", "bb", "cc") ++
+      (0 until 61).map(i => f"u$i%02d")
+    assert(classes == expected,
+      s"got ${classes.size} classes; diff = ${classes.diff(expected)} / ${expected.diff(classes)}")
+  }
 }

@@ -383,6 +383,34 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery.values.forall(_ == 3))
   }
 
+  test("trainedCellsRanked: rank-1 equals the home-cell assignment and " +
+    "ranks walk distinct cells in distance order") {
+    val (df, _) = plantedCorpus
+    val home = KMeans.trainedCells(df, k = 3, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val ranked = KMeans.trainedCellsRanked(df, maxRank = 3, k = 3, iters = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Int]("cell_rank")))
+    ranked.filter(_._3 == 1).foreach { case (v, c, _) =>
+      assert(home(v) == c, s"vec $v rank-1 cell $c != home ${home(v)}")
+    }
+    // per vector: exactly maxRank rows, all distinct cells
+    ranked.groupBy(_._1).foreach { case (v, rows) =>
+      assert(rows.length == 3 && rows.map(_._2).distinct.length == 3, s"vec $v")
+    }
+  }
+
+  test("probed trained-IVF at nprobe=k reproduces exact brute-force top-k") {
+    val (df, _) = plantedCorpus
+    val exact = Similarity.bruteForceTopK(df, nQueries = 30, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val probed = KMeans.ivfTopKTrainedProbed(df, topK = 3, nprobe = 3, k = 3, iters = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(probed == exact)
+  }
+
   test("semantic dedup keeps, per duplicate group, the vector farthest from its prototype") {
     val (df, groupOf) = plantedCorpus
     // tau=0 within planted groups: every same-cell pair is a "duplicate"

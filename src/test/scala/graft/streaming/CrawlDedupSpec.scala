@@ -64,6 +64,49 @@ class CrawlDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hostile payloads through the crawl loop (VERDICT r17 #5): null " +
+    "texts are KEPT and never collapse with each other or the index, " +
+    "empty-string duplicates resolve exact in-batch and cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawlhx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-crawlhck").toString
+    CrawlDedup.initIndex(spark, dir)
+    val sink = new InMemorySink
+    val metrics = scala.collection.mutable.ArrayBuffer[CrawlDedup.CrawlBatchMetrics]()
+    val mem = MemoryStream[(Long, String)]
+    val q = CrawlDedup.start(spark, mem.toDF().toDF("doc_id", "text"),
+      ckpt, dir, sink, metricsOut = metrics += _)
+    try {
+      // null text = failed extraction: no content to judge duplication
+      // by, so BOTH null docs verdict kept (a null norm-hash must never
+      // group-collapse); both empty strings ARE identical content →
+      // in-batch exact collapse to the smaller id
+      mem.addData((1L, base), (2L, null.asInstanceOf[String]),
+        (3L, null.asInstanceOf[String]), (4L, ""), (5L, ""))
+      q.processAllAvailable()
+      assert(metrics.last.nIn == 5, metrics.last)
+      assert(metrics.last.nKept == 4 && metrics.last.nExactDup == 1,
+        metrics.last)
+      val dup1 = sink.tables("duplicate_documents")
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(dup1(5L) == (("exact_dup", 4L)), dup1)
+      // batch 2: a re-crawled null is kept AGAIN (null never matches the
+      // index — the defensible semantics for content-free rows); the
+      // empty string and the case-variant real doc exact-dup against the
+      // index's batch-1 canonicals
+      mem.addData((10L, null.asInstanceOf[String]), (11L, ""),
+        (12L, base.toUpperCase))
+      q.processAllAvailable()
+      val dup = sink.tables("duplicate_documents")
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(dup(11L) == (("exact_dup", 4L)), dup)
+      assert(dup(12L) == (("exact_dup", 1L)), dup)
+      assert(sink.tables("accepted_documents").map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L, 4L, 10L))
+    } finally q.stop()
+  }
+
   test("streaming loop verdicts equal the batch incremental path over " +
     "the same index state") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crawleq").toString

@@ -193,6 +193,7 @@ def cached_oracle(name, sql):
     return exp, None
 
 fails = 0
+skipped = 0
 # COMPARE_JSON=<path>: per-query machine-readable record, written query by
 # query AS the compare runs (flush per line) — the round's commit-proof
 # correctness evidence (VERDICT r16 #1): a late cutoff or a dead process
@@ -204,30 +205,74 @@ def record(name, status, detail):
         record_f.write(json.dumps(
             {"query": name, "status": status, "detail": detail}) + "\n")
         record_f.flush()
+# DRIVER_JSON=<path>: the SAME evidence in the driver's own
+# CORRECTNESS_rNN.json shape — {name: {rows_match, schema_match,
+# hash_match, spark_rows, oracle_rows, err}} — rewritten (and flushed)
+# after every query so a dead process still leaves every completed row.
+# VERDICT r17 #2: the driver's end-of-round record came out {} two rounds
+# running and judges had to regenerate it; the gate chain now commits
+# this file so the contract-shaped record exists without a rerun.
+driver_path = os.environ.get("DRIVER_JSON")
+driver_rows = {}
+def driver_rec(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+    if not driver_path:
+        return
+    driver_rows[name] = {
+        "rows_match": rows_match, "schema_match": schema_match,
+        "hash_match": hash_match, "spark_rows": spark_rows,
+        "oracle_rows": oracle_rows, "err": err}
+    with open(driver_path, "w") as fh:
+        json.dump(driver_rows, fh, indent=1)
+def spark_rows_of(name):
+    try:
+        return con.execute(
+            f"SELECT COUNT(*) FROM parquet_scan('{outdir}/{name}/*.parquet')"
+        ).fetchone()[0]
+    except Exception:
+        return None
 names = [n for n in sorted(oracle)
          if only is None or any(n.startswith(p) for p in only)]
 for name in names:
     if any(name.startswith(p) for p in skip):
         print(f"SKIP {name}: oracle excluded by --skip")
-        record(name, "skip", "oracle excluded by --skip"); continue
+        skipped += 1
+        record(name, "skip", "oracle excluded by --skip")
+        driver_rec(name, spark_rows=spark_rows_of(name),
+                   err="skipped: oracle excluded by --skip")
+        continue
     sql = oracle[name]
     try:
         got = con.execute(f"SELECT * FROM parquet_scan('{outdir}/{name}/*.parquet')").df()
     except Exception as e:
         print(f"FAIL {name}: spark result unreadable: {e}"); fails += 1
-        record(name, "fail", f"spark result unreadable: {e}"); continue
+        record(name, "fail", f"spark result unreadable: {e}")
+        driver_rec(name, rows_match=False, schema_match=False, hash_match=False,
+                   err=f"spark result unreadable: {e}"[:300])
+        continue
     exp, err = cached_oracle(name, sql)
     if err:
         print(f"FAIL {name}: {err}"); fails += 1
-        record(name, "fail", str(err)); continue
+        record(name, "fail", str(err))
+        driver_rec(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=len(got), err=str(err)[:300])
+        continue
     if sorted(got.columns) != sorted(exp.columns):
         print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"); fails += 1
-        record(name, "fail", f"columns {sorted(got.columns)} != {sorted(exp.columns)}"); continue
+        record(name, "fail", f"columns {sorted(got.columns)} != {sorted(exp.columns)}")
+        driver_rec(name, rows_match=len(got) == len(exp), schema_match=False,
+                   hash_match=False, spark_rows=len(got), oracle_rows=len(exp),
+                   err=f"columns {sorted(got.columns)} != {sorted(exp.columns)}"[:300])
+        continue
     got = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
     exp = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1
-        record(name, "fail", f"rows {len(got)} != {len(exp)}"); continue
+        record(name, "fail", f"rows {len(got)} != {len(exp)}")
+        driver_rec(name, rows_match=False, schema_match=True, hash_match=False,
+                   spark_rows=len(got), oracle_rows=len(exp),
+                   err=f"rows {len(got)} != {len(exp)}")
+        continue
     bad = []
     for c in got.columns:
         g, e = got[c], exp[c]
@@ -241,11 +286,22 @@ for name in names:
     if bad:
         print(f"FAIL {name}: " + "; ".join(bad[:3])); fails += 1
         record(name, "fail", "; ".join(bad[:3]))
+        driver_rec(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(got), oracle_rows=len(exp),
+                   err="; ".join(bad[:3])[:300])
     else:
         print(f"OK   {name} ({len(got)} rows)")
         record(name, "ok", f"{len(got)} rows, schema+values match")
-print(f"\n{len(names) - fails}/{len(names)} queries match")
+        driver_rec(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(got), oracle_rows=len(exp))
+# Summary reports compared-OK / failed / skipped SEPARATELY (ADVICE r17:
+# the old "N/N queries match" counted --skip rows in the numerator, so an
+# over-broad skip list could silently inflate the committed match count).
+compared = len(names) - skipped
+summary = (f"{compared - fails}/{compared} compared queries match"
+           f" ({fails} fail, {skipped} skip of {len(names)} total)")
+print(f"\n{summary}")
 if record_f:
-    record(None, "done", f"{len(names) - fails}/{len(names)} queries match")
+    record(None, "done", summary)
     record_f.close()
 sys.exit(1 if fails else 0)

@@ -183,7 +183,11 @@ for i in range(N_DOC):
                              "de", "le", "él", "naïve", "123", "-", "…"])
                  for _ in range(rnd.randrange(0, 40))]
         texts.append(" ".join(words) if words else "")
-    langs.append(rnd.choice(["en", "de", "es", "fr", "zh"]))
+    # ~2% NULL lang (ADVICE r17: the schema allows it but no generator
+    # emitted it, so the K-class labeler's null-label path — and every
+    # other lang grouping — had zero cross-engine coverage)
+    langs.append(None if i % 47 == 11
+                 else rnd.choice(["en", "de", "es", "fr", "zh"]))
     sources.append(f"src{rnd.randrange(6)}")
 write("documents",
       pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
