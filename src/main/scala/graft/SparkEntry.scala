@@ -588,6 +588,12 @@ object SparkEntry {
     // one combinable aggregation per doc, no window shuffle
     "q127_lang_classifier_label" -> ((s, dir) =>
       Curate.langClassifierLabel(Tables.documents(s, dir))),
+    // nprobe-probed trained-IVF (r18, the q36 A/B's serving machinery
+    // kept as a first-class query): each query probes its 2 nearest
+    // TRAINED cells — the recall/cost dial over learned cells that label
+    // cells get via q44; ranked assignment is oracle-checked exactly
+    "q128_ann_trained_probed" -> ((s, dir) =>
+      graft.ops.KMeans.ivfTopKTrainedProbed(Tables.embeddings(s, dir), nprobe = 2)),
   )
 
   private val caseSql = Validate.validationCaseSql
@@ -922,5 +928,6 @@ object SparkEntry {
     "q125_quality_classifier_score" -> Curate.qualityClassifierScoreSql(),
     "q126_lang_classifier" -> Curate.langClassifierWeightsSql(),
     "q127_lang_classifier_label" -> Curate.langClassifierLabelSql(),
+    "q128_ann_trained_probed" -> graft.ops.KMeans.ivfTopKTrainedProbedSql(nprobe = 2),
   )
 }

@@ -811,6 +811,37 @@ object KMeans {
         kmeansCtesSql(K, iters, dim, kExpr = "(SELECT kk FROM kk)"),
       topK)
 
+  /** Oracle for [[ivfTopKTrainedProbed]]: the ranked assignment is a
+    * row_number over the SAME exact integer distances (Σ(x−c)² ≡
+    * x·x − 2x·c + c·c, ties to the smaller cluster id — the
+    * [[trainedCellsRanked]] sort_array order), probe rows rn ≤ nprobe,
+    * home rows rn = 1, equi-join on the cell. A (query, neighbor) pair
+    * meets at most once because the neighbor has ONE home cell.
+    */
+  def ivfTopKTrainedProbedSql(
+      topK: Int = 3, nprobe: Int = 1, k: Int = K, iters: Int = Iters,
+      dim: Int = Dim): String =
+    s"""WITH ${kmeansCtesSql(k, iters, dim)},
+       |atop AS (
+       |  SELECT vec_id, cluster, rn FROM (
+       |    SELECT x.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, $dim),
+       |          i -> (x.xq[i]-c.cq[i])*(x.xq[i]-c.cq[i]))), c.cluster) AS rn
+       |    FROM xq x CROSS JOIN c$iters c) WHERE rn <= $nprobe),
+       |psearch AS (
+       |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+       |    ${Similarity.dotSql("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM atop qa JOIN atop qb
+       |    ON qa.cluster = qb.cluster AND qb.rn = 1 AND qa.vec_id <> qb.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = qa.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = qb.vec_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM psearch)
+       |WHERE rnk <= $topK ORDER BY query_id, rank""".stripMargin
+
   private def trainedSearchSql(ctes: String, topK: Int): String =
     s"""WITH $ctes,
        |search AS (
