@@ -12,9 +12,15 @@ log() { echo "[r18sf1 $(date +%H:%M:%S)] $*"; }
 
 SKIP="q32_ngram_jaccard,q38_ngram_jaccard_capped,q66_ngram_containment,q77_containment_capped"
 
-log "SfScale 10x"
-SPARK_DRIVER_MEM=24g tools/runmain.sh graft.SfScale /root/testdata/sf0.1 /tmp/sf1 10 \
-  > /tmp/sfscale_r18sf1.log 2>&1 || { log "SfScale FAILED"; exit 1; }
+if [ ! -f /tmp/sf1/_GRAFT_SFSCALE_DONE ]; then
+  log "SfScale 10x"
+  rm -rf /tmp/sf1
+  SPARK_DRIVER_MEM=24g tools/runmain.sh graft.SfScale /root/testdata/sf0.1 /tmp/sf1 10 \
+    > /tmp/sfscale_r18sf1.log 2>&1 || { log "SfScale FAILED"; exit 1; }
+  touch /tmp/sf1/_GRAFT_SFSCALE_DONE
+else
+  log "SfScale 10x already done (marker present)"
+fi
 
 log "verify FULL suite at sf1"
 rm -rf /tmp/verify_sf1_r18
