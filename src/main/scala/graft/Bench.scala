@@ -18,11 +18,11 @@ object Bench {
         s"SPARK_GRAFT_CPUS must be a bare integer (local[*] is not " +
           s"supported here - bench thread counts must be recordable), got " +
           s"'${sys.env("SPARK_GRAFT_CPUS")}'"))
-    val spark = SparkSession.builder()
+    val spark = graft.util.SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: parquet reader + codegen + shuffle machinery

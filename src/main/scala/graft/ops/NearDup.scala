@@ -610,19 +610,70 @@ object NearDup {
     */
   def components(pairs: DataFrame): DataFrame = componentsWithRounds(pairs)._1
 
-  /** [[components]] plus the number of large-star/small-star rounds it
-    * took to converge (exposed for the round-count asymptotics spec).
+  /** Edge budget for the driver union-find fast path of [[components]]
+    * (r18 optimization round): below this many canonical deduped edges the
+    * closure runs as a single bounded driver sync (two longs per edge —
+    * 64 MB at the budget, far under `spark.driver.maxResultSize`) instead
+    * of the distributed star rounds, whose cost at verification volumes is
+    * ~10 scheduler-bound Spark jobs PER ROUND regardless of data size
+    * (measured r18: the star loop was 2–3 s of near-empty jobs in every
+    * keep-list query while the edge sets were a few thousand rows). The
+    * labels are identical by construction (per-component minimum, pinned
+    * by the fast-vs-distributed equivalence spec); past the budget the
+    * distributed loop runs unchanged, so 100 TB corpora with billions of
+    * edges never touch the driver — the same bounded-sync contract as the
+    * df-histogram cap derivation (q102) and the classifier weight sync.
     */
-  private[graft] def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+  val ComponentsDriverEdgeBudget: Long = 4L * 1024 * 1024
+
+  /** [[components]] plus the number of large-star/small-star rounds it
+    * took to converge (exposed for the round-count asymptotics spec;
+    * 0 rounds = the driver fast path answered). `driverEdgeBudget = 0`
+    * forces the distributed loop (specs pin its asymptotics).
+    */
+  private[graft] def componentsWithRounds(
+      pairs: DataFrame,
+      driverEdgeBudget: Long = ComponentsDriverEdgeBudget): (DataFrame, Int) = {
     // canonical undirected edges (u > v), deduped; materialize the
     // (expensive) pair pipeline once — every round re-reads checkpointed
-    // blocks, not lineage.
+    // blocks, not lineage. Lazy checkpoint + count: the count is the
+    // materializing action, so the edge set is computed ONCE, not by an
+    // eager-checkpoint job followed by a count job (r18: two passes of
+    // the full pair pipeline's output for one number).
     var e = pairs
-      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
-        least(col("doc_a"), col("doc_b")).as("v"))
+      .select(greatest(col("doc_a"), col("doc_b")).cast("long").as("u"),
+        least(col("doc_a"), col("doc_b")).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var eCount = e.count()
+    if (eCount <= driverEdgeBudget) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // bounded driver sync: union-find with path compression; label =
+      // component minimum, exactly the star loop's fixed point.
+      val edges = e.collect()
+      val parent = new scala.collection.mutable.LongMap[Long](edges.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = new scala.collection.mutable.LongMap[Long](edges.length * 2)
+      edges.foreach { row =>
+        nodes(row.getLong(0)) = 0L; nodes(row.getLong(1)) = 0L
+      }
+      val labels = nodes.keysIterator
+        .map(n => (n, find(n))).toSeq
+        .toDF("doc_id", "label")
+      freeLocalCheckpoint(e)
+      return (labels, 0)
+    }
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -644,7 +695,7 @@ object NearDup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(sMin.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the count below materializes it
       rounds += 1
       // fixed point ⇔ the edge SET is unchanged (both sides are distinct,
       // so equal counts + empty one-way difference ⇔ equality); a fixed
@@ -1026,8 +1077,14 @@ object NearDup {
     if (nHot == 0) {
       dfc.unpersist()
       val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+      // cache: BOTH sides of the posting self-join read this relation, and
+      // the toDF renames below give the two subtrees different attribute
+      // ids, so Spark's ReuseExchange does not fire — without the cache
+      // the explode + shingle shuffle runs twice (r18: measured as two
+      // full-size duplicate exchanges in every capped-family query)
       val exR = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
         .repartition(col("shingle"))
+        .cache()
       val pair = exR.toDF("doc_a", "shingle")
         .join(exR.toDF("doc_b", "shingle_b"),
           col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
@@ -1078,9 +1135,13 @@ object NearDup {
         sort_array(collect_list(when(col("is_hot"), col("shingle")))).as("hot_arr"))
       .cache()
     // Capped postings, co-located by shingle; the self-join's groupBy IS the
-    // candidate set AND the exact rare-intersection count.
+    // candidate set AND the exact rare-intersection count. Cached for the
+    // same ReuseExchange reason as the clean path's exR (r18): the two
+    // renamed self-join sides would otherwise each pay the flag-join +
+    // filter + shingle shuffle.
     val exCapped = flagged.filter(!col("is_hot")).select("doc_id", "shingle")
       .repartition(col("shingle"))
+      .cache()
     val pairRare = exCapped.toDF("doc_a", "shingle")
       .join(exCapped.toDF("doc_b", "shingle_b"),
         col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))

@@ -599,28 +599,98 @@ object Similarity {
   def ivfCells(embeddings: DataFrame): DataFrame =
     ivfCellsRanked(embeddings, 1).select("vec_id", "cell")
 
+  /** Per-task floor for the in-cell dot-product work that makes a salt
+    * split worth scheduling (~64k 64-dim quantized dots ≈ a few ms of
+    * compute — well above task overhead). See [[cellJoinSalts]].
+    */
+  private val MinDotsPerTask = 1L << 16
+
+  /** Salt count for the in-cell search join (r18 optimization round,
+    * guide §2.5 "split very large tenants into hash ranges"): the cell
+    * equi-join's parallelism is bounded by the DISTINCT CELL COUNT, so a
+    * coarse router (10 label cells at the verification corpus) serializes
+    * the candidate dot products on a handful of tasks no matter how many
+    * cores the session has — measured r18: q36's serving join+top-k ran
+    * 7.2 s in ONE task at local[32] while every other job in the query
+    * was ≤ 0.5 s. The fix keys the join on (cell, salt): the home side
+    * explodes over `salts` deterministic sub-splits, the query side maps
+    * to `pmod(hash(query_id), salts)` — every (query, neighbor) pair
+    * still meets exactly once, so the result relation is bit-identical.
+    *
+    * `salts` is DERIVED, not a constant: one tiny aggregation over the
+    * (cached) ranked assignment measures probe rows, home rows and
+    * distinct cells; the dot volume they imply is compared against the
+    * session's parallelism. When cells ≥ cores — the 100 TB regime, where
+    * the adaptive sub-bucketing keeps cell count ∝ corpus size — the
+    * derivation returns 1 and the plan is the unsalted equi-join
+    * unchanged. Only a coarse-router corpus on a wide session pays the
+    * (bounded, ≤ 64×) home-side replication that buys back the idle
+    * cores.
+    */
+  private[ops] def cellJoinSalts(ranked: DataFrame): Int = {
+    val r = ranked.agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("cell_rank") === 1, 1L).otherwise(0L)).as("home"),
+      countDistinct(col("cell")).as("cells")).head()
+    val rows = r.getLong(0)
+    val home = r.getLong(1)
+    val cells = math.max(1L, r.getLong(2))
+    val dots = rows.toDouble * home / cells // Σ_cell probes·pop ≈ rows·avgPop
+    val par = ranked.sparkSession.sparkContext.defaultParallelism
+    val usefulTasks = math.min(par.toDouble, math.ceil(dots / MinDotsPerTask))
+    math.min(64, math.max(1, math.ceil(usefulTasks / cells).toInt))
+  }
+
   /** IVF approximate top-k: each query probes its `nprobe` nearest cells;
     * corpus vectors live in their single nearest cell. The search join is
     * an equi-join on cell — the same co-partitioned shape as
     * [[lshBucketedTopK]], with centroids as the router. A (query, neighbor)
     * pair meets at most once because the neighbor has ONE home cell.
     * nprobe is the standard IVF recall/cost dial: candidates grow
-    * linearly with it while the plan shape stays identical.
+    * linearly with it while the plan shape stays identical. When the cell
+    * count under-fills the session ([[cellJoinSalts]]), the join key
+    * widens to (cell, salt) — same candidate set, same output, spread
+    * compute.
     */
   def ivfTopK(
-      embeddings: DataFrame, k: Int = 3, nprobe: Int = 1, subPlanes: Int = 0): DataFrame = {
+      embeddings: DataFrame, k: Int = 3, nprobe: Int = 1, subPlanes: Int = 0): DataFrame =
     // cache: both sides of the in-cell join read the ranked-assignment
     // relation, and the toDF renames below would otherwise defeat
     // exchange reuse — without this the centroid pipeline runs twice
-    val ranked = ivfCellsRanked(embeddings, nprobe, subPlanes).cache()
+    // (the salt derivation's aggregation is also the action that
+    // materializes it, so neither join side recomputes the pipeline)
+    ivfTopKFromRanked(embeddings, ivfCellsRanked(embeddings, nprobe, subPlanes).cache(), k)
+
+  /** The search join over an already-ranked (vec_id, cell, cell_rank ≤
+    * nprobe) assignment — factored out (r18) so [[ivfTopKAdaptive]]'s
+    * serving pass reuses the SAME cached assignment its nprobe derivation
+    * already computed (`ivfCellsRanked(np)` ≡ `ivfCellsRanked(MaxDerivedNprobe)
+    * .filter(cell_rank ≤ np)` — the window rank is nprobe-independent),
+    * instead of rebuilding the centroid + assignment pipeline a second
+    * time inside the same query.
+    */
+  private[ops] def ivfTopKFromRanked(
+      embeddings: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
+    val salts = cellJoinSalts(ranked)
     val emb = embeddings.select(col("vec_id"), col("embedding"))
-    val a = emb.join(ranked, "vec_id")
+    val a0 = emb.join(ranked, "vec_id")
       .toDF("query_id", "query_emb", "cell_a", "cell_rank")
-    val b = emb.join(ranked.filter(col("cell_rank") === 1), "vec_id")
+    val b0 = emb.join(ranked.filter(col("cell_rank") === 1), "vec_id")
       .toDF("neighbor_id", "emb_b", "cell_b", "cell_rank_b")
+    // salts == 1 (the at-scale regime: cells ≥ cores) keeps the plain
+    // cell equi-join — no extra columns, no generate node in the plan
+    val (a, b, cond) =
+      if (salts <= 1)
+        (a0, b0, col("cell_a") === col("cell_b")
+          && col("query_id") =!= col("neighbor_id"))
+      else (
+        a0.withColumn("salt_a", pmod(hash(col("query_id")), lit(salts))),
+        b0.withColumn("salt_b", explode(sequence(lit(0), lit(salts - 1)))),
+        col("cell_a") === col("cell_b") && col("salt_a") === col("salt_b")
+          && col("query_id") =!= col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    a.join(b, col("cell_a") === col("cell_b") && col("query_id") =!= col("neighbor_id"))
+    a.join(b, cond)
       .select(col("query_id"), col("neighbor_id"),
         dot(col("query_emb"), col("emb_b")).as("cosine"))
       .withColumn("rank", row_number().over(w))
@@ -649,6 +719,27 @@ object Similarity {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
     Seq[(Int, Long)]]()
 
+  /** The MaxDerivedNprobe-ranked assignment behind the tune grid, memoized
+    * beside [[tuneCache]] (r18): the serving search needs exactly this
+    * relation filtered to `cell_rank ≤ np`, so sharing the cached handle
+    * lets [[ivfTopKAdaptive]] skip rebuilding the centroid + assignment
+    * pipeline after the derivation already ran it. Same key, same
+    * lifetime, same same-plan-same-data assumption as the grid memo; a
+    * session `clearCache()` only drops the blocks — the handle then
+    * recomputes lazily with unchanged semantics.
+    */
+  private val rankedCache = graft.util.BoundedLru[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
+    DataFrame]()
+
+  private def rankedForTune(embeddings: DataFrame, budget: Long): DataFrame = {
+    val key = (embeddings.queryExecution.analyzed, budget)
+    rankedCache.computeIfAbsent(key, _ => {
+      val p = adaptiveSubPlanes(embeddings.count(), budget)
+      ivfCellsRanked(embeddings, MaxDerivedNprobe, p).cache()
+    })
+  }
+
   /** The derivation measurement behind [[derivedNprobe]]: per candidate
     * nprobe 1..[[MaxDerivedNprobe]], how many of the tune sample's exact
     * top-[[TuneK]] the IVF search returns — computed from ONE search at
@@ -660,10 +751,8 @@ object Similarity {
   private def tuneGridRows(
       embeddings: DataFrame, budget: Long = CellBudget): Seq[(Int, Long)] = {
     val key = (embeddings.queryExecution.analyzed, budget)
-    tuneCache.computeIfAbsent(key, _ => {
-      val p = adaptiveSubPlanes(embeddings.count(), budget)
-      tuneGridFromRanked(embeddings, ivfCellsRanked(embeddings, MaxDerivedNprobe, p))
-    })
+    tuneCache.computeIfAbsent(key, _ =>
+      tuneGridFromRanked(embeddings, rankedForTune(embeddings, budget)))
   }
 
   /** The grid computation itself, parameterized by the ranked cell
@@ -843,9 +932,17 @@ object Similarity {
   def ivfTopKAdaptive(
       embeddings: DataFrame, k: Int = 3, nprobe: Int = 0,
       budget: Long = CellBudget): DataFrame = {
-    val p = adaptiveSubPlanes(embeddings.count(), budget)
-    val np = if (nprobe > 0) nprobe else derivedNprobe(embeddings, budget)
-    if (np > 0) ivfTopK(embeddings, k, np, p)
+    if (nprobe > 0) {
+      val p = adaptiveSubPlanes(embeddings.count(), budget)
+      return ivfTopK(embeddings, k, nprobe, p)
+    }
+    val np = derivedNprobe(embeddings, budget)
+    if (np > 0)
+      // serve from the derivation's own cached ranked assignment (r18):
+      // rank ≤ np is a filter over the MaxDerivedNprobe ranking, so the
+      // centroid + assignment pipeline is not rebuilt for the search
+      ivfTopKFromRanked(embeddings,
+        rankedForTune(embeddings, budget).filter(col("cell_rank") <= np), k)
     else {
       val cells = embeddings.select("label").distinct().count().toInt
       org.slf4j.LoggerFactory.getLogger(getClass)

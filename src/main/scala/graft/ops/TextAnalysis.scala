@@ -556,7 +556,14 @@ object TextAnalysis {
     // rare vocabulary grows with the corpus (q38's reasoning)
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("fp")
+    // repartition + cache: the two renamed self-join sides would otherwise
+    // EACH pay the anti-join + a full fp-hash exchange (toDF renames defeat
+    // ReuseExchange — r18, same fix as the capped machine's exCapped); with
+    // the fp-partitioned relation cached, the join reads co-located blocks
+    // twice and plans no further exchange
     val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      .repartition(col("fp"))
+      .cache()
     pruned.toDF("fp", "doc_a")
       .join(pruned.toDF("fp_b", "doc_b"),
         col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
@@ -882,8 +889,12 @@ object TextAnalysis {
       .select(col("doc_id"),
         filter(tokens(col("text")), t => length(t) > 0).as("toks"))
       .cache() // feeds vocab, unigram, bigram AND the scoring stream
+    // cache: vocab-sized (model-sized, safe at any corpus scale) and read
+    // twice — once by the V count action, once by the scoring join; without
+    // it the full unigram aggregation pass runs again for the join (r18)
     val unis = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .cache()
     val vocabSize = unis.count() // scalar V, driver-side by design
     val bigrams = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),

@@ -168,10 +168,33 @@ class TextNearDupSpec extends SparkSpec {
     // ~⌈log₂ 1000⌉ rounds (plus fixed-point detection), nowhere near the
     // ~1000 one-hop rounds plain propagation would take.
     val chain = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (labels, rounds) = NearDup.componentsWithRounds(chain)
+    // driverEdgeBudget = 0 forces the distributed star loop (the r18
+    // driver union-find fast path would otherwise answer in 0 rounds)
+    val (labels, rounds) = NearDup.componentsWithRounds(chain, driverEdgeBudget = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 1000 && got.values.forall(_ == 0L), s"bad labels")
     assert(rounds <= 16, s"expected O(log n) rounds, took $rounds")
+    assert(rounds >= 1, "budget 0 must run the distributed loop")
+  }
+
+  test("r18: driver union-find fast path == distributed star rounds") {
+    // the fast path must be label-identical to the distributed loop on
+    // irregular graphs (chains, merges, self-contained stars, isolates)
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = ((0 until 120).map { _ =>
+        (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong)
+      } ++ (200L until 260L).map(i => (i, i + 1))) // a long chain segment
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("doc_a", "doc_b")
+      val fast = NearDup.componentsWithRounds(df)
+      val dist = NearDup.componentsWithRounds(df, driverEdgeBudget = 0)
+      assert(fast._2 == 0, "expected the driver fast path below the budget")
+      assert(dist._2 >= 1, "expected the distributed loop at budget 0")
+      val fm = fast._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dm = dist._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fm == dm, s"fast path diverged from star rounds at seed=$seed")
+    }
   }
 
   test("hub budget recall contract: a 10k-doc degenerate bucket keeps ONE " +
