@@ -60,17 +60,27 @@ object OptProf {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // SPARK_GRAFT_PROF_REPS > 1: run each query REPS times (cache cleared
+    // between reps, Bench-identical) and report the MEDIAN wall beside the
+    // LAST rep's job table — single-shot numbers are codegen-cold and
+    // overstate by 1.5-2x vs the bench's 3-rep medians.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "1").toInt
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => println(s"== $name: unknown query ==")
         case Some(fn) =>
-          jobs.clear(); stageToJob.clear()
-          val t0 = System.nanoTime()
-          val n = fn(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          try spark.catalog.clearCache() catch { case _: Throwable => () }
+          var n = 0L
+          val walls = (0 until math.max(1, reps)).map { _ =>
+            jobs.clear(); stageToJob.clear()
+            val t0 = System.nanoTime()
+            n = fn(spark, sfDir).count()
+            val w = (System.nanoTime() - t0) / 1e9
+            try spark.catalog.clearCache() catch { case _: Throwable => () }
+            w
+          }
+          val dt = walls.sorted.apply(walls.length / 2)
           Thread.sleep(300) // let listener events drain
-          println(f"%n========== $name: $n rows in $dt%.2f s, ${jobs.size} jobs ==========")
+          println(f"%n========== $name: $n rows, median $dt%.2f s of ${walls.map(w => f"$w%.2f").mkString("/")}, ${jobs.size} jobs ==========")
           val recs = jobs.values.toSeq.sortBy(_.id)
           recs.foreach { r =>
             val w = (r.ended - r.started) / 1e3

@@ -64,6 +64,61 @@ object Multimodal {
   object MediaCodec {
     final case class DecodedImage(width: Int, height: Int, pixels: Array[Int])
 
+    // r18 optimization round — two JDK codec FIXED COSTS hoisted out of the
+    // per-payload path; the codec implementations themselves are unchanged
+    // (the same JDK reader/writer classes decode every byte):
+    //  - ImageIO defaults to a DISK-backed stream cache: every read/write
+    //    creates and deletes a temp file before touching pixel data —
+    //    pure overhead for byte-array payloads that already sit in memory.
+    //  - AudioSystem.getAudioInputStream / AudioSystem.write resolve their
+    //    SPI provider list through a SYNCHRONIZED registry on EVERY call
+    //    (JDK13Services.getProviders), which serializes concurrent decodes
+    //    across all executor threads — measured r18: the 5000-clip WAV
+    //    fingerprint pass ran at the same wall time on 32 cores as on one
+    //    (~0.4 ms/clip either way). Loading the providers ONCE and
+    //    dispatching to the same reader/writer instances — exactly what
+    //    AudioSystem does after its per-call lookup — keeps behavior
+    //    identical (same classes, same try-next-on-Unsupported contract)
+    //    and removes the global lock from the hot path.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      try java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toSeq
+      catch { case _: Throwable => Seq.empty }
+    }
+
+    private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      try java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala.toSeq
+      catch { case _: Throwable => Seq.empty }
+    }
+
+    /** AudioSystem.getAudioInputStream minus the synchronized per-call
+      * provider lookup: try each cached reader in registration order (the
+      * AudioFileReader SPI contract requires a failing reader to reset the
+      * stream). Falls back to the AudioSystem path if service loading
+      * found nothing (exotic deployments).
+      */
+    private def audioInputStreamOf(
+        in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+      val rs = audioReaders
+      if (rs.isEmpty)
+        return javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+      var i = 0
+      while (i < rs.length) {
+        try return rs(i).getAudioInputStream(in)
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+        i += 1
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "Stream of unsupported format")
+    }
+
     /** Encode an 8-bit grayscale image (`pixel(x, y)` in 0..255) as PNG. */
     def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
@@ -136,8 +191,13 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
       val out = new java.io.ByteArrayOutputStream(bytes.length + 64)
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      // cached-provider dispatch (see audioReaders note): same writer
+      // class AudioSystem.write would pick, without its global lock
+      audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+        case Some(w) => w.write(ais, wave, out)
+        case None => javax.sound.sampled.AudioSystem.write(ais, wave, out)
+      }
       out.toByteArray
     }
 
@@ -150,7 +210,7 @@ object Multimodal {
     def decodeWav(content: Array[Byte]): Option[Array[Short]] =
       try {
         decodeCalls.incrementAndGet()
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val ais = audioInputStreamOf(
           new java.io.ByteArrayInputStream(content))
         val f = ais.getFormat
         if (f.getSampleSizeInBits != 16 || f.getChannels != 1) None
