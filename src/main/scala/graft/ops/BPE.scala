@@ -122,7 +122,15 @@ object BPE {
           .repartition(col("word"))
       else full
     var v = seed.localCheckpoint()
-    var counts = pairCounts(v).localCheckpoint()
+    // counts stays a LAZY checkpoint (r18): each iteration's argmax
+    // (orderBy/limit/collect) is a full-evaluation action, so it is also
+    // the job that materializes the maintained counts — the former eager
+    // checkpoint paid one extra job per merge for the same blocks. The
+    // parents a lazy counts still reads (previous v + counts blocks) are
+    // freed one generation LATE (prevFree) so materialization never
+    // races a release.
+    var counts = pairCounts(v).localCheckpoint(false)
+    var prevFree: Seq[DataFrame] = Nil
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -130,6 +138,9 @@ object BPE {
       val best = counts
         .orderBy(col("pair_count").desc, col("p1"), col("p2"))
         .limit(1).collect()
+      // counts is materialized now — its parents' blocks are dead
+      prevFree.foreach(releaseCheckpoint)
+      prevFree = Nil
       if (best.isEmpty) exhausted = true // single-symbol vocab: no pairs left
       else {
         val (p1, p2, n) = (best(0).getString(0), best(0).getString(1),
@@ -145,14 +156,19 @@ object BPE {
         val nextCounts = counts.union(delta)
           .groupBy("p1", "p2").agg(sum("pair_count").as("pair_count"))
           .filter(col("pair_count") > 0)
-          .localCheckpoint()
-        releaseCheckpoint(v)
-        releaseCheckpoint(counts)
+          .localCheckpoint(false)
+        // BOTH old blocks are parents of the lazy nextCounts (counts via
+        // the union, v via delta's affected/merged subtrees), so their
+        // release waits for the next argmax to materialize it
+        prevFree = Seq(counts, v)
         v = nextV
         counts = nextCounts
       }
       step += 1
     }
+    // the final lazy counts may be unmaterialized; freeing is still safe
+    // (release is a storage-level op) and the learned table is driver-side
+    prevFree.foreach(releaseCheckpoint)
     releaseCheckpoint(counts)
     (learned.toSeq, v)
   }

@@ -156,8 +156,12 @@ object Similarity {
     * (q42), not silent.
     */
   def embeddingNearDups(embeddings: DataFrame, blocks: Int = 8): DataFrame = {
+    // cache: the triangle grid's left and right sides both read this
+    // relation through renames (ReuseExchange misses — r18), so without
+    // the cache the corpus scan runs twice
     val blk = embeddings.select(col("vec_id"), col("embedding"),
       pmod(hash(col("vec_id")), lit(blocks)).as("blk"))
+      .cache()
     val left = blk
       .select(col("vec_id").as("id_l"), col("embedding").as("emb_l"), col("blk").as("blk_l"),
         explode(sequence(col("blk"), lit(blocks - 1))).as("cell_j"))
@@ -932,26 +936,37 @@ object Similarity {
   def ivfTopKAdaptive(
       embeddings: DataFrame, k: Int = 3, nprobe: Int = 0,
       budget: Long = CellBudget): DataFrame = {
+    // intra-query corpus cache (r18): one adaptive search reads the
+    // corpus ~5× (size count, centroid build, assignment, tune truth,
+    // the two serving join sides) and the CacheManager substitutes the
+    // cached relation into every one of those scans automatically. The
+    // session owner frees it with the other per-query caches (see the
+    // Verify note); at cluster scale 5 passes over columnar blocks vs 5
+    // parquet scans is the standard persist-when-reused trade (guide §5)
+    // and MEMORY_AND_DISK degrades to local-disk blocks, never OOM.
+    val e = embeddings.cache()
     if (nprobe > 0) {
-      val p = adaptiveSubPlanes(embeddings.count(), budget)
-      return ivfTopK(embeddings, k, nprobe, p)
+      val p = adaptiveSubPlanes(e.count(), budget)
+      return ivfTopK(e, k, nprobe, p)
     }
-    val np = derivedNprobe(embeddings, budget)
+    val np = derivedNprobe(e, budget)
     if (np > 0)
       // serve from the derivation's own cached ranked assignment (r18):
       // rank ≤ np is a filter over the MaxDerivedNprobe ranking, so the
       // centroid + assignment pipeline is not rebuilt for the search
-      ivfTopKFromRanked(embeddings,
-        rankedForTune(embeddings, budget).filter(col("cell_rank") <= np), k)
+      ivfTopKFromRanked(e,
+        rankedForTune(e, budget).filter(col("cell_rank") <= np), k)
     else {
-      val cells = embeddings.select("label").distinct().count().toInt
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"adaptive-IVF degrade: tune-sample recall < $TuneHitBar/" +
           s"${TuneQueries * TuneK} hits at every nprobe <= $MaxDerivedNprobe " +
-          s"- serving EXACT top-$k via all $cells label cells (full-scan " +
+          s"- serving EXACT top-$k via ALL label cells (full-scan " +
           "cost); prefer trained-IVF (KMeans.ivfTopKTrained) or the PQ " +
           "refine path for corpora without label-metric structure")
-      ivfTopK(embeddings, k, cells, 0)
+      // nprobe = Int.MaxValue probes every cell without paying a distinct
+      // count job first — cell_rank ≤ MaxValue keeps every window row, the
+      // identical relation to nprobe = <cell count> (r18)
+      ivfTopK(e, k, Int.MaxValue, 0)
     }
   }
 
