@@ -590,11 +590,17 @@ object TextAnalysis {
       minShared: Int = 2, maxDf: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = overlapPairs(documents, k, w, minShared, maxDf)
+    // one generate over the pair relation, not a two-branch union: the
+    // union form re-ran the whole posting join + aggregation once per
+    // direction (r18, measured as two full pair-stage jobs); exploding a
+    // 2-struct array emits the same two directed rows from ONE pass
     val both = pairs
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner_id"),
-        col("n_shared_fps"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id"),
-        col("doc_a").as("partner_id"), col("n_shared_fps")))
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("partner_id"),
+          col("n_shared_fps")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("partner_id"),
+          col("n_shared_fps")))).as("r"))
+      .select(col("r.*"))
     val rw = Window.partitionBy(col("doc_id"))
       .orderBy(col("n_shared_fps").desc, col("partner_id"))
     both
