@@ -1080,10 +1080,11 @@ object NearDup {
       // cache: BOTH sides of the posting self-join read this relation, and
       // the toDF renames below give the two subtrees different attribute
       // ids, so Spark's ReuseExchange does not fire — without the cache
-      // the explode + shingle shuffle runs twice (r18: measured as two
-      // full-size duplicate exchanges in every capped-family query)
+      // the explode runs twice (r18). The r18 shape also repartition'd on
+      // the join key; the r19 7-rep A/B (OPTIMIZATION_r19.md #1, matching
+      // the driver's r18 regression on this family) showed that up-front
+      // exchange is a net loss — plain cache, join plans its own exchange.
       val exR = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .repartition(col("shingle"))
         .cache()
       val pair = exR.toDF("doc_a", "shingle")
         .join(exR.toDF("doc_b", "shingle_b"),
@@ -1134,13 +1135,13 @@ object NearDup {
         sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_hot"),
         sort_array(collect_list(when(col("is_hot"), col("shingle")))).as("hot_arr"))
       .cache()
-    // Capped postings, co-located by shingle; the self-join's groupBy IS the
-    // candidate set AND the exact rare-intersection count. Cached for the
-    // same ReuseExchange reason as the clean path's exR (r18): the two
-    // renamed self-join sides would otherwise each pay the flag-join +
-    // filter + shingle shuffle.
+    // Capped postings; the self-join's groupBy IS the candidate set AND
+    // the exact rare-intersection count. Cached for the same ReuseExchange
+    // reason as the clean path's exR (r18): the two renamed self-join
+    // sides would otherwise each pay the flag-join + filter. Plain cache,
+    // no key pre-partition — same r19 A/B verdict as exR (q102 medians
+    // 2.32 s repart+cache / 1.71 s cache / 2.45 s none).
     val exCapped = flagged.filter(!col("is_hot")).select("doc_id", "shingle")
-      .repartition(col("shingle"))
       .cache()
     val pairRare = exCapped.toDF("doc_a", "shingle")
       .join(exCapped.toDF("doc_b", "shingle_b"),

@@ -556,14 +556,16 @@ object TextAnalysis {
     // rare vocabulary grows with the corpus (q38's reasoning)
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("fp")
-    // repartition + cache: the two renamed self-join sides would otherwise
-    // EACH pay the anti-join + a full fp-hash exchange (toDF renames defeat
-    // ReuseExchange — r18, same fix as the capped machine's exCapped); with
-    // the fp-partitioned relation cached, the join reads co-located blocks
-    // twice and plans no further exchange
-    val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-      .repartition(col("fp"))
-      .cache()
+    // cache WITHOUT a pre-partition: the two renamed self-join sides would
+    // otherwise EACH pay the anti-join pipeline (toDF renames defeat
+    // ReuseExchange — r18). r18 also repartition(fp)'d this relation so the
+    // join could read co-located blocks exchange-free, but the driver's
+    // r18 bench regressed q83 −54% on that shape and the r19 7-rep A/B
+    // (OPTIMIZATION_r19.md #1) confirmed it: the up-front fp exchange at
+    // cache build costs more than the two AQE-coalesced post-cache
+    // exchanges it replaces (q83 1.73→1.38 s, q96 1.69→1.13 s medians on
+    // one host). Pipeline-once is kept; partitioning is left to the join.
+    val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti").cache()
     pruned.toDF("fp", "doc_a")
       .join(pruned.toDF("fp_b", "doc_b"),
         col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
