@@ -603,6 +603,10 @@ object Curate {
     * md5("qc|" ++ doc_id), the KMeans seed-order pattern) with its size.
     */
   private def qcSample(documents: DataFrame, cap: Int): (DataFrame, Long) = {
+    // lazy checkpoint + count: the count is the materializing action, so
+    // the sample pipeline (corpus scan + hash sort + top-cap) runs ONCE
+    // instead of an eager-checkpoint job followed by a count job (r19 —
+    // the r18 star-loop trick applied here).
     val s = documents
       .select(col("doc_id"), col("source"), col("text"),
         md5(concat(lit("qc|"), col("doc_id").cast("string"))).as("h"))
@@ -610,8 +614,9 @@ object Curate {
       .limit(cap)
       .drop("h")
       .repartition(col("doc_id")) // the top-cap collapses to one partition
-      .localCheckpoint(true)
-    (s, s.count())
+      .localCheckpoint(false)
+    (s, graft.util.JobDesc.labeled(documents.sparkSession,
+      "classifier: train sample")(s.count()))
   }
 
   /** Train the classifier; returns the final integer weight vector as
@@ -822,6 +827,7 @@ object Curate {
     * (salt "lc|" — independent of the q124 sample's "qc|").
     */
   private def lcSample(documents: DataFrame, cap: Int): (DataFrame, Long) = {
+    // lazy checkpoint + count-as-materializer — see [[qcSample]] (r19)
     val s = documents
       .select(col("doc_id"), col("lang"), col("text"),
         md5(concat(lit("lc|"), col("doc_id").cast("string"))).as("h"))
@@ -829,8 +835,9 @@ object Curate {
       .limit(cap)
       .drop("h")
       .repartition(col("doc_id"))
-      .localCheckpoint(true)
-    (s, s.count())
+      .localCheckpoint(false)
+    (s, graft.util.JobDesc.labeled(documents.sparkSession,
+      "classifier: train sample")(s.count()))
   }
 
   /** Train the K-class one-vs-rest labeler; returns the per-class weight

@@ -458,12 +458,15 @@ object KMeans {
       .toDF("neighbor_id", "emb_b", "cell_b", "crb")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    a.join(b, col("cell_a") === col("cell_b") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Similarity.dot(col("query_emb"), col("emb_b")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .orderBy("query_id", "rank")
+    // ranked-assignment cache freed after the caller's action (r19 §5)
+    graft.util.CacheScope.freeAfterUse(
+      a.join(b, col("cell_a") === col("cell_b") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.dot(col("query_emb"), col("emb_b")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .orderBy("query_id", "rank"),
+      Seq(ranked))
   }
 
   /** Semantic deduplication over the trained cells — the SemDeDup recipe
@@ -503,9 +506,12 @@ object KMeans {
         (col("dist_b") > col("dist_a") ||
           (col("dist_b") === col("dist_a") && col("id_b") < col("id_a"))))
       .select(col("id_a")).distinct()
-    cells.join(dominated, col("vec_id") === col("id_a"), "left_anti")
-      .select(col("vec_id"), col("cell"), col("cent_dist"))
-      .orderBy("vec_id")
+    // checkpointed cell relation freed after the caller's action (r19 §5)
+    graft.util.CacheScope.freeAfterUse(
+      cells.join(dominated, col("vec_id") === col("id_a"), "left_anti")
+        .select(col("vec_id"), col("cell"), col("cent_dist"))
+        .orderBy("vec_id"),
+      Seq(cells))
   }
 
   def semanticDedupSql(

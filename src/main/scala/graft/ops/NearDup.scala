@@ -440,12 +440,14 @@ object NearDup {
       .agg(min(col("p_a")).as("p_a"), min(col("p_b")).as("p_b"))
       .filter(lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) >=
         lit(t / (1 + t)) * (col("n_a") + col("n_b")) - lit(1e-6))
-    verifiedOverlap(cands, sh, "doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= t)
-      .orderBy("doc_a", "doc_b")
+    graft.util.CacheScope.freeAfterUse(
+      verifiedOverlap(cands, sh, "doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+        .filter(col("jaccard") >= t)
+        .orderBy("doc_a", "doc_b"),
+      Seq(sh, posts))
   }
 
   /** doc_id + distinct n-shingle set for an arbitrary width (the prefix
@@ -532,13 +534,15 @@ object NearDup {
       // positional bound at the first shared token; |∩| ≥ t·|A| required
       .filter(lit(1) + least(col("n_contained") - col("p_c"), col("n_container") - col("p_t")) >=
         lit(t) * col("n_contained") - lit(1e-6))
-    verifiedOverlap(cands, sh, "contained", "container")
-      .withColumn("containment",
-        col("n_common").cast("double") / col("n_contained"))
-      .filter(col("containment") >= t)
-      .select(col("contained"), col("container"), col("n_common"),
-        col("n_contained"), col("n_container"), col("containment"))
-      .orderBy("contained", "container")
+    graft.util.CacheScope.freeAfterUse(
+      verifiedOverlap(cands, sh, "contained", "container")
+        .withColumn("containment",
+          col("n_common").cast("double") / col("n_contained"))
+        .filter(col("containment") >= t)
+        .select(col("contained"), col("container"), col("n_common"),
+          col("n_contained"), col("n_container"), col("containment"))
+        .orderBy("contained", "container"),
+      Seq(sh, ranked))
   }
 
   def ngramContainmentSql(n: Int = 3, minContainment: Double = 0.9): String = {
@@ -1054,8 +1058,10 @@ object NearDup {
     // nothing but still shuffles, so the plan collapses to posting join →
     // pair counts → row-wise set sizes, with n_common = n_rare exact.
     val dfc = dfTab.cache()
-    val hist = dfc.groupBy("df").agg(count(lit(1)).as("n_words"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val hist = graft.util.JobDesc.labeled(documents.sparkSession,
+      "capped: df histogram")(
+      dfc.groupBy("df").agg(count(lit(1)).as("n_words"))
+        .collect()).map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     // cap + cost gate from ONE shared derivation ([[capFromHistogram]] —
     // also the audit's, so the audit cannot diverge from the gate): the
     // capped posting self-join emits EXACTLY Σ_{df≤cap} df·(df−1)/2 rows;
@@ -1091,21 +1097,27 @@ object NearDup {
           col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_common"))
-      return pair
-        .join(sizes.toDF("doc_a_k", "n_a"), col("doc_a") === col("doc_a_k"))
-        .join(sizes.toDF("doc_b_k", "n_b"), col("doc_b") === col("doc_b_k"))
-        .filter(prune(col("n_common")))
-        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"))
+      // intra-query caches freed after the caller's action (r19 §5)
+      return graft.util.CacheScope.freeAfterUse(
+        pair
+          .join(sizes.toDF("doc_a_k", "n_a"), col("doc_a") === col("doc_a_k"))
+          .join(sizes.toDF("doc_b_k", "n_b"), col("doc_b") === col("doc_b_k"))
+          .filter(prune(col("n_common")))
+          .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b")),
+        Seq(sh, exR))
     }
-    // hot branch: materialize the (small by construction) hot vocabulary
-    // out of the cached df table via an eager localCheckpoint, then
-    // release the vocabulary-sized cache immediately (ADVICE r9: it used
-    // to pin until session end).
+    // hot branch: the hot set is an IN-PLAN filter over the cached df
+    // table — the histogram collect above already materialized those
+    // blocks, so the broadcast build reads them directly. r18 paid an
+    // extra eager-checkpoint job here to release the vocabulary-sized
+    // cache early (ADVICE r9); with the query-scoped frees (r19 §5) the
+    // cache is released right after the caller's action instead, and the
+    // checkpoint pass disappears — one shared materialization feeds the
+    // cap derivation AND the hot-set broadcast (VERDICT r18 #4).
     val hotSet = dfc.filter(col("df") > maxDf)
       .select(col("shingle"), lit(true).as("hot_flag"))
-      .localCheckpoint(true)
-    dfc.unpersist()
-    hotCappedCounts(sh, hotSet, prune)
+    graft.util.CacheScope.freeAfterUse(
+      hotCappedCounts(sh, hotSet, prune), Seq(dfc))
   }
 
   /** The hot-vocabulary capped machine shared by the lazy constant-cap
@@ -1161,13 +1173,18 @@ object NearDup {
     // Exact hot correction for the survivors only (hot arrays are tiny).
     val hA = docStats.select(col("doc_id").as("doc_a_h"), col("hot_arr").as("hot_a"))
     val hB = docStats.select(col("doc_id").as("doc_b_h"), col("hot_arr").as("hot_b"))
-    survivors
-      .join(hA, col("doc_a") === col("doc_a_h"))
-      .join(hB, col("doc_b") === col("doc_b_h"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_rare") + size(array_intersect(col("hot_a"), col("hot_b")))
-          .cast("long")).as("n_common"),
-        col("n_a"), col("n_b"))
+    // intra-query caches (and the derived path's checkpointed hot set)
+    // freed after the caller's action (r19 §5); the constant-cap path's
+    // hotSet is an in-plan relation — freeing it is a no-op there.
+    graft.util.CacheScope.freeAfterUse(
+      survivors
+        .join(hA, col("doc_a") === col("doc_a_h"))
+        .join(hB, col("doc_b") === col("doc_b_h"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_rare") + size(array_intersect(col("hot_a"), col("hot_b")))
+            .cast("long")).as("n_common"),
+          col("n_a"), col("n_b")),
+      Seq(sh, hotSet, ex, docStats, exCapped))
   }
 
   /** Distinct-shingle document frequencies — the inverted-index df table

@@ -158,7 +158,9 @@ object Similarity {
   def embeddingNearDups(embeddings: DataFrame, blocks: Int = 8): DataFrame = {
     // cache: the triangle grid's left and right sides both read this
     // relation through renames (ReuseExchange misses — r18), so without
-    // the cache the corpus scan runs twice
+    // the cache the corpus scan runs twice. Scoped to the query via
+    // CacheScope (r19, VERDICT r18 #5 — freed after the caller's action,
+    // not left for the session owner's clearCache()).
     val blk = embeddings.select(col("vec_id"), col("embedding"),
       pmod(hash(col("vec_id")), lit(blocks)).as("blk"))
       .cache()
@@ -168,13 +170,15 @@ object Similarity {
     val right = blk
       .select(col("vec_id").as("id_r"), col("embedding").as("emb_r"), col("blk").as("blk_r"),
         explode(sequence(lit(0), col("blk"))).as("cell_i"))
-    left.join(right, col("blk_l") === col("cell_i") && col("cell_j") === col("blk_r"))
-      .filter(col("blk_l") < col("blk_r") || col("id_l") < col("id_r"))
-      .select(least(col("id_l"), col("id_r")).as("vec_a"),
-        greatest(col("id_l"), col("id_r")).as("vec_b"),
-        dot(col("emb_l"), col("emb_r")).as("cosine"))
-      .filter(col("cosine") >= CosineThreshold)
-      .orderBy("vec_a", "vec_b")
+    graft.util.CacheScope.freeAfterUse(
+      left.join(right, col("blk_l") === col("cell_i") && col("cell_j") === col("blk_r"))
+        .filter(col("blk_l") < col("blk_r") || col("id_l") < col("id_r"))
+        .select(least(col("id_l"), col("id_r")).as("vec_a"),
+          greatest(col("id_l"), col("id_r")).as("vec_b"),
+          dot(col("emb_l"), col("emb_r")).as("cosine"))
+        .filter(col("cosine") >= CosineThreshold)
+        .orderBy("vec_a", "vec_b"),
+      Seq(blk))
   }
 
   /** The corpus-scale APPROXIMATE variant: candidate pairs only from
@@ -209,11 +213,13 @@ object Similarity {
       explode(array(probeKeys: _*)).as("probe"))
     val home = withB.select(col("vec_id").as("id_r"), col("embedding").as("emb_r"),
       col("bucket").as("home"))
-    probing.join(home, col("probe") === col("home") && col("id_l") < col("id_r"))
-      .select(col("id_l").as("vec_a"), col("id_r").as("vec_b"),
-        dot(col("emb_l"), col("emb_r")).as("cosine"))
-      .filter(col("cosine") >= CosineThreshold)
-      .orderBy("vec_a", "vec_b")
+    graft.util.CacheScope.freeAfterUse(
+      probing.join(home, col("probe") === col("home") && col("id_l") < col("id_r"))
+        .select(col("id_l").as("vec_a"), col("id_r").as("vec_b"),
+          dot(col("emb_l"), col("emb_r")).as("cosine"))
+        .filter(col("cosine") >= CosineThreshold)
+        .orderBy("vec_a", "vec_b"),
+      Seq(withB))
   }
 
   /** Probe keys over a `bucket` string column: the bucket itself + every
@@ -262,13 +268,15 @@ object Similarity {
     // a (corpus, eval) pair matches on exactly ONE probe key (the flip set
     // at their bucket Hamming distance), so no distinct is needed; the
     // aggregation is over genuinely different eval matches
-    evalProbes.join(corpus, col("probe") === col("bucket"))
-      .select(col("vec_id"), col("eval_id"),
-        dot(col("embedding"), col("emb_e")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .groupBy("vec_id")
-      .agg(min("eval_id").as("contaminated_by"), max("cosine").as("max_cosine"))
-      .orderBy("vec_id")
+    graft.util.CacheScope.freeAfterUse(
+      evalProbes.join(corpus, col("probe") === col("bucket"))
+        .select(col("vec_id"), col("eval_id"),
+          dot(col("embedding"), col("emb_e")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .groupBy("vec_id")
+        .agg(min("eval_id").as("contaminated_by"), max("cosine").as("max_cosine"))
+        .orderBy("vec_id"),
+      Seq(withB))
   }
 
   def semanticDecontaminationSql(
@@ -531,12 +539,14 @@ object Similarity {
       col("bucket").as("bucket_b"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    a.join(b, col("bucket_a") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        dot(col("query_emb"), col("emb_b")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    graft.util.CacheScope.freeAfterUse(
+      a.join(b, col("bucket_a") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dot(col("query_emb"), col("emb_b")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .orderBy("query_id", "rank"),
+      Seq(withB))
   }
 
   // ------------------------------------------------------------------ IVF
@@ -632,10 +642,11 @@ object Similarity {
     * cores.
     */
   private[ops] def cellJoinSalts(ranked: DataFrame): Int = {
-    val r = ranked.agg(
+    val r = graft.util.JobDesc.labeled(ranked.sparkSession,
+      "ivf: salt derivation")(ranked.agg(
       count(lit(1)).as("rows"),
       sum(when(col("cell_rank") === 1, 1L).otherwise(0L)).as("home"),
-      countDistinct(col("cell")).as("cells")).head()
+      countDistinct(col("cell")).as("cells")).head())
     val rows = r.getLong(0)
     val home = r.getLong(1)
     val cells = math.max(1L, r.getLong(2))
@@ -657,13 +668,17 @@ object Similarity {
     * compute.
     */
   def ivfTopK(
-      embeddings: DataFrame, k: Int = 3, nprobe: Int = 1, subPlanes: Int = 0): DataFrame =
+      embeddings: DataFrame, k: Int = 3, nprobe: Int = 1, subPlanes: Int = 0): DataFrame = {
     // cache: both sides of the in-cell join read the ranked-assignment
     // relation, and the toDF renames below would otherwise defeat
     // exchange reuse — without this the centroid pipeline runs twice
     // (the salt derivation's aggregation is also the action that
-    // materializes it, so neither join side recomputes the pipeline)
-    ivfTopKFromRanked(embeddings, ivfCellsRanked(embeddings, nprobe, subPlanes).cache(), k)
+    // materializes it, so neither join side recomputes the pipeline).
+    // Query-scoped (r19): freed after the caller's action.
+    val ranked = ivfCellsRanked(embeddings, nprobe, subPlanes).cache()
+    graft.util.CacheScope.freeAfterUse(
+      ivfTopKFromRanked(embeddings, ranked, k), Seq(ranked))
+  }
 
   /** The search join over an already-ranked (vec_id, cell, cell_rank ≤
     * nprobe) assignment — factored out (r18) so [[ivfTopKAdaptive]]'s
@@ -739,8 +754,20 @@ object Similarity {
   private def rankedForTune(embeddings: DataFrame, budget: Long): DataFrame = {
     val key = (embeddings.queryExecution.analyzed, budget)
     rankedCache.computeIfAbsent(key, _ => {
-      val p = adaptiveSubPlanes(embeddings.count(), budget)
-      ivfCellsRanked(embeddings, MaxDerivedNprobe, p).cache()
+      val p = graft.util.JobDesc.labeled(embeddings.sparkSession,
+        "ivf-derive: corpus size")(
+        adaptiveSubPlanes(embeddings.count(), budget))
+      val r = ivfCellsRanked(embeddings, MaxDerivedNprobe, p).cache()
+      // materialize the cache EAGERLY before the tune grid reads it (r19):
+      // the grid's joins broadcast this relation from several concurrent
+      // broadcast-exchange threads, and with the blocks not yet built each
+      // thread re-ran the whole centroid + assignment pipeline in parallel
+      // (measured: 6 racing ~0.65 s jobs per q121 invocation, ~4 s of
+      // duplicated CPU). One sequential pass writes the blocks; every
+      // subsequent consumer — grid, salt derivation, serving — reads them.
+      graft.util.JobDesc.labeled(embeddings.sparkSession,
+        "ivf-derive: rank assignment")(r.count())
+      r
     })
   }
 
@@ -789,9 +816,11 @@ object Similarity {
       .filter(col("rank") <= TuneK)
     val truth = bruteForceTopK(embeddings, TuneQueries, TuneK)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = topk.join(truth, Seq("query_id", "neighbor_id"))
-      .groupBy("np").agg(count(lit(1)).as("sample_hits"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hits = graft.util.JobDesc.labeled(embeddings.sparkSession,
+      "ivf-derive: tune grid")(
+      topk.join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy("np").agg(count(lit(1)).as("sample_hits"))
+        .collect()).map(r => r.getInt(0) -> r.getLong(1)).toMap
     (1 to MaxDerivedNprobe).map(np => np -> hits.getOrElse(np, 0L))
   }
 
@@ -939,35 +968,44 @@ object Similarity {
     // intra-query corpus cache (r18): one adaptive search reads the
     // corpus ~5× (size count, centroid build, assignment, tune truth,
     // the two serving join sides) and the CacheManager substitutes the
-    // cached relation into every one of those scans automatically. The
-    // session owner frees it with the other per-query caches (see the
-    // Verify note); at cluster scale 5 passes over columnar blocks vs 5
-    // parquet scans is the standard persist-when-reused trade (guide §5)
-    // and MEMORY_AND_DISK degrades to local-disk blocks, never OOM.
+    // cached relation into every one of those scans automatically. At
+    // cluster scale 5 passes over columnar blocks vs 5 parquet scans is
+    // the standard persist-when-reused trade (guide §5) and
+    // MEMORY_AND_DISK degrades to local-disk blocks, never OOM.
+    // Query-scoped (r19, VERDICT r18 #5): the cache previously leaned on
+    // the session owner's clearCache() — a library caller that never
+    // clears kept a MEMORY_AND_DISK COPY OF THE CORPUS pinned per
+    // adaptive query. CacheScope frees it after the caller's action (the
+    // memoized rankedForTune handle is deliberately NOT freed — it is the
+    // cross-query tune-grid memo, ~3 small columns, documented in Bench).
     val e = embeddings.cache()
-    if (nprobe > 0) {
-      val p = adaptiveSubPlanes(e.count(), budget)
-      return ivfTopK(e, k, nprobe, p)
-    }
-    val np = derivedNprobe(e, budget)
-    if (np > 0)
-      // serve from the derivation's own cached ranked assignment (r18):
-      // rank ≤ np is a filter over the MaxDerivedNprobe ranking, so the
-      // centroid + assignment pipeline is not rebuilt for the search
-      ivfTopKFromRanked(e,
-        rankedForTune(e, budget).filter(col("cell_rank") <= np), k)
-    else {
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"adaptive-IVF degrade: tune-sample recall < $TuneHitBar/" +
-          s"${TuneQueries * TuneK} hits at every nprobe <= $MaxDerivedNprobe " +
-          s"- serving EXACT top-$k via ALL label cells (full-scan " +
-          "cost); prefer trained-IVF (KMeans.ivfTopKTrained) or the PQ " +
-          "refine path for corpora without label-metric structure")
-      // nprobe = Int.MaxValue probes every cell without paying a distinct
-      // count job first — cell_rank ≤ MaxValue keeps every window row, the
-      // identical relation to nprobe = <cell count> (r18)
-      ivfTopK(e, k, Int.MaxValue, 0)
-    }
+    val res =
+      if (nprobe > 0) {
+        val p = graft.util.JobDesc.labeled(e.sparkSession,
+          "ivf: corpus size")(adaptiveSubPlanes(e.count(), budget))
+        ivfTopK(e, k, nprobe, p)
+      } else {
+        val np = derivedNprobe(e, budget)
+        if (np > 0)
+          // serve from the derivation's own cached ranked assignment (r18):
+          // rank ≤ np is a filter over the MaxDerivedNprobe ranking, so the
+          // centroid + assignment pipeline is not rebuilt for the search
+          ivfTopKFromRanked(e,
+            rankedForTune(e, budget).filter(col("cell_rank") <= np), k)
+        else {
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"adaptive-IVF degrade: tune-sample recall < $TuneHitBar/" +
+              s"${TuneQueries * TuneK} hits at every nprobe <= $MaxDerivedNprobe " +
+              s"- serving EXACT top-$k via ALL label cells (full-scan " +
+              "cost); prefer trained-IVF (KMeans.ivfTopKTrained) or the PQ " +
+              "refine path for corpora without label-metric structure")
+          // nprobe = Int.MaxValue probes every cell without paying a distinct
+          // count job first — cell_rank ≤ MaxValue keeps every window row, the
+          // identical relation to nprobe = <cell count> (r18)
+          ivfTopK(e, k, Int.MaxValue, 0)
+        }
+      }
+    graft.util.CacheScope.freeAfterUse(res, Seq(e))
   }
 
   /** Oracle for [[ivfTopKAdaptive]]: p is computed IN SQL from COUNT(*)

@@ -566,12 +566,15 @@ object TextAnalysis {
     // exchanges it replaces (q83 1.73→1.38 s, q96 1.69→1.13 s medians on
     // one host). Pipeline-once is kept; partitioning is left to the join.
     val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti").cache()
-    pruned.toDF("fp", "doc_a")
-      .join(pruned.toDF("fp_b", "doc_b"),
-        col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared_fps"))
-      .filter(col("n_shared_fps") >= minShared)
+    // intra-query caches freed after the caller's action (r19 §5)
+    graft.util.CacheScope.freeAfterUse(
+      pruned.toDF("fp", "doc_a")
+        .join(pruned.toDF("fp_b", "doc_b"),
+          col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared_fps"))
+        .filter(col("n_shared_fps") >= minShared),
+      Seq(fps, pruned))
   }
 
   /** Per-document top-`m` overlap partners — the corpus-wide DEFAULT form

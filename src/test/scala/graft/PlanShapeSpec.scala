@@ -150,7 +150,13 @@ class PlanShapeSpec extends SparkSpec {
 
   test("capped containment (q77) intersects via the posting equi-join, no cartesian") {
     val p = plan("q77_containment_capped")
-    assert(p.contains("Exchange hashpartitioning(shingle"), p)
+    // the pair stage is keyed on the exploded shingle column — visible as
+    // a shuffle exchange on shingle OR a hash join keyed on it (with the
+    // r18 pre-partition gone — r19 #1 — a tiny corpus's cached posting
+    // side can auto-broadcast; both physical forms are the same posting
+    // equi-join, and the no-cartesian assert below is the scale property)
+    assert(p.contains("Exchange hashpartitioning(shingle") ||
+      p.contains("BroadcastHashJoin [shingle"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
