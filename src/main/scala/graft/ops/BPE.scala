@@ -122,6 +122,14 @@ object BPE {
           .repartition(col("word"))
       else full
     var v = seed.localCheckpoint()
+    // each merge below rewrites the vocab as unaffected ∪ re-merged — a
+    // UNION whose partition count is the SUM of both branches', i.e. the
+    // checkpointed partition count DOUBLED per iteration (r19: measured
+    // 2→64 blocks over q93's 6 merges; 2^merges asymptotically — pure
+    // scheduler poison at depth). Coalesce (narrow, no shuffle, no row
+    // movement across the aggregation-only consumers) back to the seed's
+    // width before every checkpoint.
+    val vParts = math.max(1, v.rdd.getNumPartitions)
     // counts stays a LAZY checkpoint (r18): each iteration's argmax
     // (orderBy/limit/collect) is a full-evaluation action, so it is also
     // the job that materializes the maintained counts — the former eager
@@ -149,7 +157,8 @@ object BPE {
         val hit = containsPair(col("syms"), p1, p2)
         val affected = v.filter(hit)
         val merged = affected.withColumn("syms", applyMerge(col("syms"), p1, p2))
-        val nextV = v.filter(!hit).union(merged).localCheckpoint()
+        val nextV = v.filter(!hit).union(merged).coalesce(vParts)
+          .localCheckpoint()
         val delta = pairCounts(merged).union(
           pairCounts(affected).select(col("p1"), col("p2"),
             (-col("pair_count")).as("pair_count")))

@@ -764,23 +764,30 @@ object Multimodal {
     */
   def audioNearDups(
       documents: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    // cached; freed after the caller's action (r19 §5). NOT eagerly
+    // materialized: the self-join's two concurrent map stages look like
+    // they race the decode, but the block manager locks each cached
+    // partition while the first task computes it (the second waits, then
+    // reads) — an up-front count() only added a job (+0.3 s A/B'd, r19).
     val fp = audioFingerprintsOf(audioVariantCorpus(documents))
       .select(col("media_id"), col("fp_hi"), col("fp_lo")).cache()
     val bp = afpBandPairKeys(fp)
     // verify INSIDE the collision join (the fps ride the band rows —
     // [[afpBandPairKeys]]): the length-class collision multiset never
     // hits an exchange, only the surviving true pairs reach the distinct
-    bp.toDF("media_a", "bpk", "hi_a", "lo_a")
-      .join(bp.toDF("media_b", "bpk", "hi_b", "lo_b"),
-        Seq("bpk"))
-      .filter(col("media_a") < col("media_b"))
-      .select(col("media_a"), col("media_b"),
-        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
-          .cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // hamming is a function of (a, b): multi-key collisions
-      // collapse to the same 3-tuple
-      .orderBy("media_a", "media_b")
+    graft.util.CacheScope.freeAfterUse(
+      bp.toDF("media_a", "bpk", "hi_a", "lo_a")
+        .join(bp.toDF("media_b", "bpk", "hi_b", "lo_b"),
+          Seq("bpk"))
+        .filter(col("media_a") < col("media_b"))
+        .select(col("media_a"), col("media_b"),
+          (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+            .cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct() // hamming is a function of (a, b): multi-key collisions
+        // collapse to the same 3-tuple
+        .orderBy("media_a", "media_b"),
+      Seq(fp))
   }
 
   /** The deduplicated AUDIO corpus — q118's pairs closed into survivors
@@ -798,15 +805,19 @@ object Multimodal {
   def audioDedupKeepList(
       documents: DataFrame, maxHamming: Int = MaxHamming,
       bucketBudget: Int = graft.ops.NearDup.BucketBudget): DataFrame = {
+    // cached; freed after the caller's action (r19 §5 — see
+    // [[audioNearDups]] on why NOT eagerly materialized)
     val fp = audioFingerprintsOf(audioVariantCorpus(documents)).cache()
     val pairs = audioKeepListPairs(fp, maxHamming, bucketBudget)
     val losers = graft.ops.NearDup.components(pairs)
       .filter(col("doc_id") =!= col("label"))
       .select(col("doc_id").as("loser_id"))
-    fp.select("media_id", "n_samples")
-      .join(losers, col("media_id") === col("loser_id"), "left_anti")
-      .select("media_id", "n_samples")
-      .orderBy("media_id")
+    graft.util.CacheScope.freeAfterUse(
+      fp.select("media_id", "n_samples")
+        .join(losers, col("media_id") === col("loser_id"), "left_anti")
+        .select("media_id", "n_samples")
+        .orderBy("media_id"),
+      Seq(fp))
   }
 
   /** The keep-list's verified pair relation over an already-fingerprinted
@@ -1278,6 +1289,8 @@ object Multimodal {
       }: _*)).as(Seq("band_idx", "band_val")))
 
   def imageNearDups(documents: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    // cached; freed after the caller's action (r19 §5 — see
+    // [[audioNearDups]] on why NOT eagerly materialized)
     val dh = imageDHashes(documents)
       .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
       .cache()
@@ -1288,14 +1301,16 @@ object Multimodal {
           col("band_val") === col("band_val_b") &&
           col("media_a") < col("media_b"))
       .select("media_a", "media_b").distinct()
-    cand
-      .join(dh.toDF("media_a", "hi_a", "lo_a"), Seq("media_a"))
-      .join(dh.toDF("media_b", "hi_b", "lo_b"), Seq("media_b"))
-      .select(col("media_a"), col("media_b"),
-        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
-          .cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("media_a", "media_b")
+    graft.util.CacheScope.freeAfterUse(
+      cand
+        .join(dh.toDF("media_a", "hi_a", "lo_a"), Seq("media_a"))
+        .join(dh.toDF("media_b", "hi_b", "lo_b"), Seq("media_b"))
+        .select(col("media_a"), col("media_b"),
+          (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+            .cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .orderBy("media_a", "media_b"),
+      Seq(dh))
   }
 
   def imageNearDupsSql(maxHamming: Int = MaxHamming): String =
@@ -1348,6 +1363,7 @@ object Multimodal {
       documents: DataFrame, maxHamming: Int = MaxHamming,
       bucketBudget: Int = graft.ops.NearDup.BucketBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached; freed after the caller's action (r19 §5)
     val dh = imageDHashes(documents).cache()
     val bands = dhashBands(
       dh.select(col("media_id"), col("dhash_hi"), col("dhash_lo")))
@@ -1371,10 +1387,12 @@ object Multimodal {
     val losers = graft.ops.NearDup.components(pairs)
       .filter(col("doc_id") =!= col("label"))
       .select(col("doc_id").as("loser_id"))
-    dh.select("media_id", "width", "height")
-      .join(losers, col("media_id") === col("loser_id"), "left_anti")
-      .select("media_id", "width", "height")
-      .orderBy("media_id")
+    graft.util.CacheScope.freeAfterUse(
+      dh.select("media_id", "width", "height")
+        .join(losers, col("media_id") === col("loser_id"), "left_anti")
+        .select("media_id", "width", "height")
+        .orderBy("media_id"),
+      Seq(dh))
   }
 
   def imageDedupKeepListSql(
@@ -1881,6 +1899,8 @@ object Multimodal {
     */
   def videoNearDupsFrom(
       frameHashes: DataFrame, minContainment: Double = 0.9): DataFrame = {
+    // cached; freed after the caller's action (r19 §5 — see
+    // [[audioNearDups]] on why NOT eagerly materialized)
     val fh = frameHashes
       .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
       .distinct()
@@ -1890,13 +1910,15 @@ object Multimodal {
       .join(fh.toDF("video_b", "dhash_hi", "dhash_lo"), Seq("dhash_hi", "dhash_lo"))
       .filter(col("video_a") =!= col("video_b"))
       .groupBy("video_a", "video_b").agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(counts.toDF("video_a", "n_hashes"), Seq("video_a"))
-      .withColumn("containment",
-        col("n_shared").cast("double") / col("n_hashes"))
-      .filter(col("containment") >= minContainment)
-      .select("video_a", "video_b", "n_shared", "n_hashes", "containment")
-      .orderBy("video_a", "video_b")
+    graft.util.CacheScope.freeAfterUse(
+      shared
+        .join(counts.toDF("video_a", "n_hashes"), Seq("video_a"))
+        .withColumn("containment",
+          col("n_shared").cast("double") / col("n_hashes"))
+        .filter(col("containment") >= minContainment)
+        .select("video_a", "video_b", "n_shared", "n_hashes", "containment")
+        .orderBy("video_a", "video_b"),
+      Seq(fh))
   }
 
   def videoNearDupsSql(

@@ -757,17 +757,14 @@ object Similarity {
       val p = graft.util.JobDesc.labeled(embeddings.sparkSession,
         "ivf-derive: corpus size")(
         adaptiveSubPlanes(embeddings.count(), budget))
-      val r = ivfCellsRanked(embeddings, MaxDerivedNprobe, p).cache()
-      // materialize the cache EAGERLY before the tune grid reads it (r19):
-      // the grid's joins broadcast this relation from several concurrent
-      // broadcast-exchange threads, and with the blocks not yet built each
-      // thread re-ran the whole centroid + assignment pipeline in parallel
-      // (measured: 6 racing ~0.65 s jobs per q121 invocation, ~4 s of
-      // duplicated CPU). One sequential pass writes the blocks; every
-      // subsequent consumer — grid, salt derivation, serving — reads them.
-      graft.util.JobDesc.labeled(embeddings.sparkSession,
-        "ivf-derive: rank assignment")(r.count())
-      r
+      // NOT eagerly materialized (r19, measured): the grid's concurrent
+      // broadcast builds LOOK like they race this cache (several
+      // overlapping ~0.65 s jobs in q121's profile), but the block
+      // manager locks each cached partition while the first task
+      // computes it — the others wait, then read. An up-front count()
+      // A/B'd flat (q121 4.52→4.71 s, q36 3.15→3.20 s medians) while
+      // paying one extra job, so the lazy cache stands.
+      ivfCellsRanked(embeddings, MaxDerivedNprobe, p).cache()
     })
   }
 

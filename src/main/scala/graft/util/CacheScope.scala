@@ -38,6 +38,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    unpersist) — `Dataset.unpersist` alone would be a no-op for them.
   */
 object CacheScope {
+  // NOTE (r19, measured then rejected): an eager cache-materializing
+  // count() before concurrent consumers was prototyped for the relations
+  // whose profiles show several overlapping jobs "racing" a fresh cache
+  // (the IVF ranked assignment, the media fingerprint/dhash relations).
+  // The block manager already serializes cached-partition computation
+  // (BlockInfoManager write-locks: the second task waits, then reads),
+  // so the overlap is lock wait, not duplicated work — the up-front pass
+  // only added a job and measured flat-to-worse in 7-rep A/Bs
+  // (q119 +0.37 s, q114 +0.22 s, q121/q36 flat). Lazy caches stand.
+
   def freeAfterUse(result: DataFrame, handles: Seq[DataFrame]): DataFrame = {
     val spark = result.sparkSession
     val target = result.queryExecution.analyzed
