@@ -749,9 +749,11 @@ object Similarity {
     */
   private val rankedCache = graft.util.BoundedLru[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
-    DataFrame]()
+    (Int, DataFrame)]()
 
-  private def rankedForTune(embeddings: DataFrame, budget: Long): DataFrame = {
+  /** (derived sub-plane count p, the memoized ranked assignment). */
+  private def rankedForTune(
+      embeddings: DataFrame, budget: Long): (Int, DataFrame) = {
     val key = (embeddings.queryExecution.analyzed, budget)
     rankedCache.computeIfAbsent(key, _ => {
       val p = graft.util.JobDesc.labeled(embeddings.sparkSession,
@@ -764,7 +766,7 @@ object Similarity {
       // computes it — the others wait, then read. An up-front count()
       // A/B'd flat (q121 4.52→4.71 s, q36 3.15→3.20 s medians) while
       // paying one extra job, so the lazy cache stands.
-      ivfCellsRanked(embeddings, MaxDerivedNprobe, p).cache()
+      (p, ivfCellsRanked(embeddings, MaxDerivedNprobe, p).cache())
     })
   }
 
@@ -780,7 +782,7 @@ object Similarity {
       embeddings: DataFrame, budget: Long = CellBudget): Seq[(Int, Long)] = {
     val key = (embeddings.queryExecution.analyzed, budget)
     tuneCache.computeIfAbsent(key, _ =>
-      tuneGridFromRanked(embeddings, rankedForTune(embeddings, budget)))
+      tuneGridFromRanked(embeddings, rankedForTune(embeddings, budget)._2))
   }
 
   /** The grid computation itself, parameterized by the ranked cell
@@ -988,7 +990,7 @@ object Similarity {
           // rank ≤ np is a filter over the MaxDerivedNprobe ranking, so the
           // centroid + assignment pipeline is not rebuilt for the search
           ivfTopKFromRanked(e,
-            rankedForTune(e, budget).filter(col("cell_rank") <= np), k)
+            rankedForTune(e, budget)._2.filter(col("cell_rank") <= np), k)
         else {
           org.slf4j.LoggerFactory.getLogger(getClass)
             .warn(s"adaptive-IVF degrade: tune-sample recall < $TuneHitBar/" +
@@ -996,10 +998,27 @@ object Similarity {
               s"- serving EXACT top-$k via ALL label cells (full-scan " +
               "cost); prefer trained-IVF (KMeans.ivfTopKTrained) or the PQ " +
               "refine path for corpora without label-metric structure")
-          // nprobe = Int.MaxValue probes every cell without paying a distinct
-          // count job first — cell_rank ≤ MaxValue keeps every window row, the
-          // identical relation to nprobe = <cell count> (r18)
-          ivfTopK(e, k, Int.MaxValue, 0)
+          // Degrade serving reuses the derivation's memoized ranking when
+          // it provably IS the complete one (r19): with p = 0 the memo's
+          // cells are the plain label cells the degrade wants, and when
+          // the corpus has ≤ MaxDerivedNprobe distinct cells every
+          // (vector, cell) pair already carries a rank ≤ cell count ≤
+          // MaxDerivedNprobe — so rank ≤ MaxValue over a SECOND
+          // centroid + assignment pipeline is the identical relation to
+          // the unfiltered memo. One tiny census aggregation over cached
+          // blocks replaces the duplicate pipeline (guide §2.4). p > 0 or
+          // more cells than the memo ranks → the unchanged full rebuild.
+          val (p, ranked) = rankedForTune(e, budget)
+          val cells = graft.util.JobDesc.labeled(e.sparkSession,
+            "ivf: degrade cell census")(
+            ranked.agg(countDistinct(col("cell"))).head().getLong(0))
+          if (p == 0 && cells <= MaxDerivedNprobe)
+            ivfTopKFromRanked(e, ranked, k)
+          else
+            // nprobe = Int.MaxValue probes every cell without paying a
+            // distinct count job first — cell_rank ≤ MaxValue keeps every
+            // window row, the identical relation to nprobe = <cell count>
+            ivfTopK(e, k, Int.MaxValue, 0)
         }
       }
     graft.util.CacheScope.freeAfterUse(res, Seq(e))
